@@ -1,0 +1,161 @@
+"""Posting-list codec: delta + VByte (varint) compression, block metadata.
+
+Pure numpy, no Spark imports — unit-testable standalone (SURVEY.md D2/D3).
+Runs inside Arrow UDFs on executors, so every function is vectorized over
+*all* values of an Arrow batch at once; there is no per-value Python loop
+in either direction.
+
+Wire format (frozen):
+  * VByte, little-endian 7-bit groups. Byte layout per value:
+    ``byte_k = (v >> 7k) & 0x7F``, with the high bit (0x80) SET on every
+    byte except the last (continuation-bit convention; P:VBYTE).
+  * doc_ids are stored as deltas: first value absolute, then gaps
+    ``doc_id[i] - doc_id[i-1]`` (strictly positive — doc_ids strictly
+    increasing within a posting list).
+  * tfs are stored as raw varints (tf >= 1).
+  * blocks: per `block_size` postings, a struct
+    (last_doc_id:int64, max_tf:int32, off:int32, n:int32) where `off` is
+    the POSTING-INDEX offset of the block inside the decoded list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VBYTE_LEN = 10  # 64 bits / 7 bits-per-byte, rounded up
+
+
+# --------------------------------------------------------------------------
+# VByte — vectorized over a whole uint64 array
+# --------------------------------------------------------------------------
+
+def vbyte_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode non-negative int64/uint64 values.
+
+    Returns ``(bytes_u8, nbytes_per_value)`` so callers can split the byte
+    stream at arbitrary value boundaries (per-term slicing) without
+    re-encoding.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    # number of 7-bit groups: ceil(bit_length / 7), with v==0 -> 1;
+    # bit_length via log2 is unsafe for large ints, so use comparisons
+    nbytes = np.ones(v.size, dtype=np.int64)
+    thresh = np.uint64(1 << 7)
+    for k in range(1, _MAX_VBYTE_LEN):
+        mask = v >= thresh
+        if not mask.any():
+            break
+        nbytes[mask] = k + 1
+        if k + 1 < _MAX_VBYTE_LEN:
+            thresh = np.uint64(thresh) * np.uint64(128)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.cumsum(nbytes) - nbytes
+    for k in range(int(nbytes.max())):
+        mask = nbytes > k
+        pos = starts[mask] + k
+        byte = (v[mask] >> np.uint64(7 * k)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
+        out[pos] = byte.astype(np.uint8) | cont
+    return out, nbytes
+
+
+def vbyte_decode(data: np.ndarray | bytes) -> np.ndarray:
+    """Decode a VByte stream back to uint64 values. Fully vectorized:
+    terminator bytes (high bit clear) mark value ends; a segmented
+    shift-and-add via ``np.add.reduceat`` reconstructs values."""
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    if buf.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (buf & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # position of each byte within its value
+    within = np.arange(buf.size, dtype=np.int64) - np.repeat(starts, ends - starts + 1)
+    contrib = (buf.astype(np.uint64) & np.uint64(0x7F)) << (np.uint64(7) * within.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+# --------------------------------------------------------------------------
+# Posting-list pack / unpack (delta on doc_ids)
+# --------------------------------------------------------------------------
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """doc_ids strictly increasing int64; tfs int >=1 aligned with doc_ids."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    gaps = np.empty_like(d)
+    if d.size:
+        gaps[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=gaps[1:])
+    db, _ = vbyte_encode(gaps.astype(np.uint64))
+    tb, _ = vbyte_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+    return db.tobytes(), tb.tobytes()
+
+
+def decode_postings(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    gaps = vbyte_decode(doc_bytes).astype(np.int64)
+    doc_ids = np.cumsum(gaps)
+    tfs = vbyte_decode(tf_bytes).astype(np.int64)
+    return doc_ids, tfs
+
+
+def block_meta(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int) -> list[dict]:
+    """Per-block skip metadata: (last_doc_id, max_tf, off, n)."""
+    n = int(doc_ids.size)
+    if n == 0:
+        return []
+    offs = np.arange(0, n, block_size, dtype=np.int64)
+    ends = np.minimum(offs + block_size, n)
+    last = doc_ids[ends - 1]
+    # segmented max of tfs per block (vectorized)
+    maxtf = np.maximum.reduceat(np.ascontiguousarray(tfs, dtype=np.int64), offs)
+    return [
+        {"last_doc_id": int(last[i]), "max_tf": int(maxtf[i]),
+         "off": int(offs[i]), "n": int(ends[i] - offs[i])}
+        for i in range(offs.size)
+    ]
+
+
+# --------------------------------------------------------------------------
+# Batch (many-terms-at-once) encoding for the partition-level packer.
+# One vectorized pass over ALL postings of ALL terms in a partition:
+# gaps are computed globally with resets at term boundaries, VByte-encoded
+# in one call, then sliced per term via byte-offset cumsums.
+# --------------------------------------------------------------------------
+
+def encode_many(term_starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray):
+    """Encode postings for many terms at once.
+
+    Parameters
+    ----------
+    term_starts : int64[G+1] — postings index boundaries per term (CSR style);
+        term g owns doc_ids[term_starts[g]:term_starts[g+1]] (sorted asc).
+    Returns ``(doc_payloads, tf_payloads)`` — two lists of ``bytes`` length G.
+    """
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    gaps = np.empty_like(d)
+    if d.size:
+        gaps[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=gaps[1:])
+        # reset gap at each term start to the absolute doc_id
+        s = term_starts[:-1]
+        s = s[s < d.size]
+        gaps[s] = d[s]
+    db, dn = vbyte_encode(gaps.astype(np.uint64))
+    tb, tn = vbyte_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+    # byte offsets per term boundary
+    dcum = np.zeros(dn.size + 1, dtype=np.int64)
+    np.cumsum(dn, out=dcum[1:])
+    tcum = np.zeros(tn.size + 1, dtype=np.int64)
+    np.cumsum(tn, out=tcum[1:])
+    dbytes = db.tobytes()
+    tbytes = tb.tobytes()
+    doc_payloads = [dbytes[dcum[term_starts[g]]:dcum[term_starts[g + 1]]]
+                    for g in range(term_starts.size - 1)]
+    tf_payloads = [tbytes[tcum[term_starts[g]]:tcum[term_starts[g + 1]]]
+                   for g in range(term_starts.size - 1)]
+    return doc_payloads, tf_payloads

@@ -1,0 +1,72 @@
+"""Frozen engine configuration (SURVEY.md §5.1, §7-M0).
+
+The reference's exact analyzer rules and BM25 constants are not recoverable
+(SURVEY.md §0), so this module pins ONE documented choice for each degree of
+freedom. Everything that could differ from the reference is a field here so
+rank-identity can be re-tuned in minutes if the reference materializes.
+
+Frozen choices
+--------------
+* analyzer: lowercase + split on non-alphanumeric (``[a-z0-9]+`` findall).
+  Identical at build and query time — ranking breaks otherwise.
+* BM25: k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+  (the "Lucene" variant of Okapi idf). Chosen over classic Okapi
+  ``ln((N-df+0.5)/(df+0.5))`` because it is strictly positive for every
+  df <= N, which keeps Block-Max WAND's max-score upper bounds valid
+  (rank-safe pruning) even for terms appearing in >50% of documents —
+  the fixtures plant such terms (FIXTURES.md hot0/hot1).
+* query-term weighting: weight = qtf (query term frequency); k3 -> inf.
+* tie-break: (score desc, doc_id asc) — a total order, required for
+  rank-identity comparisons (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# --- analyzer -------------------------------------------------------------
+# Token pattern applied to LOWERCASED text. Frozen; used by the Spark
+# pandas_udf path, the pure-Python oracle, and the DuckDB oracle SQL
+# (regexp_extract_all with the same pattern).
+TOKEN_PATTERN = r"[a-z0-9]+"
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    k1: float = 1.2
+    b: float = 0.75
+    # 'lucene': ln(1 + (N-df+0.5)/(df+0.5))  — strictly positive, WAND-safe
+    # 'okapi' : ln((N-df+0.5)/(df+0.5))      — classic; negative for df>N/2
+    idf_variant: str = "lucene"
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Index layout + partitioning knobs (explicit per stage, SURVEY §4)."""
+
+    # postings per block (block-max WAND granularity; P:BMW uses 64-128)
+    block_size: int = 128
+    # number of term-hash buckets == partition dirs of the index
+    # (query-time partition pruning unit)
+    n_buckets: int = 16
+    # shuffle partitions for the term-partitioned pack stage
+    pack_partitions: int = 32
+    # number of doc-range slices the corpus is split into at build time;
+    # each slice builds one segment; merge passes reduce segments per
+    # (bucket) until <= target_segments. Slices are also the query-time
+    # scoring shards (all query-term sublists for a doc range co-locate).
+    n_slices: int = 8
+    # merge fan-in per pass
+    merge_fanin: int = 4
+    # stop merging when each term's postings are in <= this many doc-range
+    # segments. 1 == fully merged single posting list per term.
+    target_segments: int = 1
+    # skew: terms whose estimated df exceeds this fraction of N get salted
+    # across `skew_splits` sub-groups during the pack stage (D8)
+    skew_df_frac: float = 0.10
+    skew_splits: int = 8
+    bm25: BM25Config = field(default_factory=BM25Config)
+
+
+DEFAULT = IndexConfig()

@@ -1,0 +1,72 @@
+"""Pure-Python single-node BM25 reference scorer (SURVEY.md §5.1).
+
+~100 lines of collections.Counter + math.log — obviously correct by
+inspection; no Spark, no numpy. Stands in for the unrecoverable reference
+engine: its output on the frozen corpus x frozen query set IS the
+rank-identity target the Spark engine must match exactly
+(doc_id sequences equal; scores |delta| <= 1e-9).
+
+Summation order: per-doc score accumulates query terms in ascending term
+order — the Spark scorer uses the identical order so float64 sums agree
+bit-for-bit up to association noise within 1e-9.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from .analyzer import tokenize_py
+from .config import BM25Config
+
+
+class OracleIndex:
+    def __init__(self, docs: list[tuple[int, str]], cfg: BM25Config | None = None):
+        """docs: (doc_id, text) with doc_id dense in stable corpus order."""
+        self.cfg = cfg or BM25Config()
+        self.postings: dict[str, list[tuple[int, int]]] = {}
+        self.dl: dict[int, int] = {}
+        for doc_id, text in docs:
+            toks = tokenize_py(text)
+            self.dl[doc_id] = len(toks)
+            for term, tf in sorted(Counter(toks).items()):
+                self.postings.setdefault(term, []).append((doc_id, tf))
+        self.n_docs = len(docs)
+        self.avgdl = (sum(self.dl.values()) / self.n_docs) if self.n_docs else 0.0
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, ()))
+        if df == 0:
+            return 0.0
+        x = (self.n_docs - df + 0.5) / (df + 0.5)
+        if self.cfg.idf_variant == "lucene":
+            return math.log(1.0 + x)
+        return math.log(x)  # classic okapi
+
+    def search(self, query: str, k: int = 10, mode: str = "OR") -> list[tuple[int, float]]:
+        """Exact BM25 top-k; ties broken by ascending doc_id.
+
+        mode=OR: disjunctive. mode=AND: only docs containing ALL distinct
+        query terms (conjunctive posting-list intersection). Query-term
+        weight = qtf (repeated query terms count multiply).
+        """
+        qtf = Counter(t for t in tokenize_py(query))
+        terms = sorted(qtf)  # ascending term order == frozen summation order
+        known = [t for t in terms if t in self.postings]
+        if mode.upper() == "AND" and len(known) < len(terms):
+            return []  # a required term is absent from the corpus
+        scores: dict[int, float] = {}
+        seen_count: dict[int, int] = {}
+        k1, b = self.cfg.k1, self.cfg.b
+        for term in known:
+            w_idf = self.idf(term)
+            for doc_id, tf in self.postings[term]:
+                denom = tf + k1 * (1.0 - b + b * self.dl[doc_id] / self.avgdl)
+                s = qtf[term] * w_idf * (tf * (k1 + 1.0)) / denom
+                scores[doc_id] = scores.get(doc_id, 0.0) + s
+                seen_count[doc_id] = seen_count.get(doc_id, 0) + 1
+        if mode.upper() == "AND":
+            need = len(known)
+            scores = {d: s for d, s in scores.items() if seen_count[d] == need}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]

@@ -1,0 +1,43 @@
+"""Analyzer golden cases + vectorized/pure-Python parity (SURVEY.md §5.2)."""
+import numpy as np
+import pandas as pd
+
+from engine.analyzer import doc_term_freqs, tokenize_py, tokenize_series
+
+
+GOLDEN = [
+    ("Hello, World!", ["hello", "world"]),
+    ("MiXeD-Case7!", ["mixed", "case7"]),
+    ("", []),
+    ("!!! ... ---", []),
+    ("a  b\tc\nd", ["a", "b", "c", "d"]),
+    ("über café 東京", ["ber", "caf"]),  # non-ascii split (frozen [a-z0-9]+)
+    ("x1y2z3", ["x1y2z3"]),
+    ("hot0 hot0 hot0", ["hot0", "hot0", "hot0"]),
+]
+
+
+def test_tokenize_py_golden():
+    for text, want in GOLDEN:
+        assert tokenize_py(text) == want, text
+
+
+def test_series_matches_py():
+    texts = pd.Series([t for t, _ in GOLDEN] + [None])
+    got = tokenize_series(texts)
+    for i, (_, want) in enumerate(GOLDEN):
+        assert list(got.iloc[i]) == want
+    assert list(got.iloc[-1]) == []  # null text -> no tokens
+
+
+def test_doc_term_freqs():
+    texts = pd.Series(["a b a c a", "", "b B b", None])
+    rows, terms, tfs, dl = doc_term_freqs(texts)
+    np.testing.assert_array_equal(dl, [5, 0, 3, 0])
+    got = {(int(r), t): int(f) for r, t, f in zip(rows, terms, tfs)}
+    assert got == {(0, "a"): 3, (0, "b"): 1, (0, "c"): 1, (2, "b"): 3}
+
+
+def test_doc_term_freqs_empty_batch():
+    rows, terms, tfs, dl = doc_term_freqs(pd.Series([], dtype=object))
+    assert len(rows) == 0 and len(dl) == 0
