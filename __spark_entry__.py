@@ -3,36 +3,296 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Queries exercise the engine's operators (SURVEY.md §2) over the driver's
+``documents`` / ``embeddings`` tables; the full packed-index/WAND paths are
+additionally tested in ``tests/`` against the pure-Python oracle on the
+synthetic transcript corpus.
+
+Conventions for oracle parity:
+* every computed column aliased identically on both sides;
+* float columns rounded to 6dp on both sides;
+* every top-k has a TOTAL order (ties broken by id columns) even though the
+  driver compare is order-insensitive — keeps the k-boundary deterministic.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from engine.analyzer import tokenize_expr  # noqa: E402
+from engine.config import DEFAULT  # noqa: E402
+
+_K1, _B = DEFAULT.bm25.k1, DEFAULT.bm25.b
+_TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _corpus_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapt the driver's documents table to the engine's contractual
+    transcript shape (conv_id, turn_idx, role, text, tool, ts). conv_id is
+    zero-padded doc_id so the stable (conv_id, turn_idx) order == doc_id
+    order -> engine-assigned dense doc_ids equal the table's doc_ids."""
+    return docs.select(
+        F.format_string("conv-%012d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# entry: flagship query (smoke at sf0.001)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Build the engine's index over the sf0.001 documents corpus and run
+    the flagship BM25 top-10 search, materialized back to text."""
+    from engine.build import build_flat_index
+    from engine import query as Q
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    idx = build_flat_index(spark, _corpus_from_documents(docs))
+    top = Q.search_flat(idx, "spark join fast", k=10, mode="OR")
+    return Q.materialize(idx, top)
 
+
+# --------------------------------------------------------------------------
+# engine-path BM25 over documents (runs the REAL index build + query)
+# --------------------------------------------------------------------------
+
+def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str) -> DataFrame:
+    from engine.build import build_flat_index
+    from engine import query as Q
+    idx = build_flat_index(spark, _corpus_from_documents(_docs(spark, sf_dir)))
+    top = Q.search_flat(idx, query, k=10, mode=mode)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_sql(query_terms: list[str], mode: str, k: int = 10) -> str:
+    """DuckDB BM25 (identical frozen constants/idf) over documents."""
+    from collections import Counter
+    qtf = Counter(query_terms)
+    terms_in = ", ".join(f"'{t}'" for t in sorted(qtf))
+    qtf_rows = ", ".join(f"('{t}', {n}::DOUBLE)" for t, n in sorted(qtf.items()))
+    n_distinct = len(qtf)
+    and_filter = f"HAVING count(*) = {n_distinct}" if mode == "AND" else ""
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+q(term, qtf) AS (VALUES {qtf_rows}),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN dfreq USING (term) JOIN q USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id {and_filter}
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def doclen(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.size(tokenize_expr(F.col("text"))).cast("long").alias("dl"))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def term_stats(spark, sf):
+        toks = _docs(spark, sf).select(
+            "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
+        return (toks.groupBy("term")
+                .agg(F.countDistinct("doc_id").alias("df"),
+                     F.count("*").alias("cf")))
+
+    def corpus_stats(spark, sf):
+        dl = doclen(spark, sf)
+        return dl.agg(F.count("*").alias("n_docs"),
+                      F.round(F.avg("dl"), 6).alias("avgdl"),
+                      F.sum("dl").alias("n_tokens"))
+
+    def lexicon_idf(spark, sf):
+        docs = _docs(spark, sf)
+        n = docs.count()
+        toks = docs.select("doc_id",
+                           F.explode(tokenize_expr(F.col("text"))).alias("term"))
+        df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        return df_.select("term", "df", F.round(idf, 6).alias("idf"))
+
+    def tf_topk(spark, sf):
+        toks = _docs(spark, sf).select(
+            "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        return tf.orderBy(F.desc("tf"), F.asc("doc_id"), F.asc("term")).limit(20)
+
+    def intersect_and(spark, sf):
+        toks = _docs(spark, sf).select(
+            "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
+        a = toks.filter(F.col("term") == "hash").select("doc_id").distinct()
+        b = toks.filter(F.col("term") == "vector").select("doc_id").distinct()
+        c = toks.filter(F.col("term") == "window").select("doc_id").distinct()
+        return a.join(b, "doc_id", "left_semi").join(c, "doc_id", "left_semi")
+
+    def bm25_or(spark, sf):
+        return _bm25_engine(spark, sf, "spark join fast", "OR")
+
+    def bm25_and(spark, sf):
+        return _bm25_engine(spark, sf, "hash join merge", "AND")
+
+    def bm25_qtf(spark, sf):
+        return _bm25_engine(spark, sf, "spark spark vector", "OR")
+
+    def fingerprint(spark, sf):
+        # document fingerprint: md5 over the NORMALIZED token stream
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.md5(F.array_join(tokenize_expr(F.col("text")), " ")).alias("fp"))
+
+    def dedup_exact(spark, sf):
+        # exact dedup on normalized fingerprint: representative + group size
+        fp = fingerprint(spark, sf)
+        return (fp.groupBy("fp").agg(F.min("doc_id").alias("rep_doc_id"),
+                                     F.count("*").alias("n_dups")))
+
+    def quality_score(spark, sf):
+        d = _docs(spark, sf)
+        toks = tokenize_expr(F.col("text"))
+        n_tok = F.size(toks)
+        stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+        ratio = stop.cast("double") / F.greatest(n_tok, F.lit(1))
+        return d.select("doc_id", n_tok.cast("long").alias("n_tokens"),
+                        F.round(ratio, 6).alias("stop_ratio"),
+                        F.round(F.lit(1.0) - ratio, 6).alias("quality"))
+
+    def ann_cosine(spark, sf):
+        e = _emb(spark, sf)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), qlit,
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        nrm = F.sqrt(F.aggregate(
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x))
+        qn = float(sum(float(x) * float(x) for x in qv)) ** 0.5
+        cos = dot / (nrm * F.lit(qn))
+        return (e.filter(F.col("vec_id") != 0)
+                .select("vec_id", F.round(cos, 6).alias("cos"))
+                .orderBy(F.desc("cos"), F.asc("vec_id")).limit(10))
+
+    return {
+        "doclen": doclen,
+        "term_stats": term_stats,
+        "corpus_stats": corpus_stats,
+        "lexicon_idf": lexicon_idf,
+        "tf_topk": tf_topk,
+        "intersect_and": intersect_and,
+        "bm25_or": bm25_or,
+        "bm25_and": bm25_and,
+        "bm25_qtf": bm25_qtf,
+        "fingerprint": fingerprint,
+        "dedup_exact": dedup_exact,
+        "quality_score": quality_score,
+        "ann_cosine": ann_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks_cte = f"SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents"
+    return {
+        "doclen": f"SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents",
+        "term_stats": f"""
+            SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+            FROM ({toks_cte}) GROUP BY term""",
+        "corpus_stats": f"""
+            WITH dl AS (SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents)
+            SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl,
+                   sum(dl) AS n_tokens FROM dl""",
+        "lexicon_idf": f"""
+            WITH d AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                       FROM ({toks_cte}) GROUP BY term),
+                 s AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT term, df::BIGINT AS df,
+                   round(ln(1.0 + (s.n - df + 0.5) / (df + 0.5)), 6) AS idf
+            FROM d CROSS JOIN s""",
+        "tf_topk": f"""
+            SELECT doc_id, term, count(*) AS tf FROM ({toks_cte})
+            GROUP BY doc_id, term
+            ORDER BY tf DESC, doc_id ASC, term ASC LIMIT 20""",
+        "intersect_and": f"""
+            WITH t AS ({toks_cte})
+            SELECT DISTINCT doc_id FROM t WHERE term = 'hash'
+            AND doc_id IN (SELECT doc_id FROM t WHERE term = 'vector')
+            AND doc_id IN (SELECT doc_id FROM t WHERE term = 'window')""",
+        "bm25_or": _bm25_sql(["spark", "join", "fast"], "OR"),
+        "bm25_and": _bm25_sql(["hash", "join", "merge"], "AND"),
+        "bm25_qtf": _bm25_sql(["spark", "spark", "vector"], "OR"),
+        "fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string({_TOK_SQL}, ' ')) AS fp
+            FROM documents""",
+        "dedup_exact": f"""
+            WITH fp AS (SELECT doc_id,
+                        md5(array_to_string({_TOK_SQL}, ' ')) AS fp
+                        FROM documents)
+            SELECT fp, min(doc_id) AS rep_doc_id, count(*) AS n_dups
+            FROM fp GROUP BY fp""",
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOK_SQL} AS toks, text FROM documents
+            )
+            SELECT doc_id, len(toks) AS n_tokens,
+                   round(len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE
+                         / greatest(len(toks), 1), 6) AS stop_ratio,
+                   round(1.0 - len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE
+                         / greatest(len(toks), 1), 6) AS quality
+            FROM t""",
+        "ann_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cos
+            FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    }
