@@ -1,0 +1,98 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Two workloads:
+1. **Driver tables** (``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1):
+   headline engine queries over the ``documents`` corpus — full packed-index
+   build + BM25/WAND searches + the training-data ops.
+2. **Transcript corpus** (FIXTURES.md, deterministic seed=42): index build
+   throughput (turns/sec) + frozen-query-set latency p50 — the
+   BASELINE.json metrics. Size via $SPARK_GRAFT_BENCH_CONVS (default 20000
+   convs ~ 130k turns; BASELINE protocol uses 150000).
+
+Scaling protocol (N vs 4N): run this script twice with
+``SPARK_GRAFT_CPUS=8`` and ``=32``; see bench/run_scaling.py which does
+both and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def tdur(fn, *a, **kw):
+    t0 = time.perf_counter()
+    out = fn(*a, **kw)
+    return time.perf_counter() - t0, out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from engine.session import get_spark
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, int(cpus)))
+    import __spark_entry__ as entry
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.fixtures import QUERY_SET, spark_transcripts
+
+    queries: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        # ---- workload 1: driver-table queries (documents corpus) ----
+        qs = entry.queries()
+        for name in ["term_stats", "bm25_or", "bm25_and", "intersect_and",
+                     "dedup_exact", "quality_score", "ann_cosine"]:
+            dt, _ = tdur(lambda: qs[name](spark, sf_dir).collect())
+            queries[name] = round(dt, 4)
+
+        # ---- workload 2: transcript corpus build + query set ----
+        corpus = spark_transcripts(spark, n_convs=n_convs,
+                                   n_parts=max(8, int(cpus)))
+        corpus = corpus.persist()
+        n_turns = corpus.count()
+        t_build, idx = tdur(build_index, spark, corpus, f"{work}/transcripts")
+        queries["index_build"] = round(t_build, 4)
+        queries["build_turns_per_sec"] = round(n_turns / t_build, 1)
+
+        lat = []
+        for q in QUERY_SET:
+            dt, _ = tdur(lambda: Q.search(idx, q["query"], k=10,
+                                          mode=q["mode"]).collect())
+            lat.append(dt)
+            queries[f'search_{q["id"]}'] = round(dt, 4)
+        lat.sort()
+        p50 = lat[len(lat) // 2]
+        queries["query_p50"] = round(p50, 4)
+
+        total = sum(v for k, v in queries.items()
+                    if k not in ("build_turns_per_sec",))
+        print(json.dumps({
+            "metric": "engine_bench_total",
+            "value": round(total, 4),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "n_turns": n_turns,
+            "cpus": int(cpus),
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,11 @@ def idf_col(df_col, n_docs: int, variant: str):
     return F.log(F.lit(1.0) + x) if variant == "lucene" else F.log(x)
 
 
+def corpus_stats(docmap: DataFrame) -> tuple[int, float]:
+    n_docs, sum_dl = docmap.agg(F.count("*"), F.sum("dl")).first()
+    return int(n_docs), (float(sum_dl or 0) / n_docs if n_docs else 0.0)
+
+
 def build_flat_index(spark: SparkSession, corpus: DataFrame,
                      cfg: IndexConfig = DEFAULT,
                      n_parts: int | None = None) -> FlatIndex:
@@ -103,8 +108,7 @@ def build_flat_index(spark: SparkSession, corpus: DataFrame,
         "doc_id", "term", "tf", "dl")
     docmap = tokenized.filter(F.col("term").isNull()).select(
         "doc_id", "conv_id", "turn_idx", "dl")
-    n_docs, sum_dl = docmap.agg(F.count("*"), F.sum("dl")).first()
-    avgdl = (sum_dl or 0) / n_docs if n_docs else 0.0
+    n_docs, avgdl = corpus_stats(docmap)
     lexicon = (postings.groupBy("term")
                .agg(F.count("*").alias("df"),
                     F.sum("tf").alias("cf"),
@@ -113,3 +117,185 @@ def build_flat_index(spark: SparkSession, corpus: DataFrame,
     return FlatIndex(docs=docs, postings=postings, docmap=docmap,
                      lexicon=lexicon, n_docs=int(n_docs), avgdl=float(avgdl),
                      cfg=cfg)
+
+
+# --------------------------------------------------------------------------
+# Packed on-disk index: full build orchestration (M2/M3)
+# --------------------------------------------------------------------------
+
+def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
+                cfg: IndexConfig = DEFAULT, n_parts: int | None = None,
+                resume: bool = True) -> "PackedIndex":
+    """Full pipeline: corpus -> docIDs -> tokenize -> pack (fine slices) ->
+    merge passes -> lexicon/docmap/corpus/manifest on disk. Resumable: each
+    pass checkpoints the manifest; completed passes are skipped on rerun
+    (SURVEY.md D5/A5).
+    """
+    import os
+    import time
+
+    from . import merge as merge_mod
+    from . import pack as pack_mod
+    from .manifest import Manifest, Segment, StageTimer, _success_marker
+
+    t_start = time.perf_counter()
+    timer = StageTimer()
+    man = Manifest.load(index_dir) if resume else None
+    if man is not None and man.completed:
+        return load_index(spark, index_dir)
+    fine_slices = cfg.n_slices * cfg.merge_fanin ** cfg.merge_passes
+
+    corpus_path = os.path.join(index_dir, "corpus")
+    docmap_path = os.path.join(index_dir, "docmap")
+    base_done = (man is not None and man.n_docs > 0
+                 and _success_marker(corpus_path) and _success_marker(docmap_path))
+    if base_done:
+        # resume: corpus+docmap+stats already on disk
+        n_docs, avgdl = man.n_docs, man.avgdl
+        docs = spark.read.parquet(corpus_path)
+        tokenized = None
+    else:
+        man = Manifest(n_buckets=cfg.n_buckets, n_slices=cfg.n_slices,
+                       block_size=cfg.block_size,
+                       bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
+                             "idf_variant": cfg.bm25.idf_variant})
+        with timer.time("docids"):
+            docs = assign_doc_ids(corpus, n_parts=n_parts)
+            docs.persist(StorageLevel.MEMORY_AND_DISK)
+        with timer.time("tokenize"):
+            tokenized = tokenize_corpus(docs).persist(StorageLevel.MEMORY_AND_DISK)
+            docmap = tokenized.filter(F.col("term").isNull()).select(
+                "doc_id", "conv_id", "turn_idx", "dl")
+            n_docs, avgdl = corpus_stats(docmap)
+        with timer.time("write_corpus_docmap"):
+            docs.write.mode("overwrite").parquet(corpus_path)
+            docmap.write.mode("overwrite").parquet(docmap_path)
+        man.n_docs, man.avgdl = n_docs, avgdl
+        man.shard_width = pack_mod.shard_width(n_docs, cfg.n_slices)
+        man.save(index_dir)
+
+    w_fine = pack_mod.shard_width(n_docs, fine_slices)
+    man.shard_width = w_fine * cfg.merge_fanin ** cfg.merge_passes
+
+    # ---- pass 0: pack at fine-slice grain ----
+    seg0_id = "seg_p0"
+    seg0_path = os.path.join(index_dir, "segments", seg0_id)
+    if man.segment(seg0_id) is None:
+        man.segments.append(Segment(seg0_id, 0, seg0_path))
+        man.save(index_dir)
+    seg = man.segment(seg0_id)
+    if not (seg.status == "complete" and _success_marker(seg0_path)):
+        if tokenized is None:
+            # resume path: re-derive flat postings from the persisted corpus
+            tokenized = tokenize_corpus(docs)
+        postings = tokenized.filter(F.col("term").isNotNull()).select(
+            "doc_id", "term", "tf")
+        t0 = time.perf_counter()
+        with timer.time("pack"):
+            fine_cfg_width = w_fine
+            packed = pack_mod.pack_postings_width(postings, fine_cfg_width, cfg)
+            pack_mod.with_bucket(packed, cfg).write.mode("overwrite") \
+                .partitionBy("bucket").parquet(seg0_path)
+        rows = spark.read.parquet(seg0_path).count()
+        man.mark_complete(seg0_id, rows, time.perf_counter() - t0)
+        man.save(index_dir)
+
+    # ---- merge passes ----
+    prev_path = seg0_path
+    for p in range(1, cfg.merge_passes + 1):
+        seg_id = f"seg_p{p}"
+        seg_path = os.path.join(index_dir, "segments", seg_id)
+        if man.segment(seg_id) is None:
+            man.segments.append(Segment(seg_id, p, seg_path, src_segments=[f"seg_p{p-1}"]))
+            man.save(index_dir)
+        s = man.segment(seg_id)
+        if not (s.status == "complete" and _success_marker(seg_path)):
+            t0 = time.perf_counter()
+            with timer.time(f"merge_pass{p}"):
+                src = spark.read.parquet(prev_path)
+                merged = merge_mod.merge_pass(src, cfg.merge_fanin, cfg)
+                pack_mod.with_bucket(merged, cfg).write.mode("overwrite") \
+                    .partitionBy("bucket").parquet(seg_path)
+            rows = spark.read.parquet(seg_path).count()
+            man.mark_complete(seg_id, rows, time.perf_counter() - t0)
+            man.save(index_dir)
+        prev_path = seg_path
+    man.final_segment = f"seg_p{cfg.merge_passes}"
+
+    # ---- lexicon from the final segment ----
+    lex_path = os.path.join(index_dir, "lexicon")
+    if not _success_marker(lex_path):
+        with timer.time("lexicon"):
+            final = spark.read.parquet(prev_path)
+            lex = (final.groupBy("term", "bucket")
+                   .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+                        F.max("max_tf").alias("max_tf"))
+                   .withColumn("idf", idf_col(F.col("df"), n_docs,
+                                              cfg.bm25.idf_variant)))
+            lex.write.mode("overwrite").parquet(lex_path)
+
+    total_wall = time.perf_counter() - t_start
+    man.metrics = {
+        "stage_wall_s": timer.stages,
+        "total_wall_s": total_wall,
+        "turns_per_sec": n_docs / total_wall if total_wall > 0 else 0.0,
+        "n_docs": n_docs,
+    }
+    man.completed = True
+    man.save(index_dir)
+    if tokenized is not None:
+        tokenized.unpersist()
+    return load_index(spark, index_dir)
+
+
+@dataclass
+class PackedIndex:
+    """Handle over an on-disk packed index."""
+    spark: SparkSession
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    shard_width: int
+    n_buckets: int
+    cfg: IndexConfig
+
+    @property
+    def postings_path(self) -> str:
+        import os
+        from .manifest import Manifest
+        man = Manifest.load(self.index_dir)
+        return os.path.join(self.index_dir, "segments", man.final_segment)
+
+    def corpus(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/corpus")
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docmap")
+
+    def lexicon(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/lexicon")
+
+    def lookup_terms(self, terms: list[str]) -> dict[str, dict]:
+        """term -> {df, idf, bucket, max_tf} for query terms only
+        (predicate pushdown on term; tiny collect)."""
+        if not terms:
+            return {}
+        rows = self.lexicon().filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: {"df": r["df"], "idf": r["idf"],
+                            "bucket": r["bucket"], "max_tf": r["max_tf"]}
+                for r in rows}
+
+
+def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
+    from .manifest import Manifest
+    man = Manifest.load(index_dir)
+    assert man is not None, f"no manifest at {index_dir}"
+    bm = man.bm25 or {}
+    from .config import BM25Config
+    cfg = IndexConfig(block_size=man.block_size or DEFAULT.block_size,
+                      n_buckets=man.n_buckets or DEFAULT.n_buckets,
+                      n_slices=man.n_slices or DEFAULT.n_slices,
+                      bm25=BM25Config(**bm) if bm else DEFAULT.bm25)
+    return PackedIndex(spark=spark, index_dir=index_dir, n_docs=man.n_docs,
+                       avgdl=man.avgdl, shard_width=man.shard_width,
+                       n_buckets=cfg.n_buckets, cfg=cfg)

@@ -103,6 +103,42 @@ def decode_postings(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.n
     return doc_ids, tfs
 
 
+def decode_many(payloads, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode many VByte payloads in ONE vectorized pass.
+
+    VByte streams are self-delimiting, so concatenating payloads and
+    decoding once yields the concatenated values; ``counts`` (values per
+    payload) gives the CSR bounds to re-split.
+
+    Returns ``(values:uint64[], bounds:int64[G+1])``.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    bounds = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    blob = b"".join(payloads)
+    values = vbyte_decode(blob)
+    assert values.size == bounds[-1], (values.size, bounds[-1])
+    return values, bounds
+
+
+def decode_postings_many(doc_payloads, tf_payloads, counts: np.ndarray):
+    """Decode many posting lists at once (delta-decoded doc_ids via
+    segmented cumsum). Returns ``(doc_ids, tfs, bounds)``."""
+    gaps, bounds = decode_many(doc_payloads, counts)
+    gaps = gaps.astype(np.int64)
+    if gaps.size:
+        total = np.cumsum(gaps)
+        # value of running total just before each segment start
+        base = np.zeros(counts.size, dtype=np.int64)
+        nz = bounds[:-1] > 0
+        base[nz] = total[bounds[:-1][nz] - 1]
+        doc_ids = total - np.repeat(base, np.diff(bounds))
+    else:
+        doc_ids = gaps
+    tfs, tb = decode_many(tf_payloads, counts)
+    return doc_ids, tfs.astype(np.int64), bounds
+
+
 def block_meta(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int) -> list[dict]:
     """Per-block skip metadata: (last_doc_id, max_tf, off, n)."""
     n = int(doc_ids.size)
@@ -127,14 +163,20 @@ def block_meta(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int) -> list[di
 # in one call, then sliced per term via byte-offset cumsums.
 # --------------------------------------------------------------------------
 
-def encode_many(term_starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray):
+def encode_many(term_starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
+                block_size: int | None = None):
     """Encode postings for many terms at once.
 
     Parameters
     ----------
     term_starts : int64[G+1] — postings index boundaries per term (CSR style);
         term g owns doc_ids[term_starts[g]:term_starts[g+1]] (sorted asc).
-    Returns ``(doc_payloads, tf_payloads)`` — two lists of ``bytes`` length G.
+    Returns ``(doc_payloads, tf_payloads)`` — two lists of ``bytes`` length G —
+    plus, when ``block_size`` is given, a third element: per-term block
+    metadata ``list[list[dict]]`` where each block dict carries
+    (last_doc_id, max_tf, off, n, dbyte, tbyte) — ``dbyte``/``tbyte`` are
+    BYTE offsets of the block within the term's payloads, making every
+    block independently decodable (WAND skip-decode, SURVEY.md D3/E5).
     """
     d = np.ascontiguousarray(doc_ids, dtype=np.int64)
     gaps = np.empty_like(d)
@@ -154,8 +196,38 @@ def encode_many(term_starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray):
     np.cumsum(tn, out=tcum[1:])
     dbytes = db.tobytes()
     tbytes = tb.tobytes()
+    g_count = term_starts.size - 1
     doc_payloads = [dbytes[dcum[term_starts[g]]:dcum[term_starts[g + 1]]]
-                    for g in range(term_starts.size - 1)]
+                    for g in range(g_count)]
     tf_payloads = [tbytes[tcum[term_starts[g]]:tcum[term_starts[g + 1]]]
-                   for g in range(term_starts.size - 1)]
-    return doc_payloads, tf_payloads
+                   for g in range(g_count)]
+    if block_size is None:
+        return doc_payloads, tf_payloads
+    blocks = _block_meta_many(term_starts, d, tfs, dcum, tcum, block_size)
+    return doc_payloads, tf_payloads, blocks
+
+
+def _block_meta_many(term_starts, doc_ids, tfs, dcum, tcum, block_size):
+    """Per-term block metadata with byte offsets, vectorized across all
+    terms: one global pass builds every block's boundaries."""
+    tfs64 = np.ascontiguousarray(tfs, dtype=np.int64)
+    out: list[list[dict]] = []
+    for g in range(term_starts.size - 1):
+        s, e = int(term_starts[g]), int(term_starts[g + 1])
+        n = e - s
+        if n == 0:
+            out.append([])
+            continue
+        offs = np.arange(0, n, block_size, dtype=np.int64)
+        ends = np.minimum(offs + block_size, n)
+        maxtf = np.maximum.reduceat(tfs64[s:e], offs)
+        base_d, base_t = dcum[s], tcum[s]
+        out.append([
+            {"last_doc_id": int(doc_ids[s + ends[i] - 1]),
+             "max_tf": int(maxtf[i]),
+             "off": int(offs[i]), "n": int(ends[i] - offs[i]),
+             "dbyte": int(dcum[s + offs[i]] - base_d),
+             "tbyte": int(tcum[s + offs[i]] - base_t)}
+            for i in range(offs.size)
+        ])
+    return out

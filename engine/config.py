@@ -59,9 +59,11 @@ class IndexConfig:
     n_slices: int = 8
     # merge fan-in per pass
     merge_fanin: int = 4
-    # stop merging when each term's postings are in <= this many doc-range
-    # segments. 1 == fully merged single posting list per term.
-    target_segments: int = 1
+    # number of merge passes: the pack stage slices the corpus into
+    # n_slices * merge_fanin^merge_passes fine doc-range slices (the
+    # reference's memory-bounded runs); each pass coarsens by merge_fanin
+    # until n_slices scoring shards remain, each (term, shard) one row.
+    merge_passes: int = 2
     # skew: terms whose estimated df exceeds this fraction of N get salted
     # across `skew_splits` sub-groups during the pack stage (D8)
     skew_df_frac: float = 0.10

@@ -1,0 +1,138 @@
+"""Packed posting-list segments (SURVEY.md D1-D4): term-partitioned
+aggregation -> delta+VByte binary payloads + block-max metadata.
+
+Layout decisions (scale rationale):
+
+* **Doc-range shards are the salt.** Posting rows carry
+  ``shard = doc_id // shard_width``. The pack shuffle partitions by
+  ``(term, shard)``, so a Zipf-head term (hot0 lives in ~97% of fixture
+  docs) is split across ``n_slices`` executors instead of landing on one —
+  this IS the D8 skew treatment, and because shards are doc-range disjoint
+  and ordered, the salted sub-lists are exact sorted runs of the full list
+  (merge = concatenation, no re-sort).
+* **Shards are also the query-time scoring unit.** All query terms' sublists
+  for one doc range co-locate in one group -> DAAT/WAND scoring per shard
+  with a dense-offset score accumulator; per-shard top-k means <= k rows
+  leave Python per shard.
+* **Buckets are the storage partition.** ``bucket = xxhash64(term) % B`` is
+  the parquet ``partitionBy`` column -> query-time partition pruning reads
+  only the buckets containing query terms.
+* The heavy sort runs JVM-side (``sortWithinPartitions`` - Tungsten,
+  spillable); Python only detects run boundaries and VByte-encodes, fully
+  vectorized (codec.encode_many).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from . import codec
+from .config import DEFAULT, IndexConfig
+
+BLOCK_T = T.ArrayType(T.StructType([
+    T.StructField("last_doc_id", T.LongType(), False),
+    T.StructField("max_tf", T.IntegerType(), False),
+    T.StructField("off", T.IntegerType(), False),
+    T.StructField("n", T.IntegerType(), False),
+    T.StructField("dbyte", T.IntegerType(), False),
+    T.StructField("tbyte", T.IntegerType(), False),
+]))
+
+PACKED_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("cf", T.LongType(), False),
+    T.StructField("max_tf", T.IntegerType(), False),
+    T.StructField("doc_ids", T.BinaryType(), False),
+    T.StructField("tfs", T.BinaryType(), False),
+    T.StructField("blocks", BLOCK_T, False),
+])
+
+_ARROW_BLOCKS = pa.list_(pa.struct([
+    ("last_doc_id", pa.int64()), ("max_tf", pa.int32()),
+    ("off", pa.int32()), ("n", pa.int32()),
+    ("dbyte", pa.int32()), ("tbyte", pa.int32())]))
+
+
+def shard_width(n_docs: int, n_slices: int) -> int:
+    return max(1, -(-n_docs // n_slices))  # ceil div
+
+
+def _pack_batches(batches, block_size: int):
+    """Pack one shuffle partition (sorted by term, shard, doc_id) into
+    packed posting rows — one output row per (term, shard) run."""
+    tbl = pa.Table.from_batches(list(batches))
+    if tbl.num_rows == 0:
+        return
+    terms = tbl.column("term").to_pandas().to_numpy(object)
+    shards = tbl.column("shard").to_numpy(zero_copy_only=False).astype(np.int32)
+    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = terms.size
+    # run boundaries where (term, shard) changes
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+    starts = np.flatnonzero(change)
+    bounds = np.append(starts, n).astype(np.int64)  # CSR, len G+1
+    g = starts.size
+    df_ = (bounds[1:] - bounds[:-1]).astype(np.int64)
+    cf = np.add.reduceat(tfs, starts)
+    max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
+    doc_payloads, tf_payloads, blocks = codec.encode_many(
+        bounds, doc_ids, tfs, block_size)
+    yield pa.RecordBatch.from_arrays([
+        pa.array(terms[starts], pa.string()),
+        pa.array(shards[starts], pa.int32()),
+        pa.array(df_, pa.int64()),
+        pa.array(cf, pa.int64()),
+        pa.array(max_tf, pa.int32()),
+        pa.array(doc_payloads, pa.binary()),
+        pa.array(tf_payloads, pa.binary()),
+        pa.array(blocks, _ARROW_BLOCKS),
+    ], names=[f.name for f in PACKED_SCHEMA.fields])
+
+
+def pack_postings(postings: DataFrame, n_docs: int,
+                  cfg: IndexConfig = DEFAULT) -> DataFrame:
+    """Pack at the final scoring-shard grain (no merge passes)."""
+    return pack_postings_width(postings, shard_width(n_docs, cfg.n_slices), cfg)
+
+
+def pack_postings_width(postings: DataFrame, width: int,
+                        cfg: IndexConfig = DEFAULT) -> DataFrame:
+    """Flat postings IR (doc_id, term, tf[, dl]) -> packed rows with
+    ``shard = doc_id // width``.
+
+    Explicit shuffle: ``repartition(pack_partitions, term, shard)`` —
+    (term, shard) grain bounds any single group by the shard's doc count
+    regardless of term frequency (skew-proof by construction).
+    """
+    with_shard = postings.withColumn(
+        "shard", (F.col("doc_id") / F.lit(int(width))).cast("int"))
+    part = (with_shard
+            .repartition(cfg.pack_partitions, "term", "shard")
+            .sortWithinPartitions("term", "shard", "doc_id")
+            .select("term", "shard", "doc_id", "tf"))
+    return part.mapInArrow(
+        lambda it: _pack_batches(it, cfg.block_size), PACKED_SCHEMA)
+
+
+def with_bucket(packed: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
+    return packed.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(cfg.n_buckets)).cast("int"))
+
+
+def term_buckets(spark, terms: list[str], cfg: IndexConfig = DEFAULT) -> dict[str, int]:
+    """bucket ids for query terms, via the same JVM xxhash64 (one tiny job)."""
+    if not terms:
+        return {}
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = with_bucket(df, cfg).collect()
+    return {r["term"]: r["bucket"] for r in rows}

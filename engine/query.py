@@ -73,6 +73,124 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+# --------------------------------------------------------------------------
+# Packed-index query path (E3/E5/E6/E7): partition-pruned scan -> per-shard
+# DAAT scoring in Arrow UDFs -> global TakeOrderedAndProject
+# --------------------------------------------------------------------------
+
+def _score_shard_exhaustive(post_pdf, dm_pdf, qmeta, cfg, k, mode, width):
+    """Score one doc-range shard: dense-offset accumulators, numpy only.
+
+    Accumulation is per-term in ASCENDING term order — the identical
+    float64 summation order as the pure-Python oracle (rank-identity).
+    Emits at most k rows (per-shard top-k heap analog).
+    """
+    import numpy as np
+    from . import codec as C
+    if len(post_pdf) == 0:
+        return None
+    shard = int(post_pdf["shard"].iloc[0])
+    start = shard * width
+    # dense dl for this shard from the cogrouped docmap rows
+    dl_dense = np.zeros(width, dtype=np.float64)
+    dm_ids = dm_pdf["doc_id"].to_numpy()
+    dl_dense[dm_ids - start] = dm_pdf["dl"].to_numpy()
+    acc = np.zeros(width, dtype=np.float64)
+    cnt = np.zeros(width, dtype=np.int32)
+    k1, b, avgdl = cfg["k1"], cfg["b"], cfg["avgdl"]
+    order = np.argsort(post_pdf["term"].to_numpy(object))  # ascending terms
+    for i in order:
+        term = post_pdf["term"].iloc[int(i)]
+        idf, qtf = qmeta[term]
+        ids, tfs = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
+                                     post_pdf["tfs"].iloc[int(i)])
+        loc = ids - start
+        tfs = tfs.astype(np.float64)
+        contrib = (qtf * idf * (tfs * (k1 + 1.0))
+                   / (tfs + k1 * (1.0 - b + b * dl_dense[loc] / avgdl)))
+        acc[loc] += contrib   # doc_ids unique within one (term, shard) row
+        cnt[loc] += 1
+    if mode == "AND":
+        hit = np.flatnonzero(cnt == len(qmeta))
+    else:
+        hit = np.flatnonzero(cnt > 0)
+    if hit.size == 0:
+        return None
+    scores = acc[hit]
+    if hit.size > k:
+        part = np.argpartition(-scores, k - 1)[:k]
+        hit, scores = hit[part], scores[part]
+    srt = np.lexsort((hit, -scores))  # score desc, doc_id asc
+    import pandas as pd
+    return pd.DataFrame({"doc_id": (hit[srt] + start).astype(np.int64),
+                         "score": scores[srt]})
+
+
+def search(index, query: str, k: int = 10, mode: str = "OR",
+           use_wand: bool = True) -> DataFrame:
+    """BM25 top-k over the packed on-disk index.
+
+    Plan: lexicon lookup (term-pushdown collect) -> postings scan pruned to
+    the query terms' buckets (partition pruning) and terms (predicate
+    pushdown) -> cogroup with docmap by shard -> Arrow-batch scorer emits
+    <= k rows per shard -> orderBy(score desc, doc_id).limit(k)
+    (TakeOrderedAndProject).
+    """
+    from .build import PackedIndex  # noqa: F401 (typing)
+    spark = index.spark
+    mode = mode.upper()
+    qtf = query_terms(query)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not qtf:
+        return empty
+    lex = index.lookup_terms(sorted(qtf))
+    if mode == "AND" and len(lex) < len(qtf):
+        return empty
+    if not lex:
+        return empty
+    buckets = sorted({v["bucket"] for v in lex.values()})
+    terms = sorted(lex)
+    qmeta = {t: (lex[t]["idf"], float(qtf[t])) for t in terms}
+    cols = ["term", "shard", "df", "doc_ids", "tfs"] + (
+        ["blocks", "max_tf"] if use_wand and mode == "OR" else [])
+    post = (spark.read.parquet(index.postings_path)
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .select(*cols))
+    width = index.shard_width
+    dm = (index.docmap()
+          .select("doc_id", "dl")
+          .withColumn("shard", (F.col("doc_id") / F.lit(width)).cast("int")))
+    cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b, "avgdl": index.avgdl}
+
+    if use_wand and mode == "OR":
+        from .wand import score_shard_wand as scorer_fn
+
+        def fn(key, post_pdf, dm_pdf):
+            import pandas as pd
+            r = scorer_fn(post_pdf, dm_pdf, qmeta, cfgd, k, width)
+            return r if r is not None else pd.DataFrame(
+                {"doc_id": [], "score": []})
+    else:
+        def fn(key, post_pdf, dm_pdf):
+            import pandas as pd
+            r = _score_shard_exhaustive(post_pdf, dm_pdf, qmeta, cfgd, k,
+                                        mode, width)
+            return r if r is not None else pd.DataFrame(
+                {"doc_id": [], "score": []})
+
+    scored = (post.groupBy("shard")
+              .cogroup(dm.groupBy("shard"))
+              .applyInPandas(fn, "doc_id long, score double"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def materialize_packed(index, topk: DataFrame) -> DataFrame:
+    """E8 for the packed index: join top-k back to the stored corpus."""
+    return (index.corpus().join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "conv_id", "turn_idx", "text", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 def materialize(idx: FlatIndex, topk: DataFrame) -> DataFrame:
     """E8: top-k (doc_id, score) -> (doc_id, conv_id, turn_idx, text, score).
 

@@ -1,0 +1,106 @@
+"""M2-M4: packed index build + merge passes + packed/WAND query paths.
+
+Rank-identity of the packed engine (exhaustive AND wand scorers) vs the
+pure-Python oracle; codec round-trip through the real index; resume from
+checkpoint (SURVEY.md §5.3/5.5)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from engine import codec
+from engine import query as Q
+from engine.fixtures import QUERY_SET
+
+
+@pytest.fixture(scope="session")
+def packed_index(spark, corpus_df, tmp_path_factory):
+    from engine.build import build_index
+    d = str(tmp_path_factory.mktemp("idx") / "packed")
+    return build_index(spark, corpus_df, d)
+
+
+def _oracle_want(oracle_idx, q):
+    return oracle_idx.search(q["query"], k=10, mode=q["mode"])
+
+
+@pytest.mark.parametrize("q", QUERY_SET, ids=[q["id"] for q in QUERY_SET])
+def test_packed_exhaustive_rank_identity(packed_index, oracle_idx, q):
+    got = Q.search(packed_index, q["query"], k=10, mode=q["mode"],
+                   use_wand=False).collect()
+    want = _oracle_want(oracle_idx, q)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want], q["id"]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) <= 1e-9, q["id"]
+
+
+@pytest.mark.parametrize("q", QUERY_SET, ids=[q["id"] for q in QUERY_SET])
+def test_packed_wand_rank_identity(packed_index, oracle_idx, q):
+    got = Q.search(packed_index, q["query"], k=10, mode=q["mode"],
+                   use_wand=True).collect()
+    want = _oracle_want(oracle_idx, q)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want], q["id"]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) <= 1e-9, q["id"]
+
+
+def test_index_invariants(spark, packed_index, oracle_idx):
+    """Decoded postings strictly increasing; df == len; blocks partition the
+    list; lexicon df/cf match the oracle (FIXTURES.md §4)."""
+    rows = spark.read.parquet(packed_index.postings_path).collect()
+    seen = {}
+    for r in rows:
+        ids, tfs = codec.decode_postings(bytes(r["doc_ids"]), bytes(r["tfs"]))
+        assert ids.size == r["df"]
+        assert (np.diff(ids) > 0).all(), r["term"]
+        assert sum(b["n"] for b in r["blocks"]) == r["df"]
+        lasts = [b["last_doc_id"] for b in r["blocks"]]
+        assert lasts == sorted(lasts)
+        assert lasts[-1] == ids[-1]
+        assert int(tfs.max()) == r["max_tf"]
+        seen.setdefault(r["term"], []).append((ids, tfs))
+    # merged: exactly one row per (term, shard); union matches oracle lists
+    for term, parts in seen.items():
+        all_ids = np.concatenate([p[0] for p in parts])
+        all_tfs = np.concatenate([p[1] for p in parts])
+        o = np.argsort(all_ids)
+        want = oracle_idx.postings[term]
+        assert all_ids[o].tolist() == [d for d, _ in want], term
+        assert all_tfs[o].tolist() == [tf for _, tf in want], term
+
+
+def test_manifest_and_resume(spark, corpus_df, tmp_path):
+    """Delete the final merge pass output; rerun -> earlier passes skipped
+    (lineage intact), final index identical (SURVEY.md §5.5)."""
+    from engine.build import build_index
+    from engine.manifest import Manifest
+    d = str(tmp_path / "idx2")
+    idx = build_index(spark, corpus_df, d)
+    man = Manifest.load(d)
+    assert man.completed and man.final_segment == "seg_p2"
+    assert [s.segment_id for s in man.segments] == ["seg_p0", "seg_p1", "seg_p2"]
+    assert man.segments[2].src_segments == ["seg_p1"]
+    assert man.metrics["turns_per_sec"] > 0
+    before = {(r["term"], r["shard"]): (bytes(r["doc_ids"]), bytes(r["tfs"]))
+              for r in spark.read.parquet(idx.postings_path).collect()}
+    # simulate a crash after pass 1: drop pass-2 output + mark pending
+    shutil.rmtree(f"{d}/segments/seg_p2")
+    man.segments[2].status = "pending"
+    man.completed = False
+    man.save(d)
+    p0_mtime = __import__("os").path.getmtime(f"{d}/segments/seg_p0/_SUCCESS")
+    idx2 = build_index(spark, corpus_df, d)  # resume
+    assert __import__("os").path.getmtime(
+        f"{d}/segments/seg_p0/_SUCCESS") == p0_mtime  # pass 0 NOT recomputed
+    after = {(r["term"], r["shard"]): (bytes(r["doc_ids"]), bytes(r["tfs"]))
+             for r in spark.read.parquet(idx2.postings_path).collect()}
+    assert before == after  # byte-identical index
+
+
+def test_packed_text_roundtrip(packed_index, corpus_pdf):
+    top = Q.search(packed_index, "hot1 rare5", k=10, mode="OR")
+    rows = Q.materialize_packed(packed_index, top).collect()
+    assert rows
+    for r in rows:
+        assert r["text"] == corpus_pdf.text.iloc[r["doc_id"]]
