@@ -189,7 +189,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             # resume path: re-derive flat postings from the persisted corpus
             tokenized = tokenize_corpus(docs)
         postings = tokenized.filter(F.col("term").isNotNull()).select(
-            "doc_id", "term", "tf")
+            "doc_id", "term", "tf", "dl")
         t0 = time.perf_counter()
         with timer.time("pack"):
             fine_cfg_width = w_fine
@@ -266,6 +266,14 @@ class PackedIndex:
         man = Manifest.load(self.index_dir)
         return os.path.join(self.index_dir, "segments", man.final_segment)
 
+    # DataFrame handles are cached so repeated queries reuse the resolved
+    # file listing + schema (cuts per-query planning latency); filters are
+    # still pushed down per query.
+    def postings(self) -> DataFrame:
+        if getattr(self, "_post_df", None) is None:
+            self._post_df = self.spark.read.parquet(self.postings_path)
+        return self._post_df
+
     def corpus(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/corpus")
 
@@ -273,17 +281,29 @@ class PackedIndex:
         return self.spark.read.parquet(f"{self.index_dir}/docmap")
 
     def lexicon(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/lexicon")
+        if getattr(self, "_lex_df", None) is None:
+            self._lex_df = self.spark.read.parquet(f"{self.index_dir}/lexicon")
+        return self._lex_df
 
     def lookup_terms(self, terms: list[str]) -> dict[str, dict]:
         """term -> {df, idf, bucket, max_tf} for query terms only
-        (predicate pushdown on term; tiny collect)."""
+        (predicate pushdown on term; tiny collect). Results are memoized
+        driver-side — query vocab is tiny vs the lexicon, so repeated
+        terms skip the lookup job entirely (absent terms memoized too)."""
         if not terms:
             return {}
-        rows = self.lexicon().filter(F.col("term").isin(list(terms))).collect()
-        return {r["term"]: {"df": r["df"], "idf": r["idf"],
-                            "bucket": r["bucket"], "max_tf": r["max_tf"]}
-                for r in rows}
+        cache = getattr(self, "_term_cache", None)
+        if cache is None:
+            cache = self._term_cache = {}
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            rows = self.lexicon().filter(F.col("term").isin(missing)).collect()
+            for r in rows:
+                cache[r["term"]] = {"df": r["df"], "idf": r["idf"],
+                                    "bucket": r["bucket"], "max_tf": r["max_tf"]}
+            for t in missing:
+                cache.setdefault(t, None)  # absent from corpus
+        return {t: cache[t] for t in terms if cache.get(t) is not None}
 
 
 def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:

@@ -207,7 +207,44 @@ def encode_many(term_starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
     return doc_payloads, tf_payloads, blocks
 
 
-def _block_meta_many(term_starts, doc_ids, tfs, dcum, tcum, block_size):
+def pack_lists(term_starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
+               dls: np.ndarray, block_size: int):
+    """Full posting-row encoder: doc_ids (delta+VByte), tfs (VByte),
+    per-posting document lengths ``dls`` (VByte) and block metadata with
+    byte offsets into all three streams.
+
+    Inlining dl per posting costs ~1 byte/posting but removes the
+    docmap join/shuffle from the query hot path entirely — the scorer
+    reads everything it needs from the pruned postings scan.
+
+    Returns ``(doc_payloads, tf_payloads, dl_payloads, blocks)``.
+    """
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    gaps = np.empty_like(d)
+    if d.size:
+        gaps[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=gaps[1:])
+        s = term_starts[:-1]
+        s = s[s < d.size]
+        gaps[s] = d[s]
+    db, dn = vbyte_encode(gaps.astype(np.uint64))
+    tb, tn = vbyte_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+    lb, ln = vbyte_encode(np.ascontiguousarray(dls, dtype=np.uint64))
+    dcum = np.zeros(dn.size + 1, dtype=np.int64); np.cumsum(dn, out=dcum[1:])
+    tcum = np.zeros(tn.size + 1, dtype=np.int64); np.cumsum(tn, out=tcum[1:])
+    lcum = np.zeros(ln.size + 1, dtype=np.int64); np.cumsum(ln, out=lcum[1:])
+    dbytes, tbytes, lbytes = db.tobytes(), tb.tobytes(), lb.tobytes()
+    G = term_starts.size - 1
+    doc_payloads = [dbytes[dcum[term_starts[g]]:dcum[term_starts[g + 1]]] for g in range(G)]
+    tf_payloads = [tbytes[tcum[term_starts[g]]:tcum[term_starts[g + 1]]] for g in range(G)]
+    dl_payloads = [lbytes[lcum[term_starts[g]]:lcum[term_starts[g + 1]]] for g in range(G)]
+    blocks = _block_meta_many(term_starts, d, tfs, dcum, tcum, block_size,
+                              lcum=lcum)
+    return doc_payloads, tf_payloads, dl_payloads, blocks
+
+
+def _block_meta_many(term_starts, doc_ids, tfs, dcum, tcum, block_size,
+                     lcum=None):
     """Per-term block metadata with byte offsets, vectorized across all
     terms: one global pass builds every block's boundaries."""
     tfs64 = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -222,12 +259,14 @@ def _block_meta_many(term_starts, doc_ids, tfs, dcum, tcum, block_size):
         ends = np.minimum(offs + block_size, n)
         maxtf = np.maximum.reduceat(tfs64[s:e], offs)
         base_d, base_t = dcum[s], tcum[s]
+        base_l = lcum[s] if lcum is not None else 0
         out.append([
             {"last_doc_id": int(doc_ids[s + ends[i] - 1]),
              "max_tf": int(maxtf[i]),
              "off": int(offs[i]), "n": int(ends[i] - offs[i]),
              "dbyte": int(dcum[s + offs[i]] - base_d),
-             "tbyte": int(tcum[s + offs[i]] - base_t)}
+             "tbyte": int(tcum[s + offs[i]] - base_t),
+             "lbyte": int(lcum[s + offs[i]] - base_l) if lcum is not None else 0}
             for i in range(offs.size)
         ])
     return out

@@ -36,9 +36,12 @@ def _merge_batches(batches, block_size: int):
     dfs = tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
     doc_pl = tbl.column("doc_ids").to_pylist()
     tf_pl = tbl.column("tfs").to_pylist()
+    dl_pl = tbl.column("dls").to_pylist()
     n = terms.size
     # decode everything in one vectorized pass
     doc_ids, tfs, row_bounds = codec.decode_postings_many(doc_pl, tf_pl, dfs)
+    dls, _ = codec.decode_many(dl_pl, dfs)
+    dls = dls.astype(np.int64)
     # group rows by (term, shard)
     change = np.empty(n, dtype=bool)
     change[0] = True
@@ -62,13 +65,14 @@ def _merge_batches(batches, block_size: int):
         - np.repeat(np.cumsum(seg_lens) - seg_lens, seg_lens))
     m_docs = doc_ids[idx]
     m_tfs = tfs[idx]
+    m_dls = dls[idx]
     out_df = np.add.reduceat(dfs, gstart)
     out_bounds = np.zeros(gstart.size + 1, dtype=np.int64)
     np.cumsum(out_df, out=out_bounds[1:])
     cf = np.add.reduceat(m_tfs, out_bounds[:-1])
     max_tf = np.maximum.reduceat(m_tfs, out_bounds[:-1]).astype(np.int32)
-    doc_payloads, tf_payloads, blocks = codec.encode_many(
-        out_bounds, m_docs, m_tfs, block_size)
+    doc_payloads, tf_payloads, dl_payloads, blocks = codec.pack_lists(
+        out_bounds, m_docs, m_tfs, m_dls, block_size)
     yield pa.RecordBatch.from_arrays([
         pa.array(terms[gstart], pa.string()),
         pa.array(shards[gstart], pa.int32()),
@@ -77,6 +81,7 @@ def _merge_batches(batches, block_size: int):
         pa.array(max_tf, pa.int32()),
         pa.array(doc_payloads, pa.binary()),
         pa.array(tf_payloads, pa.binary()),
+        pa.array(dl_payloads, pa.binary()),
         pa.array(blocks, _ARROW_BLOCKS),
     ], names=[f.name for f in PACKED_SCHEMA.fields])
 

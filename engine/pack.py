@@ -40,6 +40,7 @@ BLOCK_T = T.ArrayType(T.StructType([
     T.StructField("n", T.IntegerType(), False),
     T.StructField("dbyte", T.IntegerType(), False),
     T.StructField("tbyte", T.IntegerType(), False),
+    T.StructField("lbyte", T.IntegerType(), False),
 ]))
 
 PACKED_SCHEMA = T.StructType([
@@ -50,13 +51,14 @@ PACKED_SCHEMA = T.StructType([
     T.StructField("max_tf", T.IntegerType(), False),
     T.StructField("doc_ids", T.BinaryType(), False),
     T.StructField("tfs", T.BinaryType(), False),
+    T.StructField("dls", T.BinaryType(), False),
     T.StructField("blocks", BLOCK_T, False),
 ])
 
 _ARROW_BLOCKS = pa.list_(pa.struct([
     ("last_doc_id", pa.int64()), ("max_tf", pa.int32()),
     ("off", pa.int32()), ("n", pa.int32()),
-    ("dbyte", pa.int32()), ("tbyte", pa.int32())]))
+    ("dbyte", pa.int32()), ("tbyte", pa.int32()), ("lbyte", pa.int32())]))
 
 
 def shard_width(n_docs: int, n_slices: int) -> int:
@@ -73,6 +75,7 @@ def _pack_batches(batches, block_size: int):
     shards = tbl.column("shard").to_numpy(zero_copy_only=False).astype(np.int32)
     doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
     n = terms.size
     # run boundaries where (term, shard) changes
     change = np.empty(n, dtype=bool)
@@ -85,8 +88,8 @@ def _pack_batches(batches, block_size: int):
     df_ = (bounds[1:] - bounds[:-1]).astype(np.int64)
     cf = np.add.reduceat(tfs, starts)
     max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
-    doc_payloads, tf_payloads, blocks = codec.encode_many(
-        bounds, doc_ids, tfs, block_size)
+    doc_payloads, tf_payloads, dl_payloads, blocks = codec.pack_lists(
+        bounds, doc_ids, tfs, dls, block_size)
     yield pa.RecordBatch.from_arrays([
         pa.array(terms[starts], pa.string()),
         pa.array(shards[starts], pa.int32()),
@@ -95,6 +98,7 @@ def _pack_batches(batches, block_size: int):
         pa.array(max_tf, pa.int32()),
         pa.array(doc_payloads, pa.binary()),
         pa.array(tf_payloads, pa.binary()),
+        pa.array(dl_payloads, pa.binary()),
         pa.array(blocks, _ARROW_BLOCKS),
     ], names=[f.name for f in PACKED_SCHEMA.fields])
 
@@ -119,7 +123,7 @@ def pack_postings_width(postings: DataFrame, width: int,
     part = (with_shard
             .repartition(cfg.pack_partitions, "term", "shard")
             .sortWithinPartitions("term", "shard", "doc_id")
-            .select("term", "shard", "doc_id", "tf"))
+            .select("term", "shard", "doc_id", "tf", "dl"))
     return part.mapInArrow(
         lambda it: _pack_batches(it, cfg.block_size), PACKED_SCHEMA)
 

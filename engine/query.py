@@ -78,9 +78,11 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
 # DAAT scoring in Arrow UDFs -> global TakeOrderedAndProject
 # --------------------------------------------------------------------------
 
-def _score_shard_exhaustive(post_pdf, dm_pdf, qmeta, cfg, k, mode, width):
+def _score_shard_exhaustive(post_pdf, qmeta, cfg, k, mode, width):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
+    Per-posting document lengths come from the inlined ``dls`` stream —
+    the scorer needs nothing but the (pruned) postings scan itself.
     Accumulation is per-term in ASCENDING term order — the identical
     float64 summation order as the pure-Python oracle (rank-identity).
     Emits at most k rows (per-shard top-k heap analog).
@@ -91,10 +93,6 @@ def _score_shard_exhaustive(post_pdf, dm_pdf, qmeta, cfg, k, mode, width):
         return None
     shard = int(post_pdf["shard"].iloc[0])
     start = shard * width
-    # dense dl for this shard from the cogrouped docmap rows
-    dl_dense = np.zeros(width, dtype=np.float64)
-    dm_ids = dm_pdf["doc_id"].to_numpy()
-    dl_dense[dm_ids - start] = dm_pdf["dl"].to_numpy()
     acc = np.zeros(width, dtype=np.float64)
     cnt = np.zeros(width, dtype=np.int32)
     k1, b, avgdl = cfg["k1"], cfg["b"], cfg["avgdl"]
@@ -104,10 +102,11 @@ def _score_shard_exhaustive(post_pdf, dm_pdf, qmeta, cfg, k, mode, width):
         idf, qtf = qmeta[term]
         ids, tfs = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
                                      post_pdf["tfs"].iloc[int(i)])
+        dls = C.vbyte_decode(post_pdf["dls"].iloc[int(i)]).astype(np.float64)
         loc = ids - start
         tfs = tfs.astype(np.float64)
         contrib = (qtf * idf * (tfs * (k1 + 1.0))
-                   / (tfs + k1 * (1.0 - b + b * dl_dense[loc] / avgdl)))
+                   / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
         acc[loc] += contrib   # doc_ids unique within one (term, shard) row
         cnt[loc] += 1
     if mode == "AND":
@@ -151,35 +150,30 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     buckets = sorted({v["bucket"] for v in lex.values()})
     terms = sorted(lex)
     qmeta = {t: (lex[t]["idf"], float(qtf[t])) for t in terms}
-    cols = ["term", "shard", "df", "doc_ids", "tfs"] + (
+    cols = ["term", "shard", "df", "doc_ids", "tfs", "dls"] + (
         ["blocks", "max_tf"] if use_wand and mode == "OR" else [])
-    post = (spark.read.parquet(index.postings_path)
+    post = (index.postings()
             .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
             .select(*cols))
     width = index.shard_width
-    dm = (index.docmap()
-          .select("doc_id", "dl")
-          .withColumn("shard", (F.col("doc_id") / F.lit(width)).cast("int")))
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b, "avgdl": index.avgdl}
 
     if use_wand and mode == "OR":
         from .wand import score_shard_wand as scorer_fn
 
-        def fn(key, post_pdf, dm_pdf):
+        def fn(key, post_pdf):
             import pandas as pd
-            r = scorer_fn(post_pdf, dm_pdf, qmeta, cfgd, k, width)
+            r = scorer_fn(post_pdf, qmeta, cfgd, k, width)
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
     else:
-        def fn(key, post_pdf, dm_pdf):
+        def fn(key, post_pdf):
             import pandas as pd
-            r = _score_shard_exhaustive(post_pdf, dm_pdf, qmeta, cfgd, k,
-                                        mode, width)
+            r = _score_shard_exhaustive(post_pdf, qmeta, cfgd, k, mode, width)
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
 
     scored = (post.groupBy("shard")
-              .cogroup(dm.groupBy("shard"))
               .applyInPandas(fn, "doc_id long, score double"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

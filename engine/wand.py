@@ -45,26 +45,27 @@ def _blk(row_blocks, field):
     return np.array([bl[field] for bl in row_blocks], dtype=np.int64)
 
 
-def _decode_block(doc_payload, tf_payload, blocks, j):
+def _decode_block(doc_payload, tf_payload, dl_payload, blocks, j):
     bl = blocks[j]
-    d_end = blocks[j + 1]["dbyte"] if j + 1 < len(blocks) else len(doc_payload)
-    t_end = blocks[j + 1]["tbyte"] if j + 1 < len(blocks) else len(tf_payload)
+    last = j + 1 >= len(blocks)
+    d_end = len(doc_payload) if last else blocks[j + 1]["dbyte"]
+    t_end = len(tf_payload) if last else blocks[j + 1]["tbyte"]
+    l_end = len(dl_payload) if last else blocks[j + 1]["lbyte"]
     gaps = C.vbyte_decode(doc_payload[bl["dbyte"]:d_end]).astype(np.int64)
     tfs = C.vbyte_decode(tf_payload[bl["tbyte"]:t_end]).astype(np.int64)
+    dls = C.vbyte_decode(dl_payload[bl["lbyte"]:l_end]).astype(np.int64)
     base = blocks[j - 1]["last_doc_id"] if j > 0 else 0
     ids = np.cumsum(gaps) + base
-    return ids, tfs
+    return ids, tfs, dls
 
 
-def score_shard_wand(post_pdf: pd.DataFrame, dm_pdf: pd.DataFrame,
+def score_shard_wand(post_pdf: pd.DataFrame,
                      qmeta: dict, cfg: dict, k: int, width: int):
     if len(post_pdf) == 0:
         return None
     k1, b, avgdl = cfg["k1"], cfg["b"], cfg["avgdl"]
     shard = int(post_pdf["shard"].iloc[0])
     start = shard * width
-    dl_dense = np.zeros(width, dtype=np.float64)
-    dl_dense[dm_pdf["doc_id"].to_numpy() - start] = dm_pdf["dl"].to_numpy()
 
     nrows = len(post_pdf)
     terms = post_pdf["term"].to_numpy(object)
@@ -81,9 +82,10 @@ def score_shard_wand(post_pdf: pd.DataFrame, dm_pdf: pd.DataFrame,
     s_idf, s_qtf = qmeta[terms[seed_i]]
     s_ids, s_tfs = C.decode_postings(post_pdf["doc_ids"].iloc[seed_i],
                                      post_pdf["tfs"].iloc[seed_i])
+    s_dls = C.vbyte_decode(post_pdf["dls"].iloc[seed_i]).astype(np.float64)
     s_tf = s_tfs.astype(np.float64)
     s_contrib = (s_qtf * s_idf * (s_tf * (k1 + 1.0))
-                 / (s_tf + k1 * (1.0 - b + b * dl_dense[s_ids - start] / avgdl)))
+                 / (s_tf + k1 * (1.0 - b + b * s_dls / avgdl)))
     if s_contrib.size >= k:
         theta = float(np.partition(s_contrib, s_contrib.size - k)[s_contrib.size - k])
     else:
@@ -101,8 +103,9 @@ def score_shard_wand(post_pdf: pd.DataFrame, dm_pdf: pd.DataFrame,
     for i in range(nrows):
         dp = post_pdf["doc_ids"].iloc[i]
         tp = post_pdf["tfs"].iloc[i]
+        lp = post_pdf["dls"].iloc[i]
         for j in survive[i]:
-            ids, _ = _decode_block(dp, tp, all_blocks[i], int(j))
+            ids, _, _ = _decode_block(dp, tp, lp, all_blocks[i], int(j))
             cand[ids - start] = True
     n_cand = int(cand.sum())
     if n_cand == 0:
@@ -117,6 +120,7 @@ def score_shard_wand(post_pdf: pd.DataFrame, dm_pdf: pd.DataFrame,
         blocks = all_blocks[i]
         dp = post_pdf["doc_ids"].iloc[i]
         tp = post_pdf["tfs"].iloc[i]
+        lp = post_pdf["dls"].iloc[i]
         lasts = _blk(blocks, "last_doc_id")
         prevs = np.empty_like(lasts)
         prevs[0] = start - 1
@@ -126,15 +130,16 @@ def score_shard_wand(post_pdf: pd.DataFrame, dm_pdf: pd.DataFrame,
         # block contains a candidate iff any candidate in (prev, last]
         has_cand = cum_cand[hi + 1] > cum_cand[lo]
         for j in np.flatnonzero(has_cand):
-            ids, tfs = _decode_block(dp, tp, blocks, int(j))
+            ids, tfs, dls = _decode_block(dp, tp, lp, blocks, int(j))
             loc = ids - start
             m = cand[loc]
             if not m.any():
                 continue
             loc = loc[m]
             tf = tfs[m].astype(np.float64)
+            dl = dls[m].astype(np.float64)
             acc[loc] += (qtf * idf * (tf * (k1 + 1.0))
-                         / (tf + k1 * (1.0 - b + b * dl_dense[loc] / avgdl)))
+                         / (tf + k1 * (1.0 - b + b * dl / avgdl)))
 
     hit = np.flatnonzero(cand & (acc > -np.inf))
     hit = hit[acc[hit] != 0.0] if hit.size else hit
