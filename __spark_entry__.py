@@ -33,6 +33,11 @@ from engine.config import DEFAULT  # noqa: E402
 _K1, _B = DEFAULT.bm25.k1, DEFAULT.bm25.b
 _TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# queries with NO oracle_sql twin (genuinely non-SQL-expressible: engine-
+# native xxhash64 rolling hash; synthetic-media mapInPandas plumbing) —
+# the driver records a weaker rows-only check for these.
+NO_ORACLE = {"fingerprint_rolling", "media_features"}
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -203,6 +208,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(ratio, 6).alias("stop_ratio"),
                         F.round(F.lit(1.0) - ratio, 6).alias("quality"))
 
+    def token_counts_q(spark, sf):
+        from engine.textops import token_counts
+        return token_counts(_docs(spark, sf))
+
+    def quality_features_q(spark, sf):
+        from engine.textops import quality_features
+        return quality_features(_docs(spark, sf))
+
+    def lang_id_q(spark, sf):
+        from engine.textops import lang_id
+        return lang_id(_docs(spark, sf))
+
+    def fingerprint_rolling_q(spark, sf):
+        # engine-native xxhash64 rolling hash — no DuckDB twin (rows-only)
+        from engine.textops import fingerprint_rolling
+        return fingerprint_rolling(_docs(spark, sf))
+
+    def minhash_sigs(spark, sf):
+        from engine.dedup import minhash_signatures
+        return minhash_signatures(_docs(spark, sf), n_hashes=4)
+
+    def lsh_pairs(spark, sf):
+        from engine.dedup import lsh_candidate_pairs
+        return lsh_candidate_pairs(_docs(spark, sf), n_hashes=4, bands=2)
+
+    def ngram_jaccard(spark, sf):
+        from engine.dedup import ngram_jaccard_pairs
+        return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5)
+
+    def simhash_q(spark, sf):
+        from engine.dedup import simhash
+        return simhash(_docs(spark, sf), bits=16)
+
+    def ann_lsh(spark, sf):
+        from engine.similarity import ann_lsh_topk
+        e = _emb(spark, sf)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        return ann_lsh_topk(e, qv, k=10, n_planes=8, radius=1, exclude_id=0)
+
+    def media_features(spark, sf):
+        # multimodal plumbing (synthetic media; deterministic fake decoder;
+        # no SQL twin -> rows-only check)
+        from engine.multimodal import extract_features, synthetic_media
+        feats = extract_features(synthetic_media(spark, n=60))
+        return feats.select("media_id", "kind", "n_bytes",
+                            F.round(F.aggregate("features", F.lit(0.0),
+                                                lambda a, x: a + x), 4)
+                            .alias("feat_sum"))
+
     def ann_cosine(spark, sf):
         e = _emb(spark, sf)
         qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -234,11 +288,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
         "ann_cosine": ann_cosine,
+        "token_counts": token_counts_q,
+        "quality_features": quality_features_q,
+        "lang_id": lang_id_q,
+        "fingerprint_rolling": fingerprint_rolling_q,
+        "minhash_sigs": minhash_sigs,
+        "lsh_pairs": lsh_pairs,
+        "ngram_jaccard": ngram_jaccard,
+        "simhash": simhash_q,
+        "ann_lsh": ann_lsh,
+        "media_features": media_features,
     }
+
+
+def _stopword_ratio_sql(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (f"len(list_filter(toks, x -> x IN ({lst})))::DOUBLE"
+            " / greatest(len(toks), 1)")
+
+
+def _simhash_sql(bits: int) -> str:
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS s{i}"
+        for i in range(bits))
+    recon = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)"
+                       for i in range(bits))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({recon})::BIGINT AS simhash FROM s"""
+
+
+def _ann_lsh_sql(n_planes: int = 8, radius: int = 1, k: int = 10) -> str:
+    from engine.similarity import _planes
+    planes = _planes(64, n_planes, 42)
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]::DOUBLE[]"
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr(p)}) > 0"
+        f" THEN {1 << p} ELSE 0 END)" for p in range(n_planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding, ({bucket})::BIGINT AS bkt FROM embeddings),
+q AS (SELECT embedding AS qv, bkt AS qbkt FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cos
+FROM e, q WHERE vec_id <> 0 AND bit_count(xor(e.bkt, q.qbkt)) <= {radius}
+ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+_SHINGLES_CTE = f"""
+d AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+s0 AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+sh AS (SELECT doc_id,
+              toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+       FROM s0)"""
+
+_MINHASH_CTE = _SHINGLES_CTE + """,
+m AS (SELECT doc_id, min(md5('0#' || sh)) AS h0, min(md5('1#' || sh)) AS h1,
+             min(md5('2#' || sh)) AS h2, min(md5('3#' || sh)) AS h3
+      FROM sh GROUP BY doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
     toks_cte = f"SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents"
+    bpe_sql = r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')"
     return {
         "doclen": f"SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents",
         "term_stats": f"""
@@ -295,4 +414,63 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cos
             FROM embeddings CROSS JOIN q WHERE vec_id <> 0
             ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+        "token_counts": f"""
+            SELECT doc_id, len({_TOK_SQL})::BIGINT AS n_tokens,
+                   len({bpe_sql})::BIGINT AS n_bpe_tokens,
+                   length(text)::BIGINT AS n_chars
+            FROM documents""",
+        "quality_features": f"""
+            WITH t AS (SELECT doc_id, text, {_TOK_SQL} AS toks FROM documents),
+            r AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                   {_stopword_ratio_sql(["the", "a", "and", "of", "to", "is"])} AS sr,
+                   (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+                     / greatest(length(text), 1) AS pr,
+                   coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+                     / greatest(len(toks), 1) AS mtl,
+                   least(len(toks)::DOUBLE / 100.0, 1.0) AS lenf
+                  FROM t)
+            SELECT doc_id, n_tokens, round(sr, 6) AS stop_ratio,
+                   round(pr, 6) AS punct_ratio, round(mtl, 6) AS mean_tok_len,
+                   round(0.4 * lenf + 0.3 * (1.0 - sr) + 0.3 * (1.0 - pr), 6) AS quality
+            FROM r""",
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+            r AS (SELECT doc_id,
+                   {_stopword_ratio_sql(["der", "die", "das", "und", "zu", "ist"])} AS r_de,
+                   {_stopword_ratio_sql(["the", "a", "and", "of", "to", "is"])} AS r_en,
+                   {_stopword_ratio_sql(["el", "la", "de", "y", "que", "en"])} AS r_es,
+                   {_stopword_ratio_sql(["le", "la", "de", "et", "les", "est"])} AS r_fr
+                  FROM t)
+            SELECT doc_id, round(greatest(r_de, r_en, r_es, r_fr), 6) AS best_ratio,
+                   CASE WHEN greatest(r_de, r_en, r_es, r_fr) < 0.02 THEN 'und'
+                        WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+                        WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+                        WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM r""",
+        "minhash_sigs": f"""
+            WITH {_MINHASH_CTE}
+            SELECT d.doc_id, h0, h1, h2, h3 FROM d LEFT JOIN m USING (doc_id)""",
+        "lsh_pairs": f"""
+            WITH {_MINHASH_CTE},
+            k AS (SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM m
+                  UNION ALL
+                  SELECT doc_id, 1, md5(h2 || '|' || h3) FROM m)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM k a JOIN k b ON a.band = b.band AND a.key = b.key
+                             AND a.doc_id < b.doc_id""",
+        "ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            s AS (SELECT DISTINCT doc_id, sh FROM sh),
+            sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            j AS (SELECT doc_a, doc_b,
+                         round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+                  FROM i JOIN sz sa ON i.doc_a = sa.doc_id
+                         JOIN sz sb ON i.doc_b = sb.doc_id)
+            SELECT * FROM j WHERE jaccard >= 0.5""",
+        "simhash": _simhash_sql(16),
+        "ann_lsh": _ann_lsh_sql(8, 1, 10),
     }

@@ -1,0 +1,96 @@
+"""spark-submit entry points (BASELINE.json: "packaged for spark-submit
+--py-files on multi-executor clusters").
+
+Usage (cluster):
+    zip -r engine.zip engine
+    spark-submit --master <...> --py-files engine.zip -m engine build \
+        --input <parquet-or-iceberg> --index-dir /path/idx
+    spark-submit ... -m engine search --index-dir /path/idx \
+        --query "hot0 rare3" --k 10 --mode OR
+    spark-submit ... -m engine bench --index-dir /tmp/idx --convs 20000
+
+Local sandbox: ``python -m engine <cmd> ...`` (session from engine.session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from .session import get_spark
+    return get_spark("engine-cli", master=args.master)
+
+
+def cmd_build(args) -> int:
+    from .build import build_index
+    from .config import DEFAULT
+    from .fixtures import spark_transcripts
+    spark = _spark(args)
+    if args.input == "synthetic":
+        corpus = spark_transcripts(spark, n_convs=args.convs)
+    elif args.input.startswith("table:"):
+        corpus = spark.read.table(args.input[len("table:"):])  # Iceberg path
+    else:
+        corpus = spark.read.parquet(args.input)
+    t0 = time.perf_counter()
+    idx = build_index(spark, corpus, args.index_dir, DEFAULT)
+    wall = time.perf_counter() - t0
+    print(json.dumps({"n_docs": idx.n_docs, "avgdl": idx.avgdl,
+                      "wall_s": round(wall, 3),
+                      "turns_per_sec": round(idx.n_docs / wall, 1)}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from . import query as Q
+    from .build import load_index
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    top = Q.search(idx, args.query, k=args.k, mode=args.mode,
+                   use_wand=not args.no_wand)
+    rows = (Q.materialize_packed(idx, top) if args.text else top).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import os
+    import subprocess
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CONVS=str(args.convs))
+    return subprocess.call([sys.executable, "bench.py"], env=env)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="engine")
+    p.add_argument("--master", default=None,
+                   help="spark master override (default: env/local)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build", help="build a packed index")
+    b.add_argument("--input", required=True,
+                   help="parquet dir | table:<catalog.db.tbl> | synthetic")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--convs", type=int, default=2000,
+                   help="synthetic corpus size (conversations)")
+    b.set_defaults(fn=cmd_build)
+    s = sub.add_parser("search", help="BM25 top-k search")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--mode", default="OR", choices=["OR", "AND", "or", "and"])
+    s.add_argument("--no-wand", action="store_true")
+    s.add_argument("--text", action="store_true", help="materialize text")
+    s.set_defaults(fn=cmd_search)
+    be = sub.add_parser("bench", help="run bench.py")
+    be.add_argument("--convs", type=int, default=20000)
+    be.set_defaults(fn=cmd_bench)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,6 +39,7 @@ class Manifest:
     version: int = 1
     n_docs: int = 0
     avgdl: float = 0.0
+    sum_dl: int = 0          # exact avgdl maintenance under appends
     n_buckets: int = 0
     n_slices: int = 0
     shard_width: int = 0
@@ -93,6 +94,18 @@ class Manifest:
 
 def _success_marker(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def lineage_df(spark, index_dir: str):
+    """Segment lineage as a DataFrame (SURVEY.md §1 row 5 `_lineage`):
+    (segment_id, pass, status, rows, src_segments, wall_s)."""
+    man = Manifest.load(index_dir)
+    assert man is not None, index_dir
+    rows = [(s.segment_id, s.pass_no, s.status, s.rows,
+             s.src_segments, s.wall_s) for s in man.segments]
+    return spark.createDataFrame(
+        rows, "segment_id string, pass int, status string, rows long, "
+              "src_segments array<string>, wall_s double")
 
 
 class StageTimer:

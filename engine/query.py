@@ -178,6 +178,62 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_batch(index, queries: list[dict], k: int = 10) -> DataFrame:
+    """E9: execute a whole query set in ONE Spark job.
+
+    ``queries``: [{"id", "query", "mode"}]. One pruned postings scan
+    covering the union of all query terms; the per-shard scorer loops the
+    queries (each numpy-vectorized); global per-query top-k via window
+    rank (single shuffle). Returns (qid, doc_id, score).
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+    spark = index.spark
+    qtfs = {q["id"]: query_terms(q["query"]) for q in queries}
+    modes = {q["id"]: q["mode"].upper() for q in queries}
+    all_terms = sorted({t for qt in qtfs.values() for t in qt})
+    lex = index.lookup_terms(all_terms)
+    # per-query metadata; drop queries that can't match anything
+    qmetas = {}
+    for qid, qt in qtfs.items():
+        known = {t: (lex[t]["idf"], float(n)) for t, n in qt.items() if t in lex}
+        if not known:
+            continue
+        if modes[qid] == "AND" and len(known) < len(qt):
+            continue
+        qmetas[qid] = known
+    if not qmetas:
+        return spark.createDataFrame([], "qid string, doc_id long, score double")
+    scan_terms = sorted({t for m in qmetas.values() for t in m})
+    buckets = sorted({lex[t]["bucket"] for t in scan_terms})
+    post = (index.postings()
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(scan_terms))
+            .select("term", "shard", "df", "doc_ids", "tfs", "dls"))
+    width = index.shard_width
+    cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b,
+            "avgdl": index.avgdl}
+
+    def fn(key, post_pdf):
+        outs = []
+        for qid, qmeta in qmetas.items():
+            sub = post_pdf[post_pdf["term"].isin(list(qmeta))]
+            r = _score_shard_exhaustive(sub, qmeta, cfgd, k,
+                                        modes[qid], width)
+            if r is not None:
+                r.insert(0, "qid", qid)
+                outs.append(r)
+        return (pd.concat(outs) if outs
+                else pd.DataFrame({"qid": [], "doc_id": [], "score": []}))
+
+    scored = (post.groupBy("shard")
+              .applyInPandas(fn, "qid string, doc_id long, score double"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn")
+            .orderBy("qid", F.desc("score"), F.asc("doc_id")))
+
+
 def materialize_packed(index, topk: DataFrame) -> DataFrame:
     """E8 for the packed index: join top-k back to the stored corpus."""
     return (index.corpus().join(F.broadcast(topk), "doc_id")

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k (exact baseline) and LSH-bucketed ANN (the
+scale path).
+
+Exact path is a pure Catalyst expression (zip_with/aggregate -> JVM
+codegen) ending in TakeOrderedAndProject; the ANN path prunes the scan to
+hyperplane-sign buckets within Hamming distance <= r of the query bucket
+(deterministic pseudo-random hyperplanes from xxhash64 — no stored model).
+At cluster scale the bucket column is a parquet partition/cluster key, so
+pruning happens at the scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def dot_expr(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(a, b):
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return dot_expr(ad, bd) / (norm_expr(ad) * norm_expr(bd))
+
+
+def _query_lit(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(emb: DataFrame, query_vec, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_id: int | None = None) -> DataFrame:
+    """Exact brute-force cosine top-k: full scan, JVM-side arithmetic,
+    per-partition top-k heap via TakeOrderedAndProject."""
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    cos = (dot_expr(F.col(vec_col).cast("array<double>"), _query_lit(q))
+           / (norm_expr(F.col(vec_col).cast("array<double>")) * F.lit(qn)))
+    out = emb.select(id_col, F.round(cos, 6).alias("cos"))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------------
+# LSH (random-hyperplane signs)
+# --------------------------------------------------------------------------
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col, n_planes: int = 8, dim: int = 64,
+                    seed: int = 42):
+    """Hyperplane-sign bucket id (int): bit_p = 1 iff <v, h_p> > 0.
+    Deterministic planes from seed -> identical buckets across runs and
+    engines that share this code."""
+    planes = _planes(dim, n_planes, seed)
+    v = vec_col.cast("array<double>")
+    bits = []
+    for p in range(n_planes):
+        d = dot_expr(v, F.array(*[F.lit(float(x)) for x in planes[p]]))
+        bits.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(bits[1:], start=bits[0]).cast("int")
+
+
+def _hamming_ball(bucket_col, n_planes: int, radius: int):
+    """Boolean filter: popcount(bucket XOR q) <= radius, as an expression.
+    (bit_count exists in Spark 3.5+/4.x.)"""
+    def ball(qb: int):
+        x = bucket_col.bitwiseXOR(F.lit(qb))
+        return F.bit_count(x) <= radius
+    return ball
+
+
+def ann_lsh_topk(emb: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
+                 radius: int = 1, id_col: str = "vec_id",
+                 vec_col: str = "embedding", seed: int = 42,
+                 exclude_id: int | None = None) -> DataFrame:
+    """Approximate cosine top-k: scan only vectors whose LSH bucket is
+    within Hamming distance <= radius of the query's bucket, then exact
+    cosine + top-k on the survivors. Recall/latency dial = (n_planes,
+    radius). At 100 TB the bucket is a storage partition key -> the
+    pruned buckets never leave disk."""
+    q = np.asarray([float(x) for x in query_vec])
+    planes = _planes(q.size, n_planes, seed)
+    qb = int(sum((1 << p) for p in range(n_planes) if planes[p] @ q > 0))
+    bucket = lsh_bucket_expr(F.col(vec_col), n_planes, q.size, seed)
+    pruned = emb.withColumn("_bkt", bucket).filter(
+        F.bit_count(F.col("_bkt").bitwiseXOR(F.lit(qb))) <= radius)
+    return cosine_topk(pruned, q, k, id_col, vec_col, exclude_id)
+
+
+def knn_join_lsh(emb: DataFrame, k: int = 5, n_planes: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 42) -> DataFrame:
+    """Approximate k-NN self-join: exact cosine within LSH buckets, k best
+    neighbors per vector (window top-k per id). Equi-join on the bucket
+    key — no global crossJoin."""
+    from pyspark.sql import Window
+    with_b = emb.select(id_col, vec_col,
+                        lsh_bucket_expr(F.col(vec_col), n_planes,
+                                        seed=seed).alias("bkt"))
+    a, b = with_b.alias("a"), with_b.alias("b")
+    cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    pairs = (a.join(b, "bkt")
+             .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id"),
+                     F.col(f"b.{id_col}").alias("neighbor"),
+                     F.round(cos, 6).alias("cos")))
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))

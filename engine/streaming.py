@@ -1,0 +1,143 @@
+"""Incremental indexing via Structured Streaming (SURVEY.md §2.J — the
+natural extension beyond the batch reference; foreachBatch + segment
+append).
+
+Design:
+* ``create_streaming_index``: fixes the index's shard geometry up front
+  (shard_width from the expected corpus ceiling — doc-range shards must be
+  stable across appends).
+* every micro-batch (``foreachBatch`` or direct ``append_batch``): docs get
+  the next dense doc_id range (arrival order == stable order is the
+  contract for rank-parity with a batch build), are tokenized and packed at
+  the final shard grain, and land as a NEW increment segment + corpus/
+  docmap appends + an atomic manifest update — cheap, append-only,
+  resumable (a killed batch leaves no visible segment: no _SUCCESS).
+* ``compact``: merges main + increment segments per (term, shard)
+  (merge_pass with fanin=1 — no shard coarsening), rebuilds the lexicon
+  with fresh global df/idf/avgdl, and swaps the manifest's final segment.
+  After compact, the index is byte-equivalent to a batch build over the
+  union of all appended data (tested).
+
+Query between compacts: increments are visible to search() only after
+compact — the documented consistency point (stale idf/avgdl otherwise).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import merge as merge_mod
+from . import pack as pack_mod
+from .build import corpus_stats, idf_col, load_index, tokenize_corpus, PackedIndex
+from .config import DEFAULT, IndexConfig
+from .docids import assign_doc_ids
+from .manifest import Manifest, Segment, _success_marker
+
+
+def create_streaming_index(spark: SparkSession, index_dir: str,
+                           expected_docs: int,
+                           cfg: IndexConfig = DEFAULT) -> None:
+    width = pack_mod.shard_width(expected_docs, cfg.n_slices)
+    man = Manifest(n_buckets=cfg.n_buckets, n_slices=cfg.n_slices,
+                   block_size=cfg.block_size, shard_width=width,
+                   bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
+                         "idf_variant": cfg.bm25.idf_variant})
+    man.final_segment = ""
+    man.save(index_dir)
+
+
+def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
+                 cfg: IndexConfig = DEFAULT) -> int:
+    """Index one micro-batch; returns docs appended."""
+    man = Manifest.load(index_dir)
+    assert man is not None, "create_streaming_index first"
+    base = man.n_docs
+    docs = assign_doc_ids(batch_df).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(base))
+    tokenized = tokenize_corpus(docs).persist()
+    docmap = tokenized.filter(F.col("term").isNull()).select(
+        "doc_id", "conv_id", "turn_idx", "dl")
+    n_new, _ = corpus_stats(docmap)
+    sum_new = docmap.agg(F.sum("dl")).first()[0] or 0
+    if n_new == 0:
+        tokenized.unpersist()
+        return 0
+    postings = tokenized.filter(F.col("term").isNotNull()).select(
+        "doc_id", "term", "tf", "dl")
+    inc_id = f"inc_{len(man.segments):05d}"
+    seg_path = os.path.join(index_dir, "segments", inc_id)
+    t0 = time.perf_counter()
+    packed = pack_mod.pack_postings_width(postings, man.shard_width, cfg)
+    pack_mod.with_bucket(packed, cfg).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(seg_path)
+    docs.write.mode("append").parquet(os.path.join(index_dir, "corpus"))
+    docmap.write.mode("append").parquet(os.path.join(index_dir, "docmap"))
+    tokenized.unpersist()
+    man.segments.append(Segment(inc_id, -1, seg_path, rows=-1,
+                                wall_s=time.perf_counter() - t0,
+                                status="complete"))
+    man.n_docs += int(n_new)
+    man.sum_dl += int(sum_new)
+    man.avgdl = man.sum_dl / man.n_docs
+    man.completed = False  # increments pending compaction
+    man.save(index_dir)
+    return int(n_new)
+
+
+def compact(spark: SparkSession, index_dir: str,
+            cfg: IndexConfig = DEFAULT) -> PackedIndex:
+    """Merge main + increments into a fresh final segment; rebuild lexicon
+    with global stats. Post-condition: search() sees all appended docs."""
+    man = Manifest.load(index_dir)
+    srcs = []
+    if man.final_segment:
+        srcs.append(man.segment(man.final_segment))
+    srcs += [s for s in man.segments if s.segment_id.startswith("inc_")
+             and s.status == "complete" and _success_marker(s.path)]
+    assert srcs, "nothing to compact"
+    union = None
+    for s in srcs:
+        d = spark.read.parquet(s.path)
+        union = d if union is None else union.unionByName(d)
+    merged = merge_mod.merge_pass(union, fanin=1, cfg=cfg)
+    out_id = f"seg_c{sum(1 for s in man.segments if s.segment_id.startswith('seg_c')):03d}"
+    out_path = os.path.join(index_dir, "segments", out_id)
+    pack_mod.with_bucket(merged, cfg).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(out_path)
+    lex = (spark.read.parquet(out_path)
+           .groupBy("term", "bucket")
+           .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+                F.max("max_tf").alias("max_tf"))
+           .withColumn("idf", idf_col(F.col("df"), man.n_docs,
+                                      (man.bm25 or {}).get("idf_variant",
+                                                           "lucene"))))
+    lex.write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+    man.segments.append(Segment(out_id, max(
+        (s.pass_no for s in man.segments), default=0) + 1, out_path,
+        src_segments=[s.segment_id for s in srcs], status="complete"))
+    for s in srcs:  # consumed: a later compact must not re-merge them
+        s.status = "merged"
+    man.final_segment = out_id
+    man.completed = True
+    man.save(index_dir)
+    return load_index(spark, index_dir)
+
+
+def index_stream(stream_df: DataFrame, index_dir: str,
+                 checkpoint_dir: str, cfg: IndexConfig = DEFAULT,
+                 trigger: dict | None = None):
+    """Wire a streaming DataFrame of transcript turns into the index via
+    foreachBatch. Caller starts/awaits the returned query."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(batch_df.sparkSession, batch_df, index_dir, cfg)
+
+    w = (stream_df.writeStream
+         .foreachBatch(handle)
+         .option("checkpointLocation", checkpoint_dir))
+    if trigger:
+        w = w.trigger(**trigger)
+    return w

@@ -46,7 +46,12 @@ ALL = sorted(entry.queries().keys())
 def test_query_matches_oracle(spark, ddb, name):
     q = entry.queries()[name]
     sqls = entry.oracle_sql()
-    assert name in sqls, f"{name} has no oracle (add or document rows-only)"
+    if name not in sqls:
+        assert name in entry.NO_ORACLE, \
+            f"{name} has no oracle and is not declared rows-only"
+        rows = q(spark, SF_DIR).collect()
+        assert len(rows) >= 0
+        return
     sdf = q(spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]

@@ -1,0 +1,129 @@
+"""Streaming incremental index (append/compact + foreachBatch), E9 batch
+query execution, lineage DF, CLI entry points."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.fixtures import QUERY_SET, make_transcripts, spark_transcripts
+
+
+def test_incremental_equals_batch(spark, tmp_path):
+    """3 ordered appends + compact == one batch build (same searches)."""
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import DEFAULT
+    from engine.streaming import append_batch, compact, create_streaming_index
+    pdf = make_transcripts(300)
+    n = len(pdf)
+    full = spark_transcripts(spark, 300)
+    sdir = str(tmp_path / "sidx")
+    create_streaming_index(spark, sdir, expected_docs=n)
+    # split the corpus into 3 arrival-ordered batches (stable order)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    schema = full.schema
+    for i in range(3):
+        chunk = spark.createDataFrame(pdf.iloc[cuts[i]:cuts[i + 1]], schema)
+        got = append_batch(spark, chunk, sdir)
+        assert got == cuts[i + 1] - cuts[i]
+    sidx = compact(spark, sdir)
+    bidx = build_index(spark, full, str(tmp_path / "bidx"))
+    assert sidx.n_docs == bidx.n_docs == n
+    assert abs(sidx.avgdl - bidx.avgdl) < 1e-9
+    for q in QUERY_SET[:8]:
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             Q.search(sidx, q["query"], 10, q["mode"]).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             Q.search(bidx, q["query"], 10, q["mode"]).collect()]
+        assert a == b, q["id"]
+
+
+def test_two_compact_cycles(spark, tmp_path):
+    """append -> compact -> append -> compact must not re-merge already
+    compacted increments (regression: double-counted postings)."""
+    from engine import query as Q
+    from engine.oracle import OracleIndex
+    from engine.streaming import append_batch, compact, create_streaming_index
+    pdf = make_transcripts(150)
+    n = len(pdf)
+    full = spark_transcripts(spark, 150)
+    sdir = str(tmp_path / "s2")
+    create_streaming_index(spark, sdir, expected_docs=n)
+    h = n // 2
+    append_batch(spark, spark.createDataFrame(pdf.iloc[:h], full.schema), sdir)
+    compact(spark, sdir)
+    append_batch(spark, spark.createDataFrame(pdf.iloc[h:], full.schema), sdir)
+    idx = compact(spark, sdir)
+    oracle = OracleIndex(list(zip(range(n), pdf.text)))
+    for query, mode in [("hot0 hot1", "AND"), ("hot0 rare3", "OR")]:
+        want = [(d, round(s, 9)) for d, s in oracle.search(query, 5, mode)]
+        got = [(r.doc_id, round(r.score, 9))
+               for r in Q.search(idx, query, 5, mode).collect()]
+        assert got == want, query
+
+
+def test_foreachbatch_stream(spark, tmp_path):
+    """True readStream path: file source + availableNow trigger."""
+    from engine import query as Q
+    from engine.streaming import compact, create_streaming_index, index_stream
+    pdf = make_transcripts(60)
+    src = tmp_path / "src"
+    full = spark_transcripts(spark, 60)
+    full.coalesce(1).write.parquet(str(src))
+    sdir = str(tmp_path / "sidx2")
+    create_streaming_index(spark, sdir, expected_docs=len(pdf))
+    stream = spark.readStream.schema(full.schema).parquet(str(src))
+    q = index_stream(stream, sdir, str(tmp_path / "ckpt"),
+                     trigger={"availableNow": True}).start()
+    q.awaitTermination(120)
+    idx = compact(spark, sdir)
+    assert idx.n_docs == len(pdf)
+    res = Q.search(idx, "hot0", 5).collect()
+    assert len(res) == 5
+
+
+def test_search_batch_matches_single(spark, corpus_df, oracle_idx, tmp_path):
+    from engine import query as Q
+    from engine.build import build_index
+    idx = build_index(spark, corpus_df, str(tmp_path / "bq"))
+    out = Q.search_batch(idx, QUERY_SET, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.doc_id, round(r.score, 9)))
+    for q in QUERY_SET:
+        want = [(d, round(s, 9)) for d, s in
+                oracle_idx.search(q["query"], 10, q["mode"])]
+        assert by_q.get(q["id"], []) == want, q["id"]
+
+
+def test_lineage_df(spark, corpus_df, tmp_path):
+    from engine.build import build_index
+    from engine.manifest import lineage_df
+    d = str(tmp_path / "lin")
+    build_index(spark, corpus_df, d)
+    ldf = lineage_df(spark, d)
+    rows = {r.segment_id: r for r in ldf.collect()}
+    assert rows["seg_p2"].src_segments == ["seg_p1"]
+    assert all(r.status == "complete" for r in rows.values())
+    assert all(r.rows > 0 for r in rows.values())
+
+
+def test_cli_build_and_search(tmp_path):
+    env_dir = str(tmp_path / "cliidx")
+    r = subprocess.run(
+        [sys.executable, "-m", "engine", "build", "--input", "synthetic",
+         "--convs", "100", "--index-dir", env_dir],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert out["n_docs"] > 0 and out["turns_per_sec"] > 0
+    r2 = subprocess.run(
+        [sys.executable, "-m", "engine", "search", "--index-dir", env_dir,
+         "--query", "hot0 hot1", "--k", "3", "--mode", "AND", "--text"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    lines = [json.loads(l) for l in r2.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 3 and all("text" in l for l in lines)
