@@ -78,8 +78,16 @@ def main():
         p50 = lat[len(lat) // 2]
         queries["query_p50"] = round(p50, 4)
 
+        # batch mode: whole query set in ONE job (E9) — amortizes per-job
+        # scheduling; the throughput number for query-heavy workloads
+        t_batch, _ = tdur(lambda: Q.search_batch(
+            idx, QUERY_SET, k=10).collect())
+        queries["batch_query_set"] = round(t_batch, 4)
+        queries["batch_queries_per_sec"] = round(len(QUERY_SET) / t_batch, 2)
+
         total = sum(v for k, v in queries.items()
-                    if k not in ("build_turns_per_sec",))
+                    if k not in ("build_turns_per_sec",
+                                 "batch_queries_per_sec"))
         print(json.dumps({
             "metric": "engine_bench_total",
             "value": round(total, 4),

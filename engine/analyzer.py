@@ -54,6 +54,45 @@ def doc_term_freqs(texts: pd.Series):
             g.to_numpy(np.int64), dl)
 
 
+def doc_term_freqs_arrow(arr):
+    """Arrow-native fast path of :func:`doc_term_freqs` (same return shape,
+    input is a ``pa.Array`` of strings).
+
+    Uses RE2 kernels (``split_pattern_regex`` on the complement class) +
+    dictionary-encode + one ``np.unique`` — no Python regex loop. Only
+    taken when the whole batch is ASCII: full-Unicode case mapping can
+    differ between Python ``str.lower`` and Arrow ``utf8_lower`` (e.g.
+    U+0130 İ), and the analyzer is frozen to the Python semantics; non-ASCII
+    batches fall back to :func:`doc_term_freqs`.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(arr) == 0:
+        return (np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64), np.zeros(0, np.int64))
+    if not pc.min(pc.string_is_ascii(pc.fill_null(arr, ""))).as_py():
+        return doc_term_freqs(arr.to_pandas())
+    lists = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9]+")
+    parents = pc.list_parent_indices(lists)
+    flat = pc.list_flatten(lists)
+    mask = pc.not_equal(flat, "")
+    flat, parents = flat.filter(mask), parents.filter(mask)
+    pn = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    dl = np.bincount(pn, minlength=len(arr)).astype(np.int64)
+    if pn.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64), dl)
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = de.dictionary
+    v = len(vocab)
+    key = pn * v + codes
+    uk, counts = np.unique(key, return_counts=True)
+    terms = vocab.take(pa.array(uk % v)).to_numpy(zero_copy_only=False)
+    return uk // v, terms, counts.astype(np.int64), dl
+
+
 def tokenize_expr(col):
     """Spark Column form of the same analyzer (for oracle-parallel SQL path)."""
     from pyspark.sql import functions as F

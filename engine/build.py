@@ -26,7 +26,6 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from .analyzer import doc_term_freqs
 from .config import DEFAULT, IndexConfig
 from .docids import assign_doc_ids
 
@@ -50,12 +49,13 @@ def tokenize_corpus(docs: DataFrame) -> DataFrame:
     names = [f.name for f in _TOKENIZED_SCHEMA.fields]
 
     def fn(batches):
+        from .analyzer import doc_term_freqs_arrow
         for b in batches:
-            texts = b.column("text").to_pandas()
             doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
             conv = b.column("conv_id").cast(pa.string())
             turn = b.column("turn_idx").cast(pa.int32())
-            rows, terms, tfs, dl = doc_term_freqs(texts)
+            rows, terms, tfs, dl = doc_term_freqs_arrow(
+                b.column("text").cast(pa.string()))
             n = b.num_rows
             npost = rows.size
             cols = [
@@ -114,6 +114,9 @@ def build_flat_index(spark: SparkSession, corpus: DataFrame,
                     F.sum("tf").alias("cf"),
                     F.max("tf").alias("max_tf"))
                .withColumn("idf", idf_col(F.col("df"), n_docs, cfg.bm25.idf_variant)))
+    # the lexicon is vocab-sized (small) and hit by every query — cache the
+    # aggregated result so repeated searches skip the groupBy shuffle
+    lexicon = lexicon.persist(StorageLevel.MEMORY_AND_DISK)
     return FlatIndex(docs=docs, postings=postings, docmap=docmap,
                      lexicon=lexicon, n_docs=int(n_docs), avgdl=float(avgdl),
                      cfg=cfg)
@@ -143,7 +146,6 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     man = Manifest.load(index_dir) if resume else None
     if man is not None and man.completed:
         return load_index(spark, index_dir)
-    fine_slices = cfg.n_slices * cfg.merge_fanin ** cfg.merge_passes
 
     corpus_path = os.path.join(index_dir, "corpus")
     docmap_path = os.path.join(index_dir, "docmap")
@@ -174,8 +176,26 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         man.shard_width = pack_mod.shard_width(n_docs, cfg.n_slices)
         man.save(index_dir)
 
+    # resolve the merge-pass count (external-merge semantics): runs are
+    # sized to memory via pack_docs_per_slice; passes = smallest p whose
+    # fine grain n_slices * fanin^p keeps every run within the bound.
+    # Stored in the manifest so resume replays the identical plan.
+    if man.n_passes >= 0:
+        passes = man.n_passes
+    elif cfg.pack_docs_per_slice is None:
+        passes = cfg.merge_passes
+    else:
+        need = max(cfg.n_slices, -(-n_docs // cfg.pack_docs_per_slice))
+        passes = 0
+        while cfg.n_slices * cfg.merge_fanin ** passes < need:
+            passes += 1
+        man.n_passes = passes
+        man.save(index_dir)
+    man.n_passes = passes
+    fine_slices = cfg.n_slices * cfg.merge_fanin ** passes
+
     w_fine = pack_mod.shard_width(n_docs, fine_slices)
-    man.shard_width = w_fine * cfg.merge_fanin ** cfg.merge_passes
+    man.shard_width = w_fine * cfg.merge_fanin ** passes
 
     # ---- pass 0: pack at fine-slice grain ----
     seg0_id = "seg_p0"
@@ -202,7 +222,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
 
     # ---- merge passes ----
     prev_path = seg0_path
-    for p in range(1, cfg.merge_passes + 1):
+    for p in range(1, passes + 1):
         seg_id = f"seg_p{p}"
         seg_path = os.path.join(index_dir, "segments", seg_id)
         if man.segment(seg_id) is None:
@@ -220,7 +240,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             man.mark_complete(seg_id, rows, time.perf_counter() - t0)
             man.save(index_dir)
         prev_path = seg_path
-    man.final_segment = f"seg_p{cfg.merge_passes}"
+    man.final_segment = f"seg_p{passes}"
 
     # ---- lexicon from the final segment ----
     lex_path = os.path.join(index_dir, "lexicon")

@@ -56,14 +56,27 @@ class IndexConfig:
     # each slice builds one segment; merge passes reduce segments per
     # (bucket) until <= target_segments. Slices are also the query-time
     # scoring shards (all query-term sublists for a doc range co-locate).
-    n_slices: int = 8
+    # sized to the executor-core count (one scoring task per shard at query
+    # time; also the salt grain for hot terms in the pack shuffle — more
+    # slices = finer skew spread). Scale with the cluster, not the data:
+    # pack_docs_per_slice bounds per-run memory independently.
+    n_slices: int = 32
     # merge fan-in per pass
     merge_fanin: int = 4
-    # number of merge passes: the pack stage slices the corpus into
+    # FORCED number of merge passes, used only when pack_docs_per_slice is
+    # None: the pack stage slices the corpus into
     # n_slices * merge_fanin^merge_passes fine doc-range slices (the
     # reference's memory-bounded runs); each pass coarsens by merge_fanin
     # until n_slices scoring shards remain, each (term, shard) one row.
     merge_passes: int = 2
+    # memory-bound target: max docs per fine pack slice (a "run" in
+    # external-merge terms). When set, the number of merge passes is
+    # ADAPTIVE — the smallest p with n_slices * fanin^p slices keeping
+    # every slice <= this many docs — exactly how an external merge sort
+    # sizes runs to memory and derives its pass count. Small corpora get 0
+    # passes (everything fits one run per shard); pass count grows
+    # logarithmically with corpus size. None = force merge_passes.
+    pack_docs_per_slice: int | None = 65536
     # skew: terms whose estimated df exceeds this fraction of N get salted
     # across `skew_splits` sub-groups during the pack stage (D8)
     skew_df_frac: float = 0.10

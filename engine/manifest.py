@@ -42,6 +42,7 @@ class Manifest:
     sum_dl: int = 0          # exact avgdl maintenance under appends
     n_buckets: int = 0
     n_slices: int = 0
+    n_passes: int = -1       # resolved merge-pass count (adaptive or forced)
     shard_width: int = 0
     block_size: int = 0
     bm25: dict = field(default_factory=dict)

@@ -41,3 +41,27 @@ def test_doc_term_freqs():
 def test_doc_term_freqs_empty_batch():
     rows, terms, tfs, dl = doc_term_freqs(pd.Series([], dtype=object))
     assert len(rows) == 0 and len(dl) == 0
+
+
+def test_doc_term_freqs_arrow_equivalence():
+    """Arrow fast path == frozen pandas path, incl. the non-ASCII fallback
+    (utf8_lower vs str.lower divergence, e.g. U+0130) and null/empty rows."""
+    import numpy as np
+    import pyarrow as pa
+    from engine.analyzer import doc_term_freqs_arrow
+    from engine.fixtures import make_transcripts
+
+    def canon(r):
+        rows, terms, tfs, dl = r
+        o = np.lexsort((np.asarray(terms, dtype="U"), np.asarray(rows)))
+        return (np.asarray(rows)[o].tolist(),
+                [str(t) for t in np.asarray(terms, object)[o]],
+                np.asarray(tfs)[o].tolist(), np.asarray(dl).tolist())
+
+    fixture_texts = make_transcripts(n_convs=50)["text"].reset_index(drop=True)
+    weird = pd.Series(["Größe K 42", "İstanbul ŞEY", "ẞharp", None, "",
+                       "a b  c", "..!!", "MiXeD 007 Case"])
+    for texts in (fixture_texts, weird):
+        got = canon(doc_term_freqs_arrow(pa.array(texts, pa.string())))
+        want = canon(doc_term_freqs(texts))
+        assert got == want

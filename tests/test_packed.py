@@ -74,9 +74,13 @@ def test_manifest_and_resume(spark, corpus_df, tmp_path):
     """Delete the final merge pass output; rerun -> earlier passes skipped
     (lineage intact), final index identical (SURVEY.md §5.5)."""
     from engine.build import build_index
+    from engine.config import IndexConfig
     from engine.manifest import Manifest
     d = str(tmp_path / "idx2")
-    idx = build_index(spark, corpus_df, d)
+    # force the 2-pass merge plan (pack_docs_per_slice=None disables the
+    # adaptive run sizing so the tiny corpus still exercises multi-pass)
+    cfg = IndexConfig(pack_docs_per_slice=None, merge_passes=2)
+    idx = build_index(spark, corpus_df, d, cfg=cfg)
     man = Manifest.load(d)
     assert man.completed and man.final_segment == "seg_p2"
     assert [s.segment_id for s in man.segments] == ["seg_p0", "seg_p1", "seg_p2"]

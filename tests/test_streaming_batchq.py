@@ -101,9 +101,11 @@ def test_search_batch_matches_single(spark, corpus_df, oracle_idx, tmp_path):
 
 def test_lineage_df(spark, corpus_df, tmp_path):
     from engine.build import build_index
+    from engine.config import IndexConfig
     from engine.manifest import lineage_df
     d = str(tmp_path / "lin")
-    build_index(spark, corpus_df, d)
+    build_index(spark, corpus_df, d,
+                cfg=IndexConfig(pack_docs_per_slice=None, merge_passes=2))
     ldf = lineage_df(spark, d)
     rows = {r.segment_id: r for r in ldf.collect()}
     assert rows["seg_p2"].src_segments == ["seg_p1"]
