@@ -78,14 +78,19 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
 # DAAT scoring in Arrow UDFs -> global TakeOrderedAndProject
 # --------------------------------------------------------------------------
 
-def _score_shard_exhaustive(post_pdf, qmeta, cfg, k, mode, width):
+def _score_shard_exhaustive(post_pdf, qtfs, cfg, k, mode, width, n_required):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
-    Per-posting document lengths come from the inlined ``dls`` stream —
-    the scorer needs nothing but the (pruned) postings scan itself.
-    Accumulation is per-term in ASCENDING term order — the identical
-    float64 summation order as the pure-Python oracle (rank-identity).
-    Emits at most k rows (per-shard top-k heap analog).
+    Per-posting document lengths come from the inlined ``dls`` stream and
+    idf from the inlined ``idf`` column (broadcast-joined from the lexicon
+    inside the SAME job) — the scorer needs nothing but the (pruned)
+    postings scan itself. Accumulation is per-term in ASCENDING term order
+    — the identical float64 summation order as the pure-Python oracle
+    (rank-identity). Emits at most k rows (per-shard top-k heap analog).
+
+    ``n_required`` is the number of DISTINCT query terms; AND keeps docs
+    hitting all of them (a globally-absent term makes the count
+    unreachable, so AND with an unknown term is naturally empty).
     """
     import numpy as np
     from . import codec as C
@@ -99,7 +104,8 @@ def _score_shard_exhaustive(post_pdf, qmeta, cfg, k, mode, width):
     order = np.argsort(post_pdf["term"].to_numpy(object))  # ascending terms
     for i in order:
         term = post_pdf["term"].iloc[int(i)]
-        idf, qtf = qmeta[term]
+        idf = float(post_pdf["idf"].iloc[int(i)])
+        qtf = qtfs[term]
         ids, tfs = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
                                      post_pdf["tfs"].iloc[int(i)])
         dls = C.vbyte_decode(post_pdf["dls"].iloc[int(i)]).astype(np.float64)
@@ -110,7 +116,7 @@ def _score_shard_exhaustive(post_pdf, qmeta, cfg, k, mode, width):
         acc[loc] += contrib   # doc_ids unique within one (term, shard) row
         cnt[loc] += 1
     if mode == "AND":
-        hit = np.flatnonzero(cnt == len(qmeta))
+        hit = np.flatnonzero(cnt == n_required)
     else:
         hit = np.flatnonzero(cnt > 0)
     if hit.size == 0:
@@ -127,34 +133,34 @@ def _score_shard_exhaustive(post_pdf, qmeta, cfg, k, mode, width):
 
 def search(index, query: str, k: int = 10, mode: str = "OR",
            use_wand: bool = True) -> DataFrame:
-    """BM25 top-k over the packed on-disk index.
+    """BM25 top-k over the packed on-disk index — ONE Spark job.
 
-    Plan: lexicon lookup (term-pushdown collect) -> postings scan pruned to
-    the query terms' buckets (partition pruning) and terms (predicate
-    pushdown) -> cogroup with docmap by shard -> Arrow-batch scorer emits
-    <= k rows per shard -> orderBy(score desc, doc_id).limit(k)
-    (TakeOrderedAndProject).
+    Plan: term -> bucket driver-side (pure-Python xxhash64 twin, no
+    lookup job) -> postings scan pruned to those buckets (partition
+    pruning) and terms (predicate pushdown) -> broadcast-join the
+    term-filtered lexicon for idf (part of the same job, replaces the old
+    collect round-trip) -> per-shard Arrow scorer emits <= k rows ->
+    orderBy(score desc, doc_id).limit(k) (TakeOrderedAndProject).
     """
     from .build import PackedIndex  # noqa: F401 (typing)
+    from .xxh import term_bucket
     spark = index.spark
     mode = mode.upper()
     qtf = query_terms(query)
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not qtf:
         return empty
-    lex = index.lookup_terms(sorted(qtf))
-    if mode == "AND" and len(lex) < len(qtf):
-        return empty
-    if not lex:
-        return empty
-    buckets = sorted({v["bucket"] for v in lex.values()})
-    terms = sorted(lex)
-    qmeta = {t: (lex[t]["idf"], float(qtf[t])) for t in terms}
+    terms = sorted(qtf)
+    qtfs = {t: float(n) for t, n in qtf.items()}
+    n_required = len(terms)
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
     cols = ["term", "shard", "df", "doc_ids", "tfs", "dls"] + (
         ["blocks", "max_tf"] if use_wand and mode == "OR" else [])
+    lexq = index.lexicon().filter(F.col("term").isin(terms)).select("term", "idf")
     post = (index.postings()
             .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-            .select(*cols))
+            .select(*cols)
+            .join(F.broadcast(lexq), "term"))
     width = index.shard_width
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b, "avgdl": index.avgdl}
 
@@ -163,13 +169,14 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
 
         def fn(key, post_pdf):
             import pandas as pd
-            r = scorer_fn(post_pdf, qmeta, cfgd, k, width)
+            r = scorer_fn(post_pdf, qtfs, cfgd, k, width)
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
     else:
         def fn(key, post_pdf):
             import pandas as pd
-            r = _score_shard_exhaustive(post_pdf, qmeta, cfgd, k, mode, width)
+            r = _score_shard_exhaustive(post_pdf, qtfs, cfgd, k, mode, width,
+                                        n_required)
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
 
@@ -188,38 +195,32 @@ def search_batch(index, queries: list[dict], k: int = 10) -> DataFrame:
     """
     import pandas as pd
     from pyspark.sql import Window
+    from .xxh import term_bucket
     spark = index.spark
-    qtfs = {q["id"]: query_terms(q["query"]) for q in queries}
+    per_q = {q["id"]: query_terms(q["query"]) for q in queries}
     modes = {q["id"]: q["mode"].upper() for q in queries}
-    all_terms = sorted({t for qt in qtfs.values() for t in qt})
-    lex = index.lookup_terms(all_terms)
-    # per-query metadata; drop queries that can't match anything
-    qmetas = {}
-    for qid, qt in qtfs.items():
-        known = {t: (lex[t]["idf"], float(n)) for t, n in qt.items() if t in lex}
-        if not known:
-            continue
-        if modes[qid] == "AND" and len(known) < len(qt):
-            continue
-        qmetas[qid] = known
-    if not qmetas:
+    per_q = {qid: qt for qid, qt in per_q.items() if qt}
+    if not per_q:
         return spark.createDataFrame([], "qid string, doc_id long, score double")
-    scan_terms = sorted({t for m in qmetas.values() for t in m})
-    buckets = sorted({lex[t]["bucket"] for t in scan_terms})
+    scan_terms = sorted({t for qt in per_q.values() for t in qt})
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in scan_terms})
+    lexq = (index.lexicon().filter(F.col("term").isin(scan_terms))
+            .select("term", "idf"))
     post = (index.postings()
             .filter(F.col("bucket").isin(buckets)
                     & F.col("term").isin(scan_terms))
-            .select("term", "shard", "df", "doc_ids", "tfs", "dls"))
+            .select("term", "shard", "df", "doc_ids", "tfs", "dls")
+            .join(F.broadcast(lexq), "term"))
     width = index.shard_width
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b,
             "avgdl": index.avgdl}
 
     def fn(key, post_pdf):
         outs = []
-        for qid, qmeta in qmetas.items():
-            sub = post_pdf[post_pdf["term"].isin(list(qmeta))]
-            r = _score_shard_exhaustive(sub, qmeta, cfgd, k,
-                                        modes[qid], width)
+        for qid, qt in per_q.items():
+            sub = post_pdf[post_pdf["term"].isin(list(qt))]
+            r = _score_shard_exhaustive(sub, {t: float(n) for t, n in qt.items()},
+                                        cfgd, k, modes[qid], width, len(qt))
             if r is not None:
                 r.insert(0, "qid", qid)
                 outs.append(r)

@@ -60,7 +60,9 @@ def _decode_block(doc_payload, tf_payload, dl_payload, blocks, j):
 
 
 def score_shard_wand(post_pdf: pd.DataFrame,
-                     qmeta: dict, cfg: dict, k: int, width: int):
+                     qtfs: dict, cfg: dict, k: int, width: int):
+    """``qtfs``: term -> query-term frequency; idf arrives inlined as the
+    ``idf`` column (broadcast-joined from the lexicon in the same job)."""
     if len(post_pdf) == 0:
         return None
     k1, b, avgdl = cfg["k1"], cfg["b"], cfg["avgdl"]
@@ -70,6 +72,9 @@ def score_shard_wand(post_pdf: pd.DataFrame,
     nrows = len(post_pdf)
     terms = post_pdf["term"].to_numpy(object)
     dfs = post_pdf["df"].to_numpy()
+    idfs = post_pdf["idf"].to_numpy(dtype=np.float64)
+    qmeta = {terms[i]: (float(idfs[i]), float(qtfs[terms[i]]))
+             for i in range(nrows)}
     # global per-term upper bounds
     ubg = {}
     for i in range(nrows):
