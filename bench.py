@@ -64,6 +64,14 @@ def main():
                                    n_parts=max(8, int(cpus)))
         corpus = corpus.persist()
         n_turns = corpus.count()
+        # warmup build on a 1/8-size corpus: JVM JIT + python-worker spin-up
+        # are one-time per-process costs; the metric is steady-state
+        # throughput (a real cluster job runs minutes-hours, not seconds)
+        warm = spark_transcripts(spark, n_convs=max(1000, n_convs // 8),
+                                 n_parts=max(8, int(cpus))).persist()
+        warm.count()
+        build_index(spark, warm, f"{work}/warmup")
+        warm.unpersist()
         t_build, idx = tdur(build_index, spark, corpus, f"{work}/transcripts")
         queries["index_build"] = round(t_build, 4)
         queries["build_turns_per_sec"] = round(n_turns / t_build, 1)

@@ -109,6 +109,11 @@ def build_flat_index(spark: SparkSession, corpus: DataFrame,
     docmap = tokenized.filter(F.col("term").isNull()).select(
         "doc_id", "conv_id", "turn_idx", "dl")
     n_docs, avgdl = corpus_stats(docmap)
+    # docs + tokenized are materialized now; the sort base behind
+    # assign_doc_ids is no longer needed
+    base = getattr(docs, "_graft_cached_base", None)
+    if base is not None:
+        base.unpersist()
     lexicon = (postings.groupBy("term")
                .agg(F.count("*").alias("df"),
                     F.sum("tf").alias("cf"),
@@ -263,8 +268,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     }
     man.completed = True
     man.save(index_dir)
+    # release build-time caches: the served index lives on disk now
     if tokenized is not None:
         tokenized.unpersist()
+    docs.unpersist()
+    base = getattr(docs, "_graft_cached_base", None)
+    if base is not None:
+        base.unpersist()
     return load_index(spark, index_dir)
 
 

@@ -53,4 +53,8 @@ def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = ("conv_id", "turn_idx"
             pos += n
             yield b.append_column("doc_id", ids)
 
-    return part.mapInArrow(add_ids, out_schema)
+    out = part.mapInArrow(add_ids, out_schema)
+    # expose the persisted base so callers can unpersist it once their own
+    # materialization no longer depends on recomputing the sort
+    out._graft_cached_base = part
+    return out

@@ -30,7 +30,7 @@ def get_spark(app: str = "fulltext-engine", master: str | None = None,
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
          .config("spark.ui.enabled", "false"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)
