@@ -261,6 +261,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
         return ann_lsh_topk(e, qv, k=10, n_planes=8, radius=1, exclude_id=0)
 
+    def near_dup_embeddings(spark, sf):
+        from engine.dedup import embedding_near_dups
+        return embedding_near_dups(_emb(spark, sf), threshold=0.9)
+
+    def knn_join(spark, sf):
+        from engine.similarity import knn_join_lsh
+        return knn_join_lsh(_emb(spark, sf), k=3)
+
     def media_features(spark, sf):
         # multimodal plumbing (synthetic media; deterministic fake decoder;
         # no SQL twin -> rows-only check)
@@ -311,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "simhash": simhash_q,
         "ann_lsh": ann_lsh,
+        "near_dup_embeddings": near_dup_embeddings,
+        "knn_join": knn_join,
         "media_features": media_features,
     }
 
@@ -336,14 +346,44 @@ s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recon})::BIGINT AS simhash FROM s"""
 
 
-def _ann_lsh_sql(n_planes: int = 8, radius: int = 1, k: int = 10) -> str:
+def _lsh_bucket_frag(n_planes: int = 8) -> str:
+    """DuckDB twin of similarity.lsh_bucket_expr (same seed-42 planes)."""
     from engine.similarity import _planes
     planes = _planes(64, n_planes, 42)
     def arr(p):
         return "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]::DOUBLE[]"
-    bucket = " + ".join(
+    return " + ".join(
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr(p)}) > 0"
         f" THEN {1 << p} ELSE 0 END)" for p in range(n_planes))
+
+
+_COS_AB = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+
+
+def _near_dup_sql(threshold: float = 0.9, n_planes: int = 8) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding, ({_lsh_bucket_frag(n_planes)})::BIGINT AS bkt
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_AB}, 6) AS cos
+FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE round({_COS_AB}, 6) >= {threshold}"""
+
+
+def _knn_join_sql(k: int = 3, n_planes: int = 8) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding, ({_lsh_bucket_frag(n_planes)})::BIGINT AS bkt
+           FROM embeddings),
+p AS (SELECT a.vec_id AS id, b.vec_id AS neighbor, round({_COS_AB}, 6) AS cos
+      FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor ASC) AS rn
+      FROM p)
+SELECT id, neighbor, cos FROM r WHERE rn <= {k}"""
+
+
+def _ann_lsh_sql(n_planes: int = 8, radius: int = 1, k: int = 10) -> str:
+    bucket = _lsh_bucket_frag(n_planes)
     return f"""
 WITH e AS (SELECT vec_id, embedding, ({bucket})::BIGINT AS bkt FROM embeddings),
 q AS (SELECT embedding AS qv, bkt AS qbkt FROM e WHERE vec_id = 0)
@@ -487,4 +527,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM j WHERE jaccard >= 0.5""",
         "simhash": _simhash_sql(16),
         "ann_lsh": _ann_lsh_sql(8, 1, 10),
+        "near_dup_embeddings": _near_dup_sql(0.9, 8),
+        "knn_join": _knn_join_sql(3, 8),
     }

@@ -131,6 +131,17 @@ def build_flat_index(spark: SparkSession, corpus: DataFrame,
 # Packed on-disk index: full build orchestration (M2/M3)
 # --------------------------------------------------------------------------
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (driver-side metadata read — no
+    Spark job; the count is for manifest metrics only)."""
+    import pyarrow.dataset as pads
+    try:
+        return pads.dataset(path, format="parquet",
+                            partitioning="hive").count_rows()
+    except Exception:
+        return -1
+
+
 def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 cfg: IndexConfig = DEFAULT, n_parts: int | None = None,
                 resume: bool = True) -> "PackedIndex":
@@ -160,7 +171,6 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         # resume: corpus+docmap+stats already on disk
         n_docs, avgdl = man.n_docs, man.avgdl
         docs = spark.read.parquet(corpus_path)
-        tokenized = None
     else:
         man = Manifest(n_buckets=cfg.n_buckets, n_slices=cfg.n_slices,
                        block_size=cfg.block_size,
@@ -169,14 +179,21 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         with timer.time("docids"):
             docs = assign_doc_ids(corpus, n_parts=n_parts)
             docs.persist(StorageLevel.MEMORY_AND_DISK)
-        with timer.time("tokenize"):
-            tokenized = tokenize_corpus(docs).persist(StorageLevel.MEMORY_AND_DISK)
-            docmap = tokenized.filter(F.col("term").isNull()).select(
-                "doc_id", "conv_id", "turn_idx", "dl")
+        # The corpus-sized flat-postings IR is NEVER materialized: it
+        # streams from the tokenizer straight into the pack shuffle (the
+        # only layout that survives 100 TB — caching the IR costs more
+        # memory traffic than re-running the cheap narrow tokenize).
+        # The docmap pass tokenizes once for (dl, stats); the pack pass
+        # tokenizes again and keeps only posting rows.
+        with timer.time("docmap_stats"):
+            docmap = tokenize_corpus(docs).filter(F.col("term").isNull()) \
+                .select("doc_id", "conv_id", "turn_idx", "dl") \
+                .persist(StorageLevel.MEMORY_AND_DISK)
             n_docs, avgdl = corpus_stats(docmap)
         with timer.time("write_corpus_docmap"):
             docs.write.mode("overwrite").parquet(corpus_path)
             docmap.write.mode("overwrite").parquet(docmap_path)
+            docmap.unpersist()
         man.n_docs, man.avgdl = n_docs, avgdl
         man.shard_width = pack_mod.shard_width(n_docs, cfg.n_slices)
         man.save(index_dir)
@@ -210,18 +227,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         man.save(index_dir)
     seg = man.segment(seg0_id)
     if not (seg.status == "complete" and _success_marker(seg0_path)):
-        if tokenized is None:
-            # resume path: re-derive flat postings from the persisted corpus
-            tokenized = tokenize_corpus(docs)
-        postings = tokenized.filter(F.col("term").isNotNull()).select(
-            "doc_id", "term", "tf", "dl")
+        # postings stream from the (cached) corpus through the tokenizer
+        # directly into the pack shuffle — no corpus-sized intermediate
+        postings = tokenize_corpus(docs).filter(
+            F.col("term").isNotNull()).select("doc_id", "term", "tf", "dl")
         t0 = time.perf_counter()
         with timer.time("pack"):
             fine_cfg_width = w_fine
             packed = pack_mod.pack_postings_width(postings, fine_cfg_width, cfg)
-            pack_mod.with_bucket(packed, cfg).write.mode("overwrite") \
-                .partitionBy("bucket").parquet(seg0_path)
-        rows = spark.read.parquet(seg0_path).count()
+            pack_mod.write_segment(packed, seg0_path, cfg)
+        rows = _parquet_rows(seg0_path)
         man.mark_complete(seg0_id, rows, time.perf_counter() - t0)
         man.save(index_dir)
 
@@ -239,9 +254,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             with timer.time(f"merge_pass{p}"):
                 src = spark.read.parquet(prev_path)
                 merged = merge_mod.merge_pass(src, cfg.merge_fanin, cfg)
-                pack_mod.with_bucket(merged, cfg).write.mode("overwrite") \
-                    .partitionBy("bucket").parquet(seg_path)
-            rows = spark.read.parquet(seg_path).count()
+                pack_mod.write_segment(merged, seg_path, cfg)
+            rows = _parquet_rows(seg_path)
             man.mark_complete(seg_id, rows, time.perf_counter() - t0)
             man.save(index_dir)
         prev_path = seg_path
@@ -269,8 +283,6 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     man.completed = True
     man.save(index_dir)
     # release build-time caches: the served index lives on disk now
-    if tokenized is not None:
-        tokenized.unpersist()
     docs.unpersist()
     base = getattr(docs, "_graft_cached_base", None)
     if base is not None:

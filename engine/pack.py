@@ -133,6 +133,24 @@ def with_bucket(packed: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
         "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(cfg.n_buckets)).cast("int"))
 
 
+def write_segment(packed: DataFrame, path: str,
+                  cfg: IndexConfig = DEFAULT) -> None:
+    """Write a packed segment bucket-partitioned with a stable file layout.
+
+    The extra ``repartition(n_buckets, bucket)`` makes the file count
+    per ``bucket=`` dir independent of upstream parallelism (vs. up to
+    pack_partitions files per dir) — fewer files to commit/list/prune —
+    and ``sortWithinPartitions(term, shard)`` clusters rows so parquet
+    row-group min/max stats on ``term`` stay tight for query-time
+    predicate pushdown. The payload at this point is packed (vocab-sized,
+    not corpus-sized), so the shuffle is cheap.
+    """
+    (with_bucket(packed, cfg)
+     .repartition(cfg.n_buckets, "bucket")
+     .sortWithinPartitions("term", "shard")
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
 def term_buckets(spark, terms: list[str], cfg: IndexConfig = DEFAULT) -> dict[str, int]:
     """bucket ids for query terms, via the same JVM xxhash64 (one tiny job)."""
     if not terms:

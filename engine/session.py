@@ -31,6 +31,10 @@ def get_spark(app: str = "fulltext-engine", master: str | None = None,
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+         # v2 commit: tasks move their output files directly; the driver
+         # only writes _SUCCESS (v1 renames every file serially on the
+         # driver — a hidden serial stage that caps scaling efficiency)
+         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
          .config("spark.ui.enabled", "false"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -71,8 +71,7 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     seg_path = os.path.join(index_dir, "segments", inc_id)
     t0 = time.perf_counter()
     packed = pack_mod.pack_postings_width(postings, man.shard_width, cfg)
-    pack_mod.with_bucket(packed, cfg).write.mode("overwrite") \
-        .partitionBy("bucket").parquet(seg_path)
+    pack_mod.write_segment(packed, seg_path, cfg)
     docs.write.mode("append").parquet(os.path.join(index_dir, "corpus"))
     docmap.write.mode("append").parquet(os.path.join(index_dir, "docmap"))
     tokenized.unpersist()
@@ -105,8 +104,7 @@ def compact(spark: SparkSession, index_dir: str,
     merged = merge_mod.merge_pass(union, fanin=1, cfg=cfg)
     out_id = f"seg_c{sum(1 for s in man.segments if s.segment_id.startswith('seg_c')):03d}"
     out_path = os.path.join(index_dir, "segments", out_id)
-    pack_mod.with_bucket(merged, cfg).write.mode("overwrite") \
-        .partitionBy("bucket").parquet(out_path)
+    pack_mod.write_segment(merged, out_path, cfg)
     lex = (spark.read.parquet(out_path)
            .groupBy("term", "bucket")
            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
