@@ -6,14 +6,21 @@ DataFrames. The packed/compressed segment index (M2+) builds on top of the
 same flat IR.
 
 Scale notes (100 TB design):
-* Tokenization is ONE ``mapInArrow`` pass; it emits posting rows AND one
-  sentinel row per document (term=NULL) carrying (conv_id, turn_idx, dl),
-  so the docmap falls out of the same pass with no second tokenization and
-  no extra shuffle — both outputs inherit the doc-range partitioning.
-* All counting per document happens inside the Arrow batch (pandas C
-  groupby); nothing per-row in Python.
+* The corpus-sized flat-postings IR is never materialized in the packed
+  build: the tokenizer's output streams straight into the pack shuffle.
+  The docmap/stats come from a separate tokenize pass — re-running the
+  cheap narrow transform beats caching a corpus-sized intermediate (which
+  is impossible at 100 TB regardless).
+* The tokenizer emits posting rows AND one sentinel row per document
+  (term=NULL) carrying (conv_id, turn_idx, dl), so either consumer
+  (postings / docmap) is a filter over one ``mapInArrow`` pass with no
+  extra shuffle — both inherit the doc-range partitioning.
+* All counting per document happens inside the Arrow batch (RE2 kernels +
+  np.unique; pandas fallback for non-ASCII); nothing per-row in Python.
 * Lexicon/stats are classic partial+final hash aggregations (Catalyst
   splits them automatically — map-side combine before the shuffle).
+* ``build_flat_index`` (the interactive/M1 layer) keeps the cached-IR
+  layout — right for corpora that fit memory and repeated ad-hoc queries.
 """
 
 from __future__ import annotations
