@@ -91,6 +91,20 @@ def score_shard_wand(post_pdf: pd.DataFrame,
     s_tf = s_tfs.astype(np.float64)
     s_contrib = (s_qtf * s_idf * (s_tf * (k1 + 1.0))
                  / (s_tf + k1 * (1.0 - b + b * s_dls / avgdl)))
+    if nrows == 1:
+        # single-term query (in this shard): the seed scoring IS the final
+        # scoring — skip block pruning + candidate re-decode entirely
+        hit = np.flatnonzero(s_contrib != 0.0)
+        if hit.size == 0:
+            return None
+        scores = s_contrib[hit]
+        docs = s_ids[hit]
+        if hit.size > k:
+            part = np.argpartition(-scores, k - 1)[:k]
+            docs, scores = docs[part], scores[part]
+        srt = np.lexsort((docs, -scores))
+        return pd.DataFrame({"doc_id": docs[srt].astype(np.int64),
+                             "score": scores[srt]})
     if s_contrib.size >= k:
         theta = float(np.partition(s_contrib, s_contrib.size - k)[s_contrib.size - k])
     else:
