@@ -96,14 +96,16 @@ def _flat_index(spark: SparkSession, sf_dir: str):
     return _FLAT_IDX_CACHE[key]
 
 
-def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str) -> DataFrame:
+def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str,
+                 exclude: str | None = None) -> DataFrame:
     from engine import query as Q
     idx = _flat_index(spark, sf_dir)
-    top = Q.search_flat(idx, query, k=10, mode=mode)
+    top = Q.search_flat(idx, query, k=10, mode=mode, exclude=exclude)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
-def _bm25_sql(query_terms: list[str], mode: str, k: int = 10) -> str:
+def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
+              exclude: list[str] | None = None) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents."""
     from collections import Counter
     qtf = Counter(query_terms)
@@ -140,8 +142,17 @@ scored AS (
   GROUP BY tf.doc_id {and_filter}
 )
 SELECT doc_id, round(score, 6) AS score FROM scored
+{_not_in_clause(exclude)}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def _not_in_clause(exclude: list[str] | None) -> str:
+    if not exclude:
+        return ""
+    negs = ", ".join(f"'{t}'" for t in sorted(exclude))
+    return (f"WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks"
+            f" WHERE term IN ({negs}))")
 
 
 # --------------------------------------------------------------------------
@@ -199,6 +210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_qtf(spark, sf):
         return _bm25_engine(spark, sf, "spark spark vector", "OR")
+
+    def bm25_not(spark, sf):
+        # boolean NOT: rank for "spark join", excluding docs with "hash"
+        return _bm25_engine(spark, sf, "spark join", "OR", exclude="hash")
 
     def fingerprint(spark, sf):
         # document fingerprint: md5 over the NORMALIZED token stream
@@ -306,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": bm25_or,
         "bm25_and": bm25_and,
         "bm25_qtf": bm25_qtf,
+        "bm25_not": bm25_not,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -440,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or": _bm25_sql(["spark", "join", "fast"], "OR"),
         "bm25_and": _bm25_sql(["hash", "join", "merge"], "AND"),
         "bm25_qtf": _bm25_sql(["spark", "spark", "vector"], "OR"),
+        "bm25_not": _bm25_sql(["join", "spark"], "OR", exclude=["hash"]),
         "fingerprint": f"""
             SELECT doc_id,
                    md5(array_to_string({_TOK_SQL}, ' ')) AS fp

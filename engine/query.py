@@ -37,13 +37,15 @@ def bm25_score_col(tf_col, dl_col, idf_col, qtf_col, avgdl: float,
 
 
 def search_flat(idx: FlatIndex, query: str, k: int = 10,
-                mode: str = "OR") -> DataFrame:
+                mode: str = "OR", exclude: str | None = None) -> DataFrame:
     """BM25 top-k over the flat postings IR.
 
     Returns (doc_id, score) ordered by (score desc, doc_id asc), k rows.
     mode=AND keeps only docs containing ALL distinct query terms
     (posting-list intersection as a grouped count filter — the DataFrame
-    form of a k-way semi-join).
+    form of a k-way semi-join). ``exclude``: boolean NOT — drop docs
+    containing ANY of these terms (posting-list set difference as a
+    ``left_anti`` join).
     """
     spark = idx.docs.sparkSession
     qtf = query_terms(query)
@@ -69,6 +71,11 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
               .agg(F.sum("_s").alias("score"), F.count("*").alias("_nt")))
     if mode.upper() == "AND":
         scored = scored.filter(F.col("_nt") == n_known)
+    neg = sorted(set(tokenize_py(exclude)) - set(qtf)) if exclude else []
+    if neg:
+        negdocs = (idx.postings.filter(F.col("term").isin(neg))
+                   .select("doc_id").distinct())
+        scored = scored.join(negdocs, "doc_id", "left_anti")
     return (scored.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
@@ -78,7 +85,8 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
 # DAAT scoring in Arrow UDFs -> global TakeOrderedAndProject
 # --------------------------------------------------------------------------
 
-def _score_shard_exhaustive(post_pdf, qtfs, cfg, k, mode, width, n_required):
+def _score_shard_exhaustive(post_pdf, qtfs, cfg, k, mode, width, n_required,
+                            neg_terms=frozenset()):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
     Per-posting document lengths come from the inlined ``dls`` stream and
@@ -100,10 +108,16 @@ def _score_shard_exhaustive(post_pdf, qtfs, cfg, k, mode, width, n_required):
     start = shard * width
     acc = np.zeros(width, dtype=np.float64)
     cnt = np.zeros(width, dtype=np.int32)
+    negmask = np.zeros(width, dtype=bool) if neg_terms else None
     k1, b, avgdl = cfg["k1"], cfg["b"], cfg["avgdl"]
     order = np.argsort(post_pdf["term"].to_numpy(object))  # ascending terms
     for i in order:
         term = post_pdf["term"].iloc[int(i)]
+        if term in neg_terms:
+            ids, _ = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
+                                       post_pdf["tfs"].iloc[int(i)])
+            negmask[ids - start] = True
+            continue
         idf = float(post_pdf["idf"].iloc[int(i)])
         qtf = qtfs[term]
         ids, tfs = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
@@ -115,6 +129,8 @@ def _score_shard_exhaustive(post_pdf, qtfs, cfg, k, mode, width, n_required):
                    / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
         acc[loc] += contrib   # doc_ids unique within one (term, shard) row
         cnt[loc] += 1
+    if negmask is not None:
+        cnt[negmask] = -1     # excluded docs can never hit
     if mode == "AND":
         hit = np.flatnonzero(cnt == n_required)
     else:
@@ -132,7 +148,7 @@ def _score_shard_exhaustive(post_pdf, qtfs, cfg, k, mode, width, n_required):
 
 
 def search(index, query: str, k: int = 10, mode: str = "OR",
-           use_wand: bool = True) -> DataFrame:
+           use_wand: bool = True, exclude: str | None = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     Plan: term -> bucket driver-side (pure-Python xxhash64 twin, no
@@ -150,19 +166,25 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not qtf:
         return empty
+    neg = sorted(set(tokenize_py(exclude)) - set(qtf)) if exclude else []
     terms = sorted(qtf)
     qtfs = {t: float(n) for t, n in qtf.items()}
     n_required = len(terms)
-    buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
+    scan_terms = sorted(set(terms) | set(neg))
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in scan_terms})
+    use_wand = use_wand and not neg  # NOT-mode scores via the exhaustive path
     cols = ["term", "shard", "df", "doc_ids", "tfs", "dls"] + (
         ["blocks", "max_tf"] if use_wand and mode == "OR" else [])
-    lexq = index.lexicon().filter(F.col("term").isin(terms)).select("term", "idf")
+    lexq = (index.lexicon().filter(F.col("term").isin(scan_terms))
+            .select("term", "idf"))
     post = (index.postings()
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(scan_terms))
             .select(*cols)
             .join(F.broadcast(lexq), "term"))
     width = index.shard_width
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b, "avgdl": index.avgdl}
+    neg_set = frozenset(neg)
 
     if use_wand and mode == "OR":
         from .wand import score_shard_wand as scorer_fn
@@ -176,7 +198,7 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
         def fn(key, post_pdf):
             import pandas as pd
             r = _score_shard_exhaustive(post_pdf, qtfs, cfgd, k, mode, width,
-                                        n_required)
+                                        n_required, neg_set)
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
 

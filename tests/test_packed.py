@@ -108,3 +108,20 @@ def test_packed_text_roundtrip(packed_index, corpus_pdf):
     assert rows
     for r in rows:
         assert r["text"] == corpus_pdf.text.iloc[r["doc_id"]]
+
+
+def test_not_mode_packed_equals_flat(spark, packed_index, flat_index):
+    """Boolean NOT (set difference): packed scorer's negmask == flat
+    path's left_anti join, on a query whose positive hits include docs
+    with the excluded term."""
+    got = Q.search(packed_index, "hot0", k=10, mode="OR",
+                   exclude="hot1").collect()
+    want = Q.search_flat(flat_index, "hot0", k=10, mode="OR",
+                         exclude="hot1").collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == \
+           [(r.doc_id, round(r.score, 9)) for r in want]
+    assert got, "exclusion query should still match something"
+    # and the excluded docs are really gone
+    hot1_docs = {r.doc_id for r in
+                 Q.search_flat(flat_index, "hot1", k=10000).collect()}
+    assert not ({r.doc_id for r in got} & hot1_docs)
