@@ -284,6 +284,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from engine.similarity import knn_join_lsh
         return knn_join_lsh(_emb(spark, sf), k=3)
 
+    def events_hourly(spark, sf):
+        # date functions: hourly rollup over the events table (count +
+        # min/max are order-independent -> float-safe oracle compare)
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                          "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.min("value"), 6).alias("min_value"),
+                     F.round(F.max("value"), 6).alias("max_value")))
+
+    def user_sessions(spark, sf):
+        # session-window aggregation (30-min inactivity gap) per user
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        return (e.groupBy("user_id",
+                          F.session_window("ts", "30 minutes").alias("w"))
+                .agg(F.count("*").alias("n_events"))
+                .select("user_id",
+                        F.col("w.start").alias("session_start"),
+                        "n_events"))
+
     def media_features(spark, sf):
         # multimodal plumbing (synthetic media; deterministic fake decoder;
         # no SQL twin -> rows-only check)
@@ -337,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "near_dup_embeddings": near_dup_embeddings,
         "knn_join": knn_join,
+        "events_hourly": events_hourly,
+        "user_sessions": user_sessions,
         "media_features": media_features,
     }
 
@@ -546,4 +568,24 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(8, 1, 10),
         "near_dup_embeddings": _near_dup_sql(0.9, 8),
         "knn_join": _knn_join_sql(3, 8),
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events GROUP BY 1, 2""",
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid""",
     }
