@@ -278,7 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def near_dup_embeddings(spark, sf):
         from engine.dedup import embedding_near_dups
-        return embedding_near_dups(_emb(spark, sf), threshold=0.9)
+        return embedding_near_dups(_emb(spark, sf), threshold=0.3)
 
     def knn_join(spark, sf):
         from engine.similarity import knn_join_lsh
@@ -566,7 +566,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM j WHERE jaccard >= 0.5""",
         "simhash": _simhash_sql(16),
         "ann_lsh": _ann_lsh_sql(8, 1, 10),
-        "near_dup_embeddings": _near_dup_sql(0.9, 8),
+        "near_dup_embeddings": _near_dup_sql(0.3, 8),
         "knn_join": _knn_join_sql(3, 8),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

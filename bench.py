@@ -9,12 +9,14 @@ Two workloads:
    build + BM25/WAND searches + the training-data ops.
 2. **Transcript corpus** (FIXTURES.md, deterministic seed=42): index build
    throughput (turns/sec) + frozen-query-set latency p50 — the
-   BASELINE.json metrics. Size via $SPARK_GRAFT_BENCH_CONVS (default 20000
-   convs ~ 130k turns; BASELINE protocol uses 150000).
+   BASELINE.json metrics. Size via $SPARK_GRAFT_BENCH_CONVS (default
+   100000 convs ~ 650k turns — large enough that steady-state work, not
+   fixed per-job overhead, dominates). A 1/8-size warmup build runs first
+   (JIT/worker spin-up excluded from the timed build).
 
-Scaling protocol (N vs 4N): run this script twice with
-``SPARK_GRAFT_CPUS=8`` and ``=32``; see bench/run_scaling.py which does
-both and writes BENCH/BASELINE.md.
+Scaling protocol (N vs 4N): bench/run_scaling.py runs this script at
+SPARK_GRAFT_SCALE_LEVELS (default 1,4 — see BENCH/BASELINE.md for the
+single-box contention rationale) and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ def tdur(fn, *a, **kw):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from engine.session import get_spark
