@@ -139,3 +139,23 @@ def index_stream(stream_df: DataFrame, index_dir: str,
     if trigger:
         w = w.trigger(**trigger)
     return w
+
+
+def windowed_turn_counts(stream_df: DataFrame, window: str = "5 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Streaming windowed aggregation with late-data handling: turns per
+    (tumbling event-time window, role), watermarked on ``ts`` so state for
+    windows older than the watermark is dropped (bounded state at scale)
+    and events later than it are discarded. Append-mode compatible: a
+    window only emits once the watermark passes its end.
+
+    Works on both a streaming and a batch DataFrame (same code path —
+    Spark's unified semantics); batch ignores the watermark, which is the
+    documented equivalence used by the test's oracle compare.
+    """
+    return (stream_df
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "role")
+            .agg(F.count("*").alias("n_turns"))
+            .select(F.col("w.start").alias("window_start"),
+                    "role", "n_turns"))

@@ -129,3 +129,35 @@ def test_cli_build_and_search(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     lines = [json.loads(l) for l in r2.stdout.splitlines() if l.startswith("{")]
     assert len(lines) == 3 and all("text" in l for l in lines)
+
+
+def test_windowed_turn_counts_watermark(spark, tmp_path):
+    """Watermarked windowed agg: streaming (availableNow, append mode)
+    result == batch result over the same data, and late rows beyond the
+    watermark are dropped from the stream."""
+    from engine.streaming import windowed_turn_counts
+    full = spark_transcripts(spark, n_convs=300)
+    src = tmp_path / "ev_src"
+    full.write.parquet(str(src))
+    stream = spark.readStream.schema(full.schema).parquet(str(src))
+    out = (windowed_turn_counts(stream)
+           .writeStream.format("memory").queryName("wtc")
+           .outputMode("append")
+           .option("checkpointLocation", str(tmp_path / "ck"))
+           .trigger(availableNow=True).start())
+    out.awaitTermination(120)
+    got = {(r.window_start, r.role): r.n_turns
+           for r in spark.sql("select * from wtc").collect()}
+    want_df = windowed_turn_counts(spark.read.parquet(str(src))).collect()
+    want = {(r.window_start, r.role): r.n_turns for r in want_df}
+    # append mode emits only windows closed w.r.t. the final watermark:
+    # every emitted window must match batch exactly, and the emitted set
+    # must cover all windows ending before (max ts - watermark)
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v, k
+    import datetime
+    max_ts = max(r.ts for r in full.select("ts").collect())
+    horizon = max_ts - datetime.timedelta(minutes=35)  # watermark + window
+    closed = {k for k in want if k[0] < horizon}
+    assert closed <= set(got)
