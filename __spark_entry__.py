@@ -276,6 +276,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
         return ann_lsh_topk(e, qv, k=10, n_planes=8, radius=1, exclude_id=0)
 
+    def ann_ivf(spark, sf):
+        from engine.similarity import ivf_topk
+        e = _emb(spark, sf)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        return ivf_topk(e, qv, _ivf_codebook(), k=10, nprobe=2,
+                        exclude_id=0)
+
     def near_dup_embeddings(spark, sf):
         from engine.dedup import embedding_near_dups
         return embedding_near_dups(_emb(spark, sf), threshold=0.3)
@@ -355,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "simhash": simhash_q,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "near_dup_embeddings": near_dup_embeddings,
         "knn_join": knn_join,
         "events_hourly": events_hourly,
@@ -382,6 +390,46 @@ h AS (SELECT doc_id, tf,
              ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
 s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recon})::BIGINT AS simhash FROM s"""
+
+
+def _ivf_codebook():
+    """Data-independent IVF codebook (seeded random directions) so the
+    DuckDB oracle reproduces identical cells at ANY scale factor; the
+    learned-kmeans path (similarity.ivf_centroids) is the production
+    variant and is exercised in pytest."""
+    from engine.similarity import ivf_random_codebook
+    return ivf_random_codebook(64, 8)
+
+
+def _ann_ivf_sql(nprobe: int = 2, k: int = 10) -> str:
+    from engine.similarity import _cell_scores
+    cs = _cell_scores(_ivf_codebook())
+
+    def arr(c):
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+
+    def score(col, c, h):
+        return f"list_dot_product({col}::DOUBLE[], {arr(c)}) - {h!r}"
+
+    e_scores = ", ".join(score("embedding", c, h) for c, h in cs)
+    q_scores = ", ".join(score("qv", c, h) for c, h in cs)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_indexof([{e_scores}], list_max([{e_scores}])) AS cell
+  FROM embeddings
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT [{q_scores}] AS sc FROM q),
+cells AS (SELECT j AS cell, sc[j] AS s
+          FROM qs, generate_series(1, {len(cs)}) AS t(j)),
+probe AS (SELECT cell FROM cells ORDER BY s DESC, cell ASC LIMIT {nprobe})
+SELECT vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cos
+FROM e, q WHERE e.cell IN (SELECT cell FROM probe) AND vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
 
 
 def _lsh_bucket_frag(n_planes: int = 8) -> str:
@@ -566,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM j WHERE jaccard >= 0.5""",
         "simhash": _simhash_sql(16),
         "ann_lsh": _ann_lsh_sql(8, 1, 10),
+        "ann_ivf": _ann_ivf_sql(2, 10),
         "near_dup_embeddings": _near_dup_sql(0.3, 8),
         "knn_join": _knn_join_sql(3, 8),
         "events_hourly": """

@@ -123,3 +123,68 @@ def knn_join_lsh(emb: DataFrame, k: int = 5, n_planes: int = 8,
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k).drop("rn"))
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cell probing
+# --------------------------------------------------------------------------
+
+def ivf_centroids(sample: np.ndarray, n_cells: int = 8, iters: int = 10,
+                  seed: int = 42) -> np.ndarray:
+    """Deterministic tiny k-means (Lloyd's, fixed iters) over a coarse
+    sample — the IVF codebook. Engine-independent: callers embed the
+    centroids as literals so any engine assigns identical cells."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(sample, dtype=np.float64)
+    c = x[rng.choice(len(x), size=n_cells, replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(n_cells):
+            m = x[a == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+    return c
+
+
+def _cell_scores(centroids: np.ndarray):
+    """Per-cell affinity  v·c_j − ||c_j||²/2  (argmax == nearest centroid
+    by L2; ||v||² is constant across cells so it drops out)."""
+    return [(c, 0.5 * float(c @ c)) for c in np.asarray(centroids, np.float64)]
+
+
+def ivf_cell_expr(vec_col, centroids) -> "F.Column":
+    """Nearest-centroid cell id as a Spark expression (1-based argmax via
+    array_position — first-match tie-break, mirrored in the SQL twin)."""
+    v = vec_col.cast("array<double>")
+    scores = [dot_expr(v, F.array(*[F.lit(float(x)) for x in c])) - F.lit(h)
+              for c, h in _cell_scores(centroids)]
+    arr = F.array(*scores)
+    return F.array_position(arr, F.array_max(arr)).cast("int")
+
+
+def ivf_topk(emb: DataFrame, query_vec, centroids, k: int = 10,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             exclude_id: int | None = None) -> DataFrame:
+    """IVF ANN: scan only the ``nprobe`` cells whose centroids are nearest
+    the query, exact cosine + top-k on the survivors. At cluster scale the
+    cell id is a storage partition key, so unprobed cells never leave
+    disk (same pruning story as the LSH buckets, different geometry —
+    IVF adapts to the data distribution via the learned codebook)."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qs = [q @ c - h for c, h in _cell_scores(centroids)]
+    order = np.argsort([-s for s in qs], kind="stable")
+    probe = [int(j) + 1 for j in order[:nprobe]]  # 1-based cell ids
+    cell = ivf_cell_expr(F.col(vec_col), centroids)
+    pruned = emb.withColumn("_cell", cell).filter(F.col("_cell").isin(probe))
+    return cosine_topk(pruned, q, k, id_col, vec_col, exclude_id)
+
+
+def ivf_random_codebook(dim: int = 64, n_cells: int = 8,
+                        seed: int = 7) -> np.ndarray:
+    """Data-independent seeded codebook (random directions). Used where an
+    engine-external oracle must reproduce the cells without access to a
+    training sample; production indexes train ivf_centroids instead."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_cells, dim))

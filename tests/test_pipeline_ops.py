@@ -213,3 +213,24 @@ def test_multimodal_raise_stub(spark):
     media = synthetic_media(spark, n=3)
     with pytest.raises(Exception, match="decode requires"):
         extract_features(media, decode_stub="raise").collect()
+
+
+def test_ivf_learned_codebook(spark):
+    """Learned-kmeans IVF: cells cover all vectors, k-means is
+    deterministic, and nprobe=n_cells degenerates to exact brute force."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from engine.similarity import cosine_topk, ivf_centroids, ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sample = np.stack([r.embedding for r in
+                       emb.orderBy("vec_id").limit(128).collect()])
+    cb = ivf_centroids(sample, n_cells=4)
+    assert np.allclose(cb, ivf_centroids(sample, n_cells=4))  # deterministic
+    qv = emb.filter(F.col("vec_id") == 0).first().embedding
+    exact = [(r.vec_id, r.cos) for r in
+             cosine_topk(emb, qv, k=5, exclude_id=0).collect()]
+    full_probe = [(r.vec_id, r.cos) for r in
+                  ivf_topk(emb, qv, cb, k=5, nprobe=4, exclude_id=0).collect()]
+    assert full_probe == exact  # probing every cell == brute force
+    approx = ivf_topk(emb, qv, cb, k=5, nprobe=1, exclude_id=0).collect()
+    assert 0 < len(approx) <= 5
