@@ -56,8 +56,10 @@ def main():
     try:
         # ---- workload 1: driver-table queries (documents corpus) ----
         qs = entry.queries()
-        for name in ["term_stats", "bm25_or", "bm25_and", "intersect_and",
-                     "dedup_exact", "quality_score", "ann_cosine"]:
+        for name in ["term_stats", "bm25_or", "bm25_and", "bm25_not",
+                     "intersect_and", "dedup_exact", "quality_score",
+                     "ann_cosine", "ann_ivf", "events_hourly",
+                     "user_sessions"]:
             dt, _ = tdur(lambda: qs[name](spark, sf_dir).collect())
             queries[name] = round(dt, 4)
 
