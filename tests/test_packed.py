@@ -125,3 +125,29 @@ def test_not_mode_packed_equals_flat(spark, packed_index, flat_index):
     hot1_docs = {r.doc_id for r in
                  Q.search_flat(flat_index, "hot1", k=10000).collect()}
     assert not ({r.doc_id for r in got} & hot1_docs)
+
+
+def test_index_identical_across_parallelism(spark, corpus_df, oracle_idx,
+                                            tmp_path):
+    """The north rule's cross-cluster-size determinism, directly: building
+    the index at different parallelism (partition counts) yields
+    IDENTICAL packed content — same (term, shard) rows, byte-identical
+    payloads — hence identical ranking everywhere."""
+    from engine.build import build_index
+
+    def content(idx):
+        return {(r["term"], r["shard"]):
+                (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]))
+                for r in spark.read.parquet(idx.postings_path).collect()}
+
+    a = build_index(spark, corpus_df.repartition(3),
+                    str(tmp_path / "p3"), n_parts=3)
+    b = build_index(spark, corpus_df.repartition(16),
+                    str(tmp_path / "p16"), n_parts=16)
+    ca, cb = content(a), content(b)
+    assert ca == cb
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           Q.search(a, "hot0 rare3", k=10).collect()]
+    want = [(d, round(s, 9)) for d, s in
+            oracle_idx.search("hot0 rare3", 10, "OR")]
+    assert got == want
