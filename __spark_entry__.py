@@ -6,9 +6,11 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 Queries exercise the engine's operators (SURVEY.md §2) over the driver's
-``documents`` / ``embeddings`` tables; the full packed-index/WAND paths are
-additionally tested in ``tests/`` against the pure-Python oracle on the
-synthetic transcript corpus.
+``documents`` / ``embeddings`` tables; the bm25_* queries run the FULL
+packed index (VByte segments + Block-Max WAND) — the flagship path — so
+the external DuckDB gate checks the code the engine ships. The flat
+expression-form path remains a pytest cross-check against the same
+oracle on the synthetic transcript corpus.
 
 Conventions for oracle parity:
 * every computed column aliased identically on both sides;
@@ -67,48 +69,58 @@ def _corpus_from_documents(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Build the engine's index over the sf0.001 documents corpus and run
-    the flagship BM25 top-10 search, materialized back to text."""
-    from engine.build import build_flat_index
+    """Build the engine's PACKED index (VByte segments + block-max
+    metadata) over the sf0.001 documents corpus and run the flagship BM25
+    top-10 WAND search, materialized back to text."""
     from engine import query as Q
-    docs = _docs(spark, "/root/testdata/sf0.001")
-    idx = build_flat_index(spark, _corpus_from_documents(docs))
-    top = Q.search_flat(idx, "spark join fast", k=10, mode="OR")
-    return Q.materialize(idx, top)
+    idx = _packed_index(spark, "/root/testdata/sf0.001")
+    top = Q.search(idx, "spark join fast", k=10, mode="OR")
+    return Q.materialize_packed(idx, top)
 
 
 # --------------------------------------------------------------------------
-# engine-path BM25 over documents (runs the REAL index build + query)
+# engine-path BM25 over documents (runs the REAL index build + query):
+# the packed VByte/delta segment index queried with Block-Max WAND — the
+# flagship path the engine ships (VERDICT r1 top item: the external
+# DuckDB gate must exercise it; the flat path stays a pytest cross-check).
 # --------------------------------------------------------------------------
 
-_FLAT_IDX_CACHE: dict = {}
+_PACKED_IDX_CACHE: dict = {}
 
 
-def _flat_index(spark: SparkSession, sf_dir: str):
-    """Build-once flat index per (session, corpus) — the index build is a
-    separate pipeline stage from query execution, so the three bm25_*
-    queries share one build (mirrors real usage: build once, query many)."""
-    from engine.build import build_flat_index
+def _packed_index(spark: SparkSession, sf_dir: str):
+    """Build-once packed index per (session, corpus) — the index build is
+    a separate pipeline stage from query execution, so the bm25_* queries
+    share one build (mirrors real usage: build once, query many)."""
+    import tempfile
+    from engine.build import build_index
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _FLAT_IDX_CACHE:
-        _FLAT_IDX_CACHE[key] = build_flat_index(
-            spark, _corpus_from_documents(_docs(spark, sf_dir)))
-    return _FLAT_IDX_CACHE[key]
+    if key not in _PACKED_IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="entry_idx_")
+        _PACKED_IDX_CACHE[key] = build_index(
+            spark, _corpus_from_documents(_docs(spark, sf_dir)), d)
+    return _PACKED_IDX_CACHE[key]
 
 
 def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str,
                  exclude: str | None = None) -> DataFrame:
     from engine import query as Q
-    idx = _flat_index(spark, sf_dir)
-    top = Q.search_flat(idx, query, k=10, mode=mode, exclude=exclude)
+    idx = _packed_index(spark, sf_dir)
+    top = Q.search(idx, query, k=10, mode=mode, exclude=exclude)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               exclude: list[str] | None = None) -> str:
-    """DuckDB BM25 (identical frozen constants/idf) over documents."""
+    """DuckDB BM25 (identical frozen constants/idf) over documents.
+
+    NOT semantics (frozen, documented in engine/query.py): an excluded
+    term that is ALSO a positive query term is dropped from the exclusion
+    set — mirrored here so oracle and engine agree on the contract."""
     from collections import Counter
     qtf = Counter(query_terms)
+    if exclude:
+        exclude = sorted(set(exclude) - set(qtf))
     terms_in = ", ".join(f"'{t}'" for t in sorted(qtf))
     qtf_rows = ", ".join(f"('{t}', {n}::DOUBLE)" for t, n in sorted(qtf.items()))
     n_distinct = len(qtf)
@@ -506,7 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": f"""
             WITH dl AS (SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents)
             SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl,
-                   sum(dl) AS n_tokens FROM dl""",
+                   sum(dl)::BIGINT AS n_tokens FROM dl""",
         "lexicon_idf": f"""
             WITH d AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
                        FROM ({toks_cte}) GROUP BY term),

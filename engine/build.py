@@ -93,6 +93,26 @@ class FlatIndex:
     avgdl: float
     cfg: IndexConfig
 
+    def lookup_terms(self, terms: list[str]) -> dict[str, dict]:
+        """term -> {df, idf} for query terms only — ONE driver-side
+        collect of <= |query| lexicon rows, memoized (absent terms too).
+        Serves the broadcast side, the AND-arity check, and idf without
+        scheduling a separate count job per query (the query vocab is
+        tiny vs the lexicon; never a full-lexicon collect)."""
+        if not terms:
+            return {}
+        cache = getattr(self, "_term_cache", None)
+        if cache is None:
+            cache = self._term_cache = {}
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            rows = self.lexicon.filter(F.col("term").isin(missing)).collect()
+            for r in rows:
+                cache[r["term"]] = {"df": r["df"], "idf": r["idf"]}
+            for t in missing:
+                cache.setdefault(t, None)  # absent from corpus
+        return {t: cache[t] for t in terms if cache.get(t) is not None}
+
 
 def idf_col(df_col, n_docs: int, variant: str):
     """BM25 idf as a Spark Column (must mirror oracle.OracleIndex.idf)."""
@@ -149,13 +169,23 @@ def _parquet_rows(path: str) -> int:
         return -1
 
 
+def effective_slices(cfg: IndexConfig, n_docs: int) -> int:
+    """Resolved scoring-shard count: grows with the corpus so the dense
+    per-shard accumulators in the scorers stay <= docs_per_score_shard
+    docs wide regardless of scale (the 100x memory-bound guarantee)."""
+    return max(cfg.n_slices, -(-n_docs // max(1, cfg.docs_per_score_shard)))
+
+
 def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 cfg: IndexConfig = DEFAULT, n_parts: int | None = None,
                 resume: bool = True) -> "PackedIndex":
     """Full pipeline: corpus -> docIDs -> tokenize -> pack (fine slices) ->
     merge passes -> lexicon/docmap/corpus/manifest on disk. Resumable: each
     pass checkpoints the manifest; completed passes are skipped on rerun
-    (SURVEY.md D5/A5).
+    (SURVEY.md D5/A5). The resolved plan (effective slice count, fan-in,
+    pass count, shard width) is stored in the manifest; a resume under a
+    cfg that resolves a DIFFERENT plan is refused (shard geometry would
+    silently disagree with the completed segments).
     """
     import os
     import time
@@ -175,11 +205,28 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     base_done = (man is not None and man.n_docs > 0
                  and _success_marker(corpus_path) and _success_marker(docmap_path))
     if base_done:
-        # resume: corpus+docmap+stats already on disk
+        # resume: corpus+docmap+stats already on disk. Refuse if the
+        # current cfg resolves a different shard plan than the one the
+        # completed segments were packed under (ADVICE r1: a silent
+        # geometry mismatch garbles every scorer's `shard * width`
+        # offset with no error).
         n_docs, avgdl = man.n_docs, man.avgdl
+        if man.n_slices and man.n_slices != effective_slices(cfg, n_docs):
+            raise ValueError(
+                f"resume plan mismatch at {index_dir}: index built with "
+                f"{man.n_slices} scoring shards, current cfg resolves "
+                f"{effective_slices(cfg, n_docs)}; pass the original cfg "
+                f"or delete the index dir to rebuild")
+        if man.merge_fanin and man.merge_fanin != cfg.merge_fanin:
+            raise ValueError(
+                f"resume plan mismatch at {index_dir}: index built with "
+                f"merge_fanin={man.merge_fanin}, cfg has "
+                f"{cfg.merge_fanin}; pass the original cfg or delete the "
+                f"index dir to rebuild")
         docs = spark.read.parquet(corpus_path)
     else:
         man = Manifest(n_buckets=cfg.n_buckets, n_slices=cfg.n_slices,
+                       merge_fanin=cfg.merge_fanin,
                        block_size=cfg.block_size,
                        bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
                              "idf_variant": cfg.bm25.idf_variant})
@@ -202,26 +249,30 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             docmap.write.mode("overwrite").parquet(docmap_path)
             docmap.unpersist()
         man.n_docs, man.avgdl = n_docs, avgdl
-        man.shard_width = pack_mod.shard_width(n_docs, cfg.n_slices)
+        man.n_slices = effective_slices(cfg, n_docs)
+        man.shard_width = pack_mod.shard_width(n_docs, man.n_slices)
         man.save(index_dir)
+    # n_shards: the resolved scoring-shard count — data-scaled (bounded
+    # accumulator width) and frozen in the manifest for resume replay
+    n_shards = man.n_slices
 
     # resolve the merge-pass count (external-merge semantics): runs are
     # sized to memory via pack_docs_per_slice; passes = smallest p whose
-    # fine grain n_slices * fanin^p keeps every run within the bound.
+    # fine grain n_shards * fanin^p keeps every run within the bound.
     # Stored in the manifest so resume replays the identical plan.
     if man.n_passes >= 0:
         passes = man.n_passes
     elif cfg.pack_docs_per_slice is None:
         passes = cfg.merge_passes
     else:
-        need = max(cfg.n_slices, -(-n_docs // cfg.pack_docs_per_slice))
+        need = max(n_shards, -(-n_docs // cfg.pack_docs_per_slice))
         passes = 0
-        while cfg.n_slices * cfg.merge_fanin ** passes < need:
+        while n_shards * cfg.merge_fanin ** passes < need:
             passes += 1
         man.n_passes = passes
         man.save(index_dir)
     man.n_passes = passes
-    fine_slices = cfg.n_slices * cfg.merge_fanin ** passes
+    fine_slices = n_shards * cfg.merge_fanin ** passes
 
     w_fine = pack_mod.shard_width(n_docs, fine_slices)
     man.shard_width = w_fine * cfg.merge_fanin ** passes

@@ -52,15 +52,25 @@ class IndexConfig:
     n_buckets: int = 16
     # shuffle partitions for the term-partitioned pack stage
     pack_partitions: int = 32
-    # number of doc-range slices the corpus is split into at build time;
-    # each slice builds one segment; merge passes reduce segments per
-    # (bucket) until <= target_segments. Slices are also the query-time
-    # scoring shards (all query-term sublists for a doc range co-locate).
-    # sized to the executor-core count (one scoring task per shard at query
-    # time; also the salt grain for hot terms in the pack shuffle — more
-    # slices = finer skew spread). Scale with the cluster, not the data:
-    # pack_docs_per_slice bounds per-run memory independently.
+    # MINIMUM number of doc-range slices the corpus is split into at build
+    # time; each slice builds one segment; merge passes reduce segments per
+    # (bucket) until <= the effective slice count. Slices are also the
+    # query-time scoring shards (all query-term sublists for a doc range
+    # co-locate). Sized to the executor-core count (one scoring task per
+    # shard at query time; also the salt grain for hot terms in the pack
+    # shuffle — more slices = finer skew spread). The EFFECTIVE count is
+    # max(n_slices, ceil(n_docs / docs_per_score_shard)) — it grows with
+    # the data so per-task scorer memory stays bounded (see below);
+    # pack_docs_per_slice bounds per-run build memory independently.
     n_slices: int = 32
+    # Hard cap on docs per scoring shard == the width of the dense
+    # per-shard accumulators in query.py/wand.py (~21 B/doc across
+    # acc+cnt+cand+cum_cand). 2^21 docs -> ~44 MB per scoring task,
+    # invariant in corpus size: at 10^11 docs the build resolves ~48k
+    # shards instead of widening each one (the pack/merge machinery is
+    # width-agnostic). The resolved effective slice count is stored in
+    # the manifest and replayed on resume.
+    docs_per_score_shard: int = 1 << 21
     # merge fan-in per pass
     merge_fanin: int = 4
     # FORCED number of merge passes, used only when pack_docs_per_slice is

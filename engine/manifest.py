@@ -41,7 +41,8 @@ class Manifest:
     avgdl: float = 0.0
     sum_dl: int = 0          # exact avgdl maintenance under appends
     n_buckets: int = 0
-    n_slices: int = 0
+    n_slices: int = 0        # EFFECTIVE scoring-shard count (resolved plan)
+    merge_fanin: int = 0
     n_passes: int = -1       # resolved merge-pass count (adaptive or forced)
     shard_width: int = 0
     block_size: int = 0

@@ -106,7 +106,9 @@ def _pack_batches(batches, block_size: int):
 def pack_postings(postings: DataFrame, n_docs: int,
                   cfg: IndexConfig = DEFAULT) -> DataFrame:
     """Pack at the final scoring-shard grain (no merge passes)."""
-    return pack_postings_width(postings, shard_width(n_docs, cfg.n_slices), cfg)
+    from .build import effective_slices
+    return pack_postings_width(
+        postings, shard_width(n_docs, effective_slices(cfg, n_docs)), cfg)
 
 
 def pack_postings_width(postings: DataFrame, width: int,

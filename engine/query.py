@@ -46,6 +46,12 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
     form of a k-way semi-join). ``exclude``: boolean NOT — drop docs
     containing ANY of these terms (posting-list set difference as a
     ``left_anti`` join).
+
+    Frozen NOT contract (shared by the flat path, the packed path, and
+    the DuckDB oracle twin): an excluded term that is ALSO a positive
+    query term is dropped from the exclusion set — the positive
+    occurrence wins. Documented so a query like "spark NOT spark" ranks
+    normally instead of returning nothing.
     """
     spark = idx.docs.sparkSession
     qtf = query_terms(query)
@@ -53,15 +59,18 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
         [], "doc_id long, score double")
     if not qtf:
         return empty
-    qdf = spark.createDataFrame(
-        [(t, float(n)) for t, n in sorted(qtf.items())], "term string, qtf double")
-    # broadcast tiny dims: query terms and their lexicon rows (E2)
-    lex = idx.lexicon.join(F.broadcast(qdf), "term").select("term", "idf", "qtf")
-    n_known = lex.count()
-    if mode.upper() == "AND" and n_known < len(qtf):
+    # E2: memoized driver-side lookup of the <= |query| lexicon rows —
+    # one small job (first time per term), reused for the broadcast side,
+    # the AND-arity check, and idf; no per-query count job.
+    known = idx.lookup_terms(sorted(qtf))
+    if mode.upper() == "AND" and len(known) < len(qtf):
         return empty  # a required term is absent from the corpus
-    if n_known == 0:
+    if not known:
         return empty
+    n_known = len(known)
+    lex = spark.createDataFrame(
+        [(t, float(known[t]["idf"]), float(qtf[t])) for t in sorted(known)],
+        "term string, idf double, qtf double")
     scored = (idx.postings
               .join(F.broadcast(lex), "term")
               .withColumn("_s", bm25_score_col(

@@ -40,8 +40,11 @@ from .manifest import Manifest, Segment, _success_marker
 def create_streaming_index(spark: SparkSession, index_dir: str,
                            expected_docs: int,
                            cfg: IndexConfig = DEFAULT) -> None:
-    width = pack_mod.shard_width(expected_docs, cfg.n_slices)
-    man = Manifest(n_buckets=cfg.n_buckets, n_slices=cfg.n_slices,
+    from .build import effective_slices
+    n_shards = effective_slices(cfg, expected_docs)
+    width = pack_mod.shard_width(expected_docs, n_shards)
+    man = Manifest(n_buckets=cfg.n_buckets, n_slices=n_shards,
+                   merge_fanin=cfg.merge_fanin,
                    block_size=cfg.block_size, shard_width=width,
                    bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
                          "idf_variant": cfg.bm25.idf_variant})

@@ -93,8 +93,13 @@ def score_shard_wand(post_pdf: pd.DataFrame,
                  / (s_tf + k1 * (1.0 - b + b * s_dls / avgdl)))
     if nrows == 1:
         # single-term query (in this shard): the seed scoring IS the final
-        # scoring — skip block pruning + candidate re-decode entirely
-        hit = np.flatnonzero(s_contrib != 0.0)
+        # scoring — skip block pruning + candidate re-decode entirely.
+        # The !=0 filter is only valid when idf != 0 (always true under the
+        # frozen 'lucene' variant); under 'okapi', df == N/2 gives idf == 0
+        # and the exhaustive/flat paths return those docs with score 0.0 —
+        # keep every posting then so rank-identity holds for that config.
+        hit = (np.flatnonzero(s_contrib != 0.0) if s_idf != 0.0
+               else np.arange(s_contrib.size))
         if hit.size == 0:
             return None
         scores = s_contrib[hit]

@@ -65,3 +65,32 @@ def test_doc_term_freqs_arrow_equivalence():
         got = canon(doc_term_freqs_arrow(pa.array(texts, pa.string())))
         want = canon(doc_term_freqs(texts))
         assert got == want
+
+
+def test_spark_xxhash64_property(spark):
+    """The claimed JVM-equivalence property test (engine/xxh.py docstring):
+    the driver-side XXH64 twin must match F.xxhash64 byte-for-byte over
+    random + unicode strings spanning every tail-length code path
+    (0, 1-3, 4-7, 8-31, 32+ UTF-8 bytes). A silent divergence would prune
+    the WRONG bucket and drop postings with no error."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from engine.xxh import spark_xxhash64, term_bucket
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    uni = "éüßñİıΔЖ中文🙂İß"
+    cases = ["", "a", "ab", "abc", "abcd", "abcdefg", "abcdefgh",
+             "x" * 31, "x" * 32, "x" * 33, "x" * 100,
+             "İstanbul", "中文字符串测试三十二字节以上路径", "🙂" * 10]
+    for n in (1, 2, 3, 5, 7, 8, 15, 16, 31, 32, 33, 64, 200):
+        cases.append("".join(rng.choice(alpha) for _ in range(n)))
+        cases.append("".join(rng.choice(alpha + uni) for _ in range(n)))
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {r["s"]: r["h"] for r in
+           df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in cases:
+        assert spark_xxhash64(s) == got[s], repr(s)
+        assert term_bucket(s, 16) == got[s] % 16, repr(s)

@@ -151,3 +151,54 @@ def test_index_identical_across_parallelism(spark, corpus_df, oracle_idx,
     want = [(d, round(s, 9)) for d, s in
             oracle_idx.search("hot0 rare3", 10, "OR")]
     assert got == want
+
+
+def test_scorer_width_bounded_by_docs_per_score_shard(spark, corpus_df,
+                                                      oracle_idx, tmp_path):
+    """The 100x memory guarantee (VERDICT r1): per-task accumulator width
+    is capped by docs_per_score_shard — the shard COUNT grows with the
+    corpus, the width does not. Rank-identity must survive the finer
+    sharding (shard boundaries are invisible to the global top-k)."""
+    from engine.build import build_index, effective_slices
+    from engine.config import IndexConfig
+    cfg = IndexConfig(n_slices=4, docs_per_score_shard=64)
+    idx = build_index(spark, corpus_df, str(tmp_path / "narrow"), cfg=cfg)
+    assert idx.shard_width <= 64
+    n = idx.n_docs
+    assert effective_slices(cfg, n) == -(-n // 64)
+    # the cap is scale-invariant: 10x/100x the corpus -> more shards,
+    # same bounded width
+    for mult in (10, 100):
+        shards = effective_slices(cfg, n * mult)
+        assert -(-n * mult // shards) <= 64
+    for q in ("hot0 rare3", "hot1 mid2 rare5"):
+        got = [(r.doc_id, round(r.score, 9)) for r in
+               Q.search(idx, q, k=10, mode="OR").collect()]
+        want = [(d, round(s, 9)) for d, s in oracle_idx.search(q, 10, "OR")]
+        assert got == want, q
+
+
+def test_resume_refuses_plan_mismatch(spark, corpus_df, tmp_path):
+    """Resuming a partially built index under a cfg that resolves a
+    different shard plan must fail loudly, not silently garble scorer
+    offsets (ADVICE r1)."""
+    import pytest as _pytest
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    d = str(tmp_path / "idx_resume")
+    cfg = IndexConfig(n_slices=4, docs_per_score_shard=64)
+    build_index(spark, corpus_df, d, cfg=cfg)
+    # simulate an interrupted build: completed base, pending segments
+    from engine.manifest import Manifest
+    man = Manifest.load(d)
+    man.completed = False
+    man.save(d)
+    with _pytest.raises(ValueError, match="resume plan mismatch"):
+        build_index(spark, corpus_df, d, cfg=IndexConfig(n_slices=2))
+    with _pytest.raises(ValueError, match="merge_fanin"):
+        build_index(spark, corpus_df, d,
+                    cfg=IndexConfig(n_slices=4, docs_per_score_shard=64,
+                                    merge_fanin=8))
+    # the original cfg still resumes cleanly
+    idx = build_index(spark, corpus_df, d, cfg=cfg)
+    assert idx.shard_width <= 64
