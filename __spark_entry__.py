@@ -35,10 +35,10 @@ from engine.config import DEFAULT  # noqa: E402
 _K1, _B = DEFAULT.bm25.k1, DEFAULT.bm25.b
 _TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
-# queries with NO oracle_sql twin (genuinely non-SQL-expressible: engine-
-# native xxhash64 rolling hash; synthetic-media mapInPandas plumbing) —
-# the driver records a weaker rows-only check for these.
-NO_ORACLE = {"fingerprint_rolling", "media_features"}
+# queries with NO oracle_sql twin (genuinely non-SQL-expressible:
+# synthetic-media mapInPandas plumbing) — the driver records a weaker
+# rows-only check for these.
+NO_ORACLE = {"media_features"}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,9 +262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lang_id(_docs(spark, sf))
 
     def fingerprint_rolling_q(spark, sf):
-        # engine-native xxhash64 rolling hash — no DuckDB twin (rows-only)
-        from engine.textops import fingerprint_rolling
-        return fingerprint_rolling(_docs(spark, sf))
+        # portable md5-polynomial rolling hash (DuckDB twin below); the
+        # xxhash64 variant is pytest-checked vs a pure-Python reimpl
+        from engine.textops import fingerprint_rolling_md5
+        return fingerprint_rolling_md5(_docs(spark, sf))
 
     def minhash_sigs(spark, sf):
         from engine.dedup import minhash_signatures
@@ -624,6 +625,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM i JOIN sz sa ON i.doc_a = sa.doc_id
                          JOIN sz sb ON i.doc_b = sb.doc_id)
             SELECT * FROM j WHERE jaccard >= 0.5""",
+        "fingerprint_rolling": f"""
+            WITH t AS (SELECT doc_id,
+                   list_transform({_TOK_SQL},
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                            % 2147483647) AS hs
+                   FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(hs) = 0 THEN 0
+                        ELSE list_reduce(hs,
+                             (a, x) -> (a * 1000003 + x) % 2147483647)
+                   END::BIGINT AS fp64
+            FROM t""",
         "simhash": _simhash_sql(16),
         "ann_lsh": _ann_lsh_sql(8, 1, 10),
         "ann_ivf": _ann_ivf_sql(2, 10),

@@ -62,6 +62,18 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def adaptive_n_planes(n_rows: int, target_bucket: int = 256,
+                      lo: int = 4, hi: int = 30) -> int:
+    """Derive the hyperplane count from the data size so the EXPECTED
+    bucket population stays ~``target_bucket`` as N grows: 2^planes ≈
+    N / target. Fixed planes (r1's 8 -> 256 buckets) make every
+    bucket-join degenerate toward all-pairs at 100x — N²/256 comparisons;
+    with data-scaled planes the per-bucket pair work stays
+    ~target_bucket² regardless of corpus size."""
+    return max(lo, min(hi, math.ceil(math.log2(
+        max(2.0, n_rows / max(1, target_bucket))))))
+
+
 def lsh_bucket_expr(vec_col, n_planes: int = 8, dim: int = 64,
                     seed: int = 42):
     """Hyperplane-sign bucket id (int): bit_p = 1 iff <v, h_p> > 0.
@@ -103,13 +115,17 @@ def ann_lsh_topk(emb: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
     return cosine_topk(pruned, q, k, id_col, vec_col, exclude_id)
 
 
-def knn_join_lsh(emb: DataFrame, k: int = 5, n_planes: int = 8,
+def knn_join_lsh(emb: DataFrame, k: int = 5, n_planes: int | None = 8,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  seed: int = 42) -> DataFrame:
     """Approximate k-NN self-join: exact cosine within LSH buckets, k best
     neighbors per vector (window top-k per id). Equi-join on the bucket
-    key — no global crossJoin."""
+    key — no global crossJoin. ``n_planes=None`` scales the plane count
+    with the row count (adaptive_n_planes) so bucket populations — and
+    the per-bucket quadratic compare — stay bounded as N grows."""
     from pyspark.sql import Window
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count())
     with_b = emb.select(id_col, vec_col,
                         lsh_bucket_expr(F.col(vec_col), n_planes,
                                         seed=seed).alias("bkt"))

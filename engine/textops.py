@@ -114,3 +114,24 @@ def fingerprint_rolling(df: DataFrame, text_col: str = "text",
         toks, F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * F.lit(base) + h(t), F.lit(mod)))
     return df.select("doc_id", rolled.alias("fp64"))
+
+
+def fingerprint_rolling_md5(df: DataFrame, text_col: str = "text",
+                            base: int = 1000003,
+                            mod: int = (1 << 31) - 1) -> DataFrame:
+    """Engine-PORTABLE variant of the polynomial rolling fingerprint:
+    token hash = first 15 md5 nibbles as int64, mod Mersenne-31 (md5 is
+    bit-identical across engines), same fold as fingerprint_rolling.
+    Gives the rolling-hash family a DuckDB oracle twin
+    (list_transform + list_reduce) for the driver's hard gate; the
+    xxhash64 variant stays the engine-internal fast path."""
+    toks = tokenize_expr(F.col(text_col))
+
+    def h(t):
+        return F.pmod(F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                      .cast("long"), F.lit(mod))
+
+    rolled = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(base) + h(t), F.lit(mod)))
+    return df.select("doc_id", rolled.alias("fp64"))

@@ -234,3 +234,64 @@ def test_ivf_learned_codebook(spark):
     assert full_probe == exact  # probing every cell == brute force
     approx = ivf_topk(emb, qv, cb, k=5, nprobe=1, exclude_id=0).collect()
     assert 0 < len(approx) <= 5
+
+
+def test_ngram_jaccard_candidate_pushdown_and_hot_cap(spark):
+    """Scale controls of the shingle self-join (VERDICT r1 #5):
+    (a) restricting to candidate pairs prunes the shingle stream BEFORE
+    the quadratic join yet returns the exact same pairs;
+    (b) a planted boilerplate shingle shared by every doc is dropped by
+    max_shingle_df, bounding pair counts, while true near-dups survive."""
+    from engine.dedup import ngram_jaccard_pairs
+    boiler = "copyright footer text"
+    rows = [(i, f"unique body {i} alpha beta gamma delta {i} " + boiler)
+            for i in range(20)]
+    # two true near-dups sharing their whole body
+    rows += [(100, "spark engine index query merge pack score " + boiler),
+             (101, "spark engine index query merge pack score " + boiler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # (b) no cap: the boilerplate shingles connect EVERY doc pair
+    uncapped = ngram_jaccard_pairs(df, threshold=0.0).count()
+    assert uncapped == (22 * 21) // 2
+    # capped: only pairs sharing non-boilerplate shingles remain, and the
+    # true near-dup pair keeps jaccard 1.0 over the filtered universe
+    capped = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    assert (100, 101) in got and got[(100, 101)] == 1.0
+    assert len(got) < uncapped
+
+    # (a) candidate pushdown: exact same result as post-filtering
+    cand = spark.createDataFrame([(100, 101), (0, 1)],
+                                 "doc_a long, doc_b long")
+    via_push = ngram_jaccard_pairs(df, threshold=0.0, candidates=cand)
+    full = ngram_jaccard_pairs(df, threshold=0.0)
+    want = {(r.doc_a, r.doc_b): r.jaccard for r in
+            full.join(cand, ["doc_a", "doc_b"], "left_semi").collect()}
+    assert {(r.doc_a, r.doc_b): r.jaccard
+            for r in via_push.collect()} == want
+
+
+def test_adaptive_lsh_planes_bound_bucket_size(spark):
+    """Data-scaled LSH (VERDICT r1 #6): plane count grows with N so the
+    max bucket population stays bounded on a 10x corpus instead of
+    degenerating toward all-pairs."""
+    from engine.similarity import adaptive_n_planes, lsh_bucket_expr
+
+    # the knob scales: 10x rows -> more planes, expected bucket ~target
+    assert adaptive_n_planes(1000, target_bucket=64) == 4
+    assert adaptive_n_planes(10_000, target_bucket=64) == 8
+    assert adaptive_n_planes(100_000, target_bucket=64) == 11
+    assert adaptive_n_planes(10**11, target_bucket=256) == 29
+
+    rng = np.random.default_rng(7)
+    for n in (400, 4000):  # 10x scale-up
+        pdf = [(int(i), [float(x) for x in rng.standard_normal(16)])
+               for i in range(n)]
+        df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+        p = adaptive_n_planes(n, target_bucket=32)
+        counts = (df.select(lsh_bucket_expr(F.col("embedding"), p, dim=16)
+                            .alias("bkt"))
+                  .groupBy("bkt").count().agg(F.max("count")).first()[0])
+        # gaussian data + random hyperplanes: buckets stay near target
+        assert counts <= 32 * 8, (n, p, counts)
