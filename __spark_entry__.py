@@ -102,6 +102,26 @@ def _packed_index(spark: SparkSession, sf_dir: str):
     return _PACKED_IDX_CACHE[key]
 
 
+_ANN_LAYOUT_CACHE: dict = {}
+
+
+def _ann_layout(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Write-once physical ANN layout per (session, corpus): embeddings
+    partitioned by LSH bucket ('lsh') or IVF cell ('ivf') — the index
+    build stage of the similarity pipeline; queries prune at the scan."""
+    import tempfile
+    from engine.similarity import write_embeddings_ivf, write_embeddings_lsh
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _ANN_LAYOUT_CACHE:
+        d = tempfile.mkdtemp(prefix=f"ann_{kind}_")
+        if kind == "lsh":
+            write_embeddings_lsh(_emb(spark, sf_dir), d, n_planes=8)
+        else:
+            write_embeddings_ivf(_emb(spark, sf_dir), d, _ivf_codebook())
+        _ANN_LAYOUT_CACHE[key] = d
+    return _ANN_LAYOUT_CACHE[key]
+
+
 def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str,
                  exclude: str | None = None) -> DataFrame:
     from engine import query as Q
@@ -284,17 +304,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash(_docs(spark, sf), bits=16)
 
     def ann_lsh(spark, sf):
-        from engine.similarity import ann_lsh_topk
+        # runs over the PHYSICAL bucket-partitioned layout (partition
+        # pruning at the scan — the 100 TB path; plan asserted in
+        # tests/test_plans.py)
+        from engine.similarity import ann_lsh_topk_indexed
         e = _emb(spark, sf)
         qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-        return ann_lsh_topk(e, qv, k=10, n_planes=8, radius=1, exclude_id=0)
+        path = _ann_layout(spark, sf, "lsh")
+        return ann_lsh_topk_indexed(spark, path, qv, k=10, n_planes=8,
+                                    radius=1, exclude_id=0)
 
     def ann_ivf(spark, sf):
-        from engine.similarity import ivf_topk
+        # runs over the PHYSICAL cell-partitioned IVF layout
+        from engine.similarity import ivf_topk_indexed
         e = _emb(spark, sf)
         qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-        return ivf_topk(e, qv, _ivf_codebook(), k=10, nprobe=2,
-                        exclude_id=0)
+        path = _ann_layout(spark, sf, "ivf")
+        return ivf_topk_indexed(spark, path, qv, _ivf_codebook(), k=10,
+                                nprobe=2, exclude_id=0)
 
     def near_dup_embeddings(spark, sf):
         from engine.dedup import embedding_near_dups

@@ -115,6 +115,80 @@ def ann_lsh_topk(emb: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
     return cosine_topk(pruned, q, k, id_col, vec_col, exclude_id)
 
 
+# --------------------------------------------------------------------------
+# Physical ANN layout: bucket/cell as a parquet PARTITION key, so pruning
+# happens at the scan (PartitionFilters) — unprobed buckets never leave
+# disk. This is the write path the r1 docstrings promised; the plan is
+# asserted in tests/test_plans.py with the same evidence standard as the
+# postings scan.
+# --------------------------------------------------------------------------
+
+def write_embeddings_lsh(emb: DataFrame, path: str, n_planes: int = 8,
+                         dim: int = 64, seed: int = 42,
+                         vec_col: str = "embedding") -> None:
+    """Persist the embedding table partitioned by its LSH sign-bucket.
+    One shuffle-free pass (the bucket is a narrow expression); the
+    partition count is 2^n_planes — pick n_planes via adaptive_n_planes
+    so per-partition file sizes stay sane at scale."""
+    (emb.withColumn("bkt", lsh_bucket_expr(F.col(vec_col), n_planes, dim,
+                                           seed))
+        .write.mode("overwrite").partitionBy("bkt").parquet(path))
+
+
+def _hamming_ball(center: int, n_planes: int, radius: int) -> list[int]:
+    """All bucket ids within Hamming distance <= radius of ``center`` —
+    enumerated by flipped-bit combinations (O(C(p, r)), never 2^p)."""
+    from itertools import combinations
+    out = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_planes), r):
+            b = center
+            for p in bits:
+                b ^= (1 << p)
+            out.append(b)
+    return sorted(out)
+
+
+def ann_lsh_topk_indexed(spark, path: str, query_vec, k: int = 10,
+                         n_planes: int = 8, radius: int = 1,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         seed: int = 42,
+                         exclude_id: int | None = None) -> DataFrame:
+    """ANN over the write_embeddings_lsh layout: the Hamming ball around
+    the query's bucket is enumerated DRIVER-side and becomes a partition
+    filter — the scan only opens those bucket directories (multi-probe
+    recall with physical pruning)."""
+    q = np.asarray([float(x) for x in query_vec])
+    planes = _planes(q.size, n_planes, seed)
+    qb = int(sum((1 << p) for p in range(n_planes) if planes[p] @ q > 0))
+    ball = _hamming_ball(qb, n_planes, radius)
+    pruned = spark.read.parquet(path).filter(F.col("bkt").isin(ball))
+    return cosine_topk(pruned, q, k, id_col, vec_col, exclude_id)
+
+
+def write_embeddings_ivf(emb: DataFrame, path: str, centroids,
+                         vec_col: str = "embedding") -> None:
+    """Persist the embedding table partitioned by its IVF cell (nearest
+    centroid of the coarse quantizer) — the inverted-file layout."""
+    (emb.withColumn("cell", ivf_cell_expr(F.col(vec_col), centroids))
+        .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def ivf_topk_indexed(spark, path: str, query_vec, centroids, k: int = 10,
+                     nprobe: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     exclude_id: int | None = None) -> DataFrame:
+    """IVF ANN over the write_embeddings_ivf layout: the nprobe nearest
+    cells are ranked driver-side (tiny codebook) and pruned at the scan
+    via the cell partition key."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qs = [q @ c - h for c, h in _cell_scores(centroids)]
+    order = np.argsort([-s for s in qs], kind="stable")
+    probe = [int(j) + 1 for j in order[:nprobe]]  # 1-based cell ids
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return cosine_topk(pruned, q, k, id_col, vec_col, exclude_id)
+
+
 def knn_join_lsh(emb: DataFrame, k: int = 5, n_planes: int | None = 8,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  seed: int = 42) -> DataFrame:

@@ -42,3 +42,43 @@ def test_topk_is_take_ordered(plan_idx, flat_index):
     assert "TakeOrderedAndProject" in _formatted(packed)
     flat = Q.search_flat(flat_index, "hot0 rare3", k=10)
     assert "TakeOrderedAndProject" in _formatted(flat)
+
+
+def test_ann_layout_scan_is_partition_pruned(spark, tmp_path_factory):
+    """The ANN scale story made physical (VERDICT r1 #4): LSH-bucket and
+    IVF-cell layouts are parquet-partitioned, and the query scan shows
+    PartitionFilters on the bucket/cell — unprobed partitions never leave
+    disk. Results must equal the logical-pruning (full-scan) variants."""
+    import numpy as np
+    from engine.similarity import (
+        ann_lsh_topk, ann_lsh_topk_indexed, ivf_random_codebook, ivf_topk,
+        ivf_topk_indexed, write_embeddings_ivf, write_embeddings_lsh)
+
+    rng = np.random.default_rng(11)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(64)])
+            for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = rows[0][1]
+    base = tmp_path_factory.mktemp("ann")
+
+    lsh_path = str(base / "lsh")
+    write_embeddings_lsh(emb, lsh_path, n_planes=6)
+    got = ann_lsh_topk_indexed(spark, lsh_path, qv, k=10, n_planes=6,
+                               radius=1, exclude_id=0)
+    plan = _formatted(got)
+    assert re.search(r"PartitionFilters: \[.*bkt.*IN", plan), plan
+    assert "TakeOrderedAndProject" in plan
+    want = ann_lsh_topk(emb, qv, k=10, n_planes=6, radius=1, exclude_id=0)
+    assert [(r.vec_id, r.cos) for r in got.collect()] == \
+           [(r.vec_id, r.cos) for r in want.collect()]
+
+    cb = ivf_random_codebook(64, 8)
+    ivf_path = str(base / "ivf")
+    write_embeddings_ivf(emb, ivf_path, cb)
+    got = ivf_topk_indexed(spark, ivf_path, qv, cb, k=10, nprobe=2,
+                           exclude_id=0)
+    plan = _formatted(got)
+    assert re.search(r"PartitionFilters: \[.*cell.*IN", plan), plan
+    want = ivf_topk(emb, qv, cb, k=10, nprobe=2, exclude_id=0)
+    assert [(r.vec_id, r.cos) for r in got.collect()] == \
+           [(r.vec_id, r.cos) for r in want.collect()]
