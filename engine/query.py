@@ -94,16 +94,18 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
 # DAAT scoring in Arrow UDFs -> global TakeOrderedAndProject
 # --------------------------------------------------------------------------
 
-def _score_shard_exhaustive(post_pdf, qtfs, cfg, k, mode, width, n_required,
-                            neg_terms=frozenset()):
+def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
+                            n_required, neg_terms=frozenset()):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
     Per-posting document lengths come from the inlined ``dls`` stream and
-    idf from the inlined ``idf`` column (broadcast-joined from the lexicon
-    inside the SAME job) — the scorer needs nothing but the (pruned)
-    postings scan itself. Accumulation is per-term in ASCENDING term order
-    — the identical float64 summation order as the pure-Python oracle
-    (rank-identity). Emits at most k rows (per-shard top-k heap analog).
+    idf from the ``idfs`` dict captured in the task closure (<= |query|
+    floats, collected once driver-side by ``lookup_terms`` and memoized)
+    — the scorer's job is the (pruned) postings scan ALONE: no lexicon
+    join, no broadcast exchange. Accumulation is per-term in ASCENDING
+    term order — the identical float64 summation order as the pure-Python
+    oracle (rank-identity). Emits at most k rows (per-shard top-k heap
+    analog).
 
     ``n_required`` is the number of DISTINCT query terms; AND keeps docs
     hitting all of them (a globally-absent term makes the count
@@ -127,7 +129,7 @@ def _score_shard_exhaustive(post_pdf, qtfs, cfg, k, mode, width, n_required,
                                        post_pdf["tfs"].iloc[int(i)])
             negmask[ids - start] = True
             continue
-        idf = float(post_pdf["idf"].iloc[int(i)])
+        idf = idfs[term]
         qtf = qtfs[term]
         ids, tfs = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
                                      post_pdf["tfs"].iloc[int(i)])
@@ -160,15 +162,15 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
            use_wand: bool = True, exclude: str | None = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
-    Plan: term -> bucket driver-side (pure-Python xxhash64 twin, no
-    lookup job) -> postings scan pruned to those buckets (partition
-    pruning) and terms (predicate pushdown) -> broadcast-join the
-    term-filtered lexicon for idf (part of the same job, replaces the old
-    collect round-trip) -> per-shard Arrow scorer emits <= k rows ->
+    Plan: memoized driver-side lexicon lookup of the <= |query| terms
+    (one tiny term-pushed job the FIRST time a term is seen; zero jobs
+    after) gives idf + exact bucket per term -> postings scan pruned to
+    those buckets (partition pruning) and terms (predicate pushdown) ->
+    per-shard Arrow scorer (idf inlined via the task closure — no lexicon
+    join, no broadcast exchange in the query job) emits <= k rows ->
     orderBy(score desc, doc_id).limit(k) (TakeOrderedAndProject).
     """
     from .build import PackedIndex  # noqa: F401 (typing)
-    from .xxh import term_bucket
     spark = index.spark
     mode = mode.upper()
     qtf = query_terms(query)
@@ -177,20 +179,25 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
         return empty
     neg = sorted(set(tokenize_py(exclude)) - set(qtf)) if exclude else []
     terms = sorted(qtf)
-    qtfs = {t: float(n) for t, n in qtf.items()}
+    lex = index.lookup_terms(sorted(set(terms) | set(neg)))
+    known = [t for t in terms if t in lex]
+    if mode == "AND" and len(known) < len(terms):
+        return empty  # a required term is absent from the corpus
+    if not known:
+        return empty
+    neg = [t for t in neg if t in lex]  # absent NOT-terms exclude nothing
+    qtfs = {t: float(qtf[t]) for t in known}
+    idfs = {t: float(lex[t]["idf"]) for t in known}
     n_required = len(terms)
-    scan_terms = sorted(set(terms) | set(neg))
-    buckets = sorted({term_bucket(t, index.n_buckets) for t in scan_terms})
+    scan_terms = sorted(set(known) | set(neg))
+    buckets = sorted({lex[t]["bucket"] for t in scan_terms})
     use_wand = use_wand and not neg  # NOT-mode scores via the exhaustive path
     cols = ["term", "shard", "df", "doc_ids", "tfs", "dls"] + (
         ["blocks", "max_tf"] if use_wand and mode == "OR" else [])
-    lexq = (index.lexicon().filter(F.col("term").isin(scan_terms))
-            .select("term", "idf"))
     post = (index.postings()
             .filter(F.col("bucket").isin(buckets)
                     & F.col("term").isin(scan_terms))
-            .select(*cols)
-            .join(F.broadcast(lexq), "term"))
+            .select(*cols))
     width = index.shard_width
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b, "avgdl": index.avgdl}
     neg_set = frozenset(neg)
@@ -200,14 +207,14 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
 
         def fn(key, post_pdf):
             import pandas as pd
-            r = scorer_fn(post_pdf, qtfs, cfgd, k, width)
+            r = scorer_fn(post_pdf, qtfs, idfs, cfgd, k, width)
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
     else:
         def fn(key, post_pdf):
             import pandas as pd
-            r = _score_shard_exhaustive(post_pdf, qtfs, cfgd, k, mode, width,
-                                        n_required, neg_set)
+            r = _score_shard_exhaustive(post_pdf, qtfs, idfs, cfgd, k, mode,
+                                        width, n_required, neg_set)
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
 
@@ -226,22 +233,24 @@ def search_batch(index, queries: list[dict], k: int = 10) -> DataFrame:
     """
     import pandas as pd
     from pyspark.sql import Window
-    from .xxh import term_bucket
     spark = index.spark
     per_q = {q["id"]: query_terms(q["query"]) for q in queries}
     modes = {q["id"]: q["mode"].upper() for q in queries}
     per_q = {qid: qt for qid, qt in per_q.items() if qt}
     if not per_q:
         return spark.createDataFrame([], "qid string, doc_id long, score double")
-    scan_terms = sorted({t for qt in per_q.values() for t in qt})
-    buckets = sorted({term_bucket(t, index.n_buckets) for t in scan_terms})
-    lexq = (index.lexicon().filter(F.col("term").isin(scan_terms))
-            .select("term", "idf"))
+    # ONE memoized lexicon lookup for the union of all query terms; idf
+    # rides the task closure — the batch job is the pruned scan alone
+    lex = index.lookup_terms(sorted({t for qt in per_q.values() for t in qt}))
+    scan_terms = sorted(t for t in lex)
+    if not scan_terms:
+        return spark.createDataFrame([], "qid string, doc_id long, score double")
+    idfs = {t: float(lex[t]["idf"]) for t in scan_terms}
+    buckets = sorted({lex[t]["bucket"] for t in scan_terms})
     post = (index.postings()
             .filter(F.col("bucket").isin(buckets)
                     & F.col("term").isin(scan_terms))
-            .select("term", "shard", "df", "doc_ids", "tfs", "dls")
-            .join(F.broadcast(lexq), "term"))
+            .select("term", "shard", "df", "doc_ids", "tfs", "dls"))
     width = index.shard_width
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b,
             "avgdl": index.avgdl}
@@ -251,7 +260,8 @@ def search_batch(index, queries: list[dict], k: int = 10) -> DataFrame:
         for qid, qt in per_q.items():
             sub = post_pdf[post_pdf["term"].isin(list(qt))]
             r = _score_shard_exhaustive(sub, {t: float(n) for t, n in qt.items()},
-                                        cfgd, k, modes[qid], width, len(qt))
+                                        idfs, cfgd, k, modes[qid], width,
+                                        len(qt))
             if r is not None:
                 r.insert(0, "qid", qid)
                 outs.append(r)

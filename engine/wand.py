@@ -60,9 +60,10 @@ def _decode_block(doc_payload, tf_payload, dl_payload, blocks, j):
 
 
 def score_shard_wand(post_pdf: pd.DataFrame,
-                     qtfs: dict, cfg: dict, k: int, width: int):
-    """``qtfs``: term -> query-term frequency; idf arrives inlined as the
-    ``idf`` column (broadcast-joined from the lexicon in the same job)."""
+                     qtfs: dict, idfs: dict, cfg: dict, k: int, width: int):
+    """``qtfs``: term -> query-term frequency; ``idfs``: term -> idf
+    (collected once driver-side, inlined via the task closure — the
+    scoring job is the pruned postings scan alone)."""
     if len(post_pdf) == 0:
         return None
     k1, b, avgdl = cfg["k1"], cfg["b"], cfg["avgdl"]
@@ -72,8 +73,7 @@ def score_shard_wand(post_pdf: pd.DataFrame,
     nrows = len(post_pdf)
     terms = post_pdf["term"].to_numpy(object)
     dfs = post_pdf["df"].to_numpy()
-    idfs = post_pdf["idf"].to_numpy(dtype=np.float64)
-    qmeta = {terms[i]: (float(idfs[i]), float(qtfs[terms[i]]))
+    qmeta = {terms[i]: (float(idfs[terms[i]]), float(qtfs[terms[i]]))
              for i in range(nrows)}
     # global per-term upper bounds
     ubg = {}
