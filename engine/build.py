@@ -291,8 +291,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             F.col("term").isNotNull()).select("doc_id", "term", "tf", "dl")
         t0 = time.perf_counter()
         with timer.time("pack"):
-            fine_cfg_width = w_fine
-            packed = pack_mod.pack_postings_width(postings, fine_cfg_width, cfg)
+            # shuffle width scales with the fine-slice count so each pack
+            # task holds ~one run (pack_docs_per_slice docs) of postings —
+            # bounded per-task memory at any corpus size
+            packed = pack_mod.pack_postings_width(
+                postings, w_fine, cfg,
+                n_parts=max(cfg.pack_partitions, fine_slices))
             pack_mod.write_segment(packed, seg0_path, cfg)
         rows = _parquet_rows(seg0_path)
         man.mark_complete(seg0_id, rows, time.perf_counter() - t0)
@@ -311,7 +315,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             t0 = time.perf_counter()
             with timer.time(f"merge_pass{p}"):
                 src = spark.read.parquet(prev_path)
-                merged = merge_mod.merge_pass(src, cfg.merge_fanin, cfg)
+                shards_after = n_shards * cfg.merge_fanin ** (passes - p)
+                merged = merge_mod.merge_pass(
+                    src, cfg.merge_fanin, cfg,
+                    n_parts=max(cfg.pack_partitions, shards_after))
                 pack_mod.write_segment(merged, seg_path, cfg)
             rows = _parquet_rows(seg_path)
             man.mark_complete(seg_id, rows, time.perf_counter() - t0)

@@ -87,16 +87,22 @@ def _merge_batches(batches, block_size: int):
 
 
 def merge_pass(segments: DataFrame, fanin: int,
-               cfg: IndexConfig = DEFAULT) -> DataFrame:
+               cfg: IndexConfig = DEFAULT,
+               n_parts: int | None = None) -> DataFrame:
     """One merge pass: coarsen shard grain by ``fanin`` and merge runs.
 
     Explicit shuffle on the NEW (term, shard) key; sort within partitions
-    JVM-side so Python only concatenates runs.
+    JVM-side so Python only concatenates runs. The merge task decodes its
+    whole shuffle partition in one vectorized pass, so ``n_parts`` must
+    scale with the data: build_index passes max(pack_partitions,
+    post-pass shard count), keeping per-task decoded postings bounded at
+    ~fanin runs' worth at any corpus size.
     """
+    parts = int(n_parts) if n_parts else cfg.pack_partitions
     coarse = segments.withColumn(
         "shard", (F.col("shard") / F.lit(fanin)).cast("int"))
     part = (coarse.select([f.name for f in PACKED_SCHEMA.fields])
-            .repartition(cfg.pack_partitions, "term", "shard")
+            .repartition(parts, "term", "shard")
             .sortWithinPartitions("term", "shard"))
     return part.mapInArrow(
         lambda it: _merge_batches(it, cfg.block_size), PACKED_SCHEMA)

@@ -107,23 +107,31 @@ def pack_postings(postings: DataFrame, n_docs: int,
                   cfg: IndexConfig = DEFAULT) -> DataFrame:
     """Pack at the final scoring-shard grain (no merge passes)."""
     from .build import effective_slices
+    n_shards = effective_slices(cfg, n_docs)
     return pack_postings_width(
-        postings, shard_width(n_docs, effective_slices(cfg, n_docs)), cfg)
+        postings, shard_width(n_docs, n_shards), cfg,
+        n_parts=max(cfg.pack_partitions, n_shards))
 
 
 def pack_postings_width(postings: DataFrame, width: int,
-                        cfg: IndexConfig = DEFAULT) -> DataFrame:
+                        cfg: IndexConfig = DEFAULT,
+                        n_parts: int | None = None) -> DataFrame:
     """Flat postings IR (doc_id, term, tf[, dl]) -> packed rows with
     ``shard = doc_id // width``.
 
-    Explicit shuffle: ``repartition(pack_partitions, term, shard)`` —
-    (term, shard) grain bounds any single group by the shard's doc count
-    regardless of term frequency (skew-proof by construction).
+    Explicit shuffle: ``repartition(n_parts, term, shard)`` — (term,
+    shard) grain bounds any single GROUP by the shard's doc count
+    regardless of term frequency (skew-proof by construction). The pack
+    task materializes its whole shuffle PARTITION (one vectorized numpy
+    pass), so ``n_parts`` must scale with the data: build_index passes
+    max(cfg.pack_partitions, fine_slices), bounding per-task postings at
+    ~one run's worth (pack_docs_per_slice * avgdl) at any corpus size.
     """
+    parts = int(n_parts) if n_parts else cfg.pack_partitions
     with_shard = postings.withColumn(
         "shard", (F.col("doc_id") / F.lit(int(width))).cast("int"))
     part = (with_shard
-            .repartition(cfg.pack_partitions, "term", "shard")
+            .repartition(parts, "term", "shard")
             .sortWithinPartitions("term", "shard", "doc_id")
             .select("term", "shard", "doc_id", "tf", "dl"))
     return part.mapInArrow(
