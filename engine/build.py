@@ -46,14 +46,18 @@ _TOKENIZED_SCHEMA = T.StructType([
 ])
 
 
-def tokenize_corpus(docs: DataFrame) -> DataFrame:
+def tokenize_corpus(docs: DataFrame,
+                    cfg: IndexConfig = DEFAULT) -> DataFrame:
     """(..., doc_id, conv_id, turn_idx, text) -> flat postings IR + sentinels.
 
     Output: one row per (doc, term) with tf and dl, plus one term=NULL row
-    per doc carrying (conv_id, turn_idx, dl) for the docmap.
+    per doc carrying (conv_id, turn_idx, dl) for the docmap. The analyzer
+    config (stopwords/stem hooks) rides the task closure so build and
+    query analysis cannot drift.
     """
 
     names = [f.name for f in _TOKENIZED_SCHEMA.fields]
+    acfg = cfg.analyzer
 
     def fn(batches):
         from .analyzer import doc_term_freqs_arrow
@@ -62,7 +66,7 @@ def tokenize_corpus(docs: DataFrame) -> DataFrame:
             conv = b.column("conv_id").cast(pa.string())
             turn = b.column("turn_idx").cast(pa.int32())
             rows, terms, tfs, dl = doc_term_freqs_arrow(
-                b.column("text").cast(pa.string()))
+                b.column("text").cast(pa.string()), acfg)
             n = b.num_rows
             npost = rows.size
             cols = [
@@ -130,7 +134,7 @@ def build_flat_index(spark: SparkSession, corpus: DataFrame,
                      n_parts: int | None = None) -> FlatIndex:
     docs = assign_doc_ids(corpus, n_parts=n_parts)
     docs.persist(StorageLevel.MEMORY_AND_DISK)
-    tokenized = tokenize_corpus(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    tokenized = tokenize_corpus(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     postings = tokenized.filter(F.col("term").isNotNull()).select(
         "doc_id", "term", "tf", "dl")
     docmap = tokenized.filter(F.col("term").isNull()).select(
@@ -167,6 +171,14 @@ def _parquet_rows(path: str) -> int:
                             partitioning="hive").count_rows()
     except Exception:
         return -1
+
+
+def _acfg_dict(cfg: IndexConfig) -> dict:
+    """Analyzer hooks as a manifest-storable dict ({} when no-op)."""
+    a = cfg.analyzer
+    if a.is_noop:
+        return {}
+    return {"stopwords": sorted(a.stopwords), "stem": a.stem}
 
 
 def effective_slices(cfg: IndexConfig, n_docs: int) -> int:
@@ -229,25 +241,26 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                        merge_fanin=cfg.merge_fanin,
                        block_size=cfg.block_size,
                        bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
-                             "idf_variant": cfg.bm25.idf_variant})
+                             "idf_variant": cfg.bm25.idf_variant},
+                       analyzer=_acfg_dict(cfg))
         with timer.time("docids"):
             docs = assign_doc_ids(corpus, n_parts=n_parts)
             docs.persist(StorageLevel.MEMORY_AND_DISK)
-        # The corpus-sized flat-postings IR is NEVER materialized: it
-        # streams from the tokenizer straight into the pack shuffle (the
-        # only layout that survives 100 TB — caching the IR costs more
-        # memory traffic than re-running the cheap narrow tokenize).
-        # The docmap pass tokenizes once for (dl, stats); the pack pass
-        # tokenizes again and keeps only posting rows.
-        with timer.time("docmap_stats"):
-            docmap = tokenize_corpus(docs).filter(F.col("term").isNull()) \
-                .select("doc_id", "conv_id", "turn_idx", "dl") \
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            n_docs, avgdl = corpus_stats(docmap)
+        # The corpus-sized flat-postings IR is NEVER materialized, and
+        # the corpus is tokenized exactly ONCE (the pack pass): shard
+        # geometry needs only n_docs (a cheap count), the docmap is a
+        # narrow projection (per-doc dl lives inlined in the segments —
+        # codec dls stream), and exact corpus stats come AFTER pack from
+        # the lexicon (avgdl == sum(cf)/n_docs, an identity). The r1
+        # layout spent ~20% of build wall on a second tokenize pass just
+        # for dl/avgdl.
+        with timer.time("base_counts"):
+            n_docs = docs.count()
+            avgdl = 0.0  # exact value derived from the lexicon below
         with timer.time("write_corpus_docmap"):
             docs.write.mode("overwrite").parquet(corpus_path)
-            docmap.write.mode("overwrite").parquet(docmap_path)
-            docmap.unpersist()
+            docs.select("doc_id", "conv_id", "turn_idx") \
+                .write.mode("overwrite").parquet(docmap_path)
         man.n_docs, man.avgdl = n_docs, avgdl
         man.n_slices = effective_slices(cfg, n_docs)
         man.shard_width = pack_mod.shard_width(n_docs, man.n_slices)
@@ -287,16 +300,23 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     if not (seg.status == "complete" and _success_marker(seg0_path)):
         # postings stream from the (cached) corpus through the tokenizer
         # directly into the pack shuffle — no corpus-sized intermediate
-        postings = tokenize_corpus(docs).filter(
+        postings = tokenize_corpus(docs, cfg).filter(
             F.col("term").isNotNull()).select("doc_id", "term", "tf", "dl")
         t0 = time.perf_counter()
         with timer.time("pack"):
-            # shuffle width scales with the fine-slice count so each pack
-            # task holds ~one run (pack_docs_per_slice docs) of postings —
-            # bounded per-task memory at any corpus size
+            # shuffle width scales with the data: at least one partition
+            # per fine slice, and enough that each pack task holds
+            # ~pack_rows_per_task posting rows (est. n_docs * avgdl) —
+            # bounded, cache-friendly per-task working sets at any
+            # corpus size and parallelism
+            # avgdl is exact on resume (manifest); on a fresh build it is
+            # not known yet — a nominal 64 tokens/doc sizes the estimate
+            # (the max() floors make under/over-estimates benign)
+            est_rows = int(n_docs * (avgdl or 64.0))
+            parts = max(cfg.pack_partitions, fine_slices,
+                        -(-est_rows // cfg.pack_rows_per_task))
             packed = pack_mod.pack_postings_width(
-                postings, w_fine, cfg,
-                n_parts=max(cfg.pack_partitions, fine_slices))
+                postings, w_fine, cfg, n_parts=parts)
             pack_mod.write_segment(packed, seg0_path, cfg)
         rows = _parquet_rows(seg0_path)
         man.mark_complete(seg0_id, rows, time.perf_counter() - t0)
@@ -316,9 +336,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             with timer.time(f"merge_pass{p}"):
                 src = spark.read.parquet(prev_path)
                 shards_after = n_shards * cfg.merge_fanin ** (passes - p)
+                est_rows = int(n_docs * (avgdl or 64.0))
                 merged = merge_mod.merge_pass(
                     src, cfg.merge_fanin, cfg,
-                    n_parts=max(cfg.pack_partitions, shards_after))
+                    n_parts=max(cfg.pack_partitions, shards_after,
+                                -(-est_rows // cfg.pack_rows_per_task)))
                 pack_mod.write_segment(merged, seg_path, cfg)
             rows = _parquet_rows(seg_path)
             man.mark_complete(seg_id, rows, time.perf_counter() - t0)
@@ -337,6 +359,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                    .withColumn("idf", idf_col(F.col("df"), n_docs,
                                               cfg.bm25.idf_variant)))
             lex.write.mode("overwrite").parquet(lex_path)
+
+    if not man.avgdl:
+        # exact corpus stats WITHOUT a dedicated tokenize pass: the
+        # lexicon's collection frequencies sum to the total token count,
+        # so avgdl == sum(cf) / n_docs exactly (integer identity)
+        with timer.time("stats"):
+            total_cf = spark.read.parquet(lex_path).agg(
+                F.sum("cf")).first()[0] or 0
+            man.avgdl = float(total_cf) / n_docs if n_docs else 0.0
 
     total_wall = time.perf_counter() - t_start
     man.metrics = {
@@ -418,11 +449,16 @@ def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
     man = Manifest.load(index_dir)
     assert man is not None, f"no manifest at {index_dir}"
     bm = man.bm25 or {}
-    from .config import BM25Config
+    az = man.analyzer or {}
+    from .config import AnalyzerConfig, BM25Config
+    acfg = (AnalyzerConfig(stopwords=tuple(az.get("stopwords", ())),
+                           stem=az.get("stem"))
+            if az else DEFAULT.analyzer)
     cfg = IndexConfig(block_size=man.block_size or DEFAULT.block_size,
                       n_buckets=man.n_buckets or DEFAULT.n_buckets,
                       n_slices=man.n_slices or DEFAULT.n_slices,
-                      bm25=BM25Config(**bm) if bm else DEFAULT.bm25)
+                      bm25=BM25Config(**bm) if bm else DEFAULT.bm25,
+                      analyzer=acfg)
     return PackedIndex(spark=spark, index_dir=index_dir, n_docs=man.n_docs,
                        avgdl=man.avgdl, shard_width=man.shard_width,
                        n_buckets=cfg.n_buckets, cfg=cfg)

@@ -33,6 +33,33 @@ TOKEN_PATTERN = r"[a-z0-9]+"
 
 
 @dataclass(frozen=True)
+class AnalyzerConfig:
+    """Post-tokenization hooks (SURVEY C3). The spec names none, so the
+    DEFAULT is a no-op (identical to r1 behavior); both hooks are real,
+    synchronized across all four analyzer forms (pure-Python / pandas /
+    Arrow / Spark-expression + DuckDB SQL twin) and rank-identity-tested
+    end-to-end when enabled.
+
+    Frozen semantics when enabled:
+    * ``stopwords`` are removed FIRST, on the raw lowercase tokens;
+    * ``stem='s'`` then applies the light plural stemmer (RE2-safe,
+      2 sequential regex rules): ``^(..+)ies$ -> \\1y``, then
+      ``^(..+[^aeious])s$ -> \\1`` (never strips -ss/-us/-is/vowel+s);
+    * document length ``dl`` counts the tokens actually indexed
+      (post-filter), so BM25 length normalization matches the index.
+    """
+    stopwords: tuple = ()
+    stem: str | None = None  # None | 's' (light plural stemmer)
+
+    @property
+    def is_noop(self) -> bool:
+        return not self.stopwords and self.stem is None
+
+
+DEFAULT_ANALYZER = AnalyzerConfig()
+
+
+@dataclass(frozen=True)
 class BM25Config:
     k1: float = 1.2
     b: float = 0.75
@@ -50,8 +77,15 @@ class IndexConfig:
     # number of term-hash buckets == partition dirs of the index
     # (query-time partition pruning unit)
     n_buckets: int = 16
-    # shuffle partitions for the term-partitioned pack stage
+    # MINIMUM shuffle partitions for the term-partitioned pack stage;
+    # the build scales the actual count with the data:
+    # max(pack_partitions, fine_slices, est_postings / pack_rows_per_task)
     pack_partitions: int = 32
+    # target posting rows per pack/merge task — each task materializes
+    # its whole shuffle partition for the vectorized kernel, so this
+    # bounds per-task working-set (~2M rows ≈ 50-100 MB) and keeps it
+    # cache/bandwidth-friendly at high parallelism at ANY corpus size
+    pack_rows_per_task: int = 2_000_000
     # MINIMUM number of doc-range slices the corpus is split into at build
     # time; each slice builds one segment; merge passes reduce segments per
     # (bucket) until <= the effective slice count. Slices are also the
@@ -92,6 +126,7 @@ class IndexConfig:
     skew_df_frac: float = 0.10
     skew_splits: int = 8
     bm25: BM25Config = field(default_factory=BM25Config)
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
 
 
 DEFAULT = IndexConfig()

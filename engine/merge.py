@@ -31,13 +31,14 @@ def _merge_batches(batches, block_size: int):
     tbl = pa.Table.from_batches(list(batches))
     if tbl.num_rows == 0:
         return
-    terms = tbl.column("term").to_pandas().to_numpy(object)
+    tdict = tbl.column("term").combine_chunks().dictionary_encode()
+    codes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     shards = tbl.column("shard").to_numpy(zero_copy_only=False).astype(np.int32)
     dfs = tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
     doc_pl = tbl.column("doc_ids").to_pylist()
     tf_pl = tbl.column("tfs").to_pylist()
     dl_pl = tbl.column("dls").to_pylist()
-    n = terms.size
+    n = codes.size
     # decode everything in one vectorized pass
     doc_ids, tfs, row_bounds = codec.decode_postings_many(doc_pl, tf_pl, dfs)
     dls, _ = codec.decode_many(dl_pl, dfs)
@@ -46,7 +47,7 @@ def _merge_batches(batches, block_size: int):
     change = np.empty(n, dtype=bool)
     change[0] = True
     if n > 1:
-        change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
     gstart = np.flatnonzero(change)
     gbound = np.append(gstart, n)
     # within each group, order runs by first doc_id, then concatenate.
@@ -74,7 +75,7 @@ def _merge_batches(batches, block_size: int):
     doc_payloads, tf_payloads, dl_payloads, blocks = codec.pack_lists(
         out_bounds, m_docs, m_tfs, m_dls, block_size)
     yield pa.RecordBatch.from_arrays([
-        pa.array(terms[gstart], pa.string()),
+        tdict.dictionary.take(pa.array(codes[gstart])).cast(pa.string()),
         pa.array(shards[gstart], pa.int32()),
         pa.array(out_df, pa.int64()),
         pa.array(cf, pa.int64()),

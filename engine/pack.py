@@ -67,21 +67,30 @@ def shard_width(n_docs: int, n_slices: int) -> int:
 
 def _pack_batches(batches, block_size: int):
     """Pack one shuffle partition (sorted by term, shard, doc_id) into
-    packed posting rows — one output row per (term, shard) run."""
+    packed posting rows — one output row per (term, shard) run.
+
+    Terms stay Arrow-side as dictionary CODES (int32, zero-copy): run
+    boundaries are detected on codes, and only the per-GROUP term strings
+    (vocab.take at group starts) ever materialize. The earlier
+    object-array form created one Python string per posting row — at 32
+    concurrent multi-million-row tasks that dominated DRAM traffic and
+    collapsed build throughput at high parallelism."""
     tbl = pa.Table.from_batches(list(batches))
     if tbl.num_rows == 0:
         return
-    terms = tbl.column("term").to_pandas().to_numpy(object)
+    tdict = tbl.column("term").combine_chunks().dictionary_encode()
+    codes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     shards = tbl.column("shard").to_numpy(zero_copy_only=False).astype(np.int32)
     doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
     dls = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
-    n = terms.size
-    # run boundaries where (term, shard) changes
+    n = codes.size
+    # run boundaries where (term, shard) changes (equal strings share a
+    # code within the single combined dictionary)
     change = np.empty(n, dtype=bool)
     change[0] = True
     if n > 1:
-        change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
     starts = np.flatnonzero(change)
     bounds = np.append(starts, n).astype(np.int64)  # CSR, len G+1
     g = starts.size
@@ -91,7 +100,7 @@ def _pack_batches(batches, block_size: int):
     doc_payloads, tf_payloads, dl_payloads, blocks = codec.pack_lists(
         bounds, doc_ids, tfs, dls, block_size)
     yield pa.RecordBatch.from_arrays([
-        pa.array(terms[starts], pa.string()),
+        tdict.dictionary.take(pa.array(codes[starts])).cast(pa.string()),
         pa.array(shards[starts], pa.int32()),
         pa.array(df_, pa.int64()),
         pa.array(cf, pa.int64()),

@@ -43,11 +43,13 @@ def create_streaming_index(spark: SparkSession, index_dir: str,
     from .build import effective_slices
     n_shards = effective_slices(cfg, expected_docs)
     width = pack_mod.shard_width(expected_docs, n_shards)
+    from .build import _acfg_dict
     man = Manifest(n_buckets=cfg.n_buckets, n_slices=n_shards,
                    merge_fanin=cfg.merge_fanin,
                    block_size=cfg.block_size, shard_width=width,
                    bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
-                         "idf_variant": cfg.bm25.idf_variant})
+                         "idf_variant": cfg.bm25.idf_variant},
+                   analyzer=_acfg_dict(cfg))
     man.final_segment = ""
     man.save(index_dir)
 
@@ -60,7 +62,7 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     base = man.n_docs
     docs = assign_doc_ids(batch_df).withColumn(
         "doc_id", F.col("doc_id") + F.lit(base))
-    tokenized = tokenize_corpus(docs).persist()
+    tokenized = tokenize_corpus(docs, cfg).persist()
     docmap = tokenized.filter(F.col("term").isNull()).select(
         "doc_id", "conv_id", "turn_idx", "dl")
     n_new, _ = corpus_stats(docmap)
@@ -76,7 +78,10 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     packed = pack_mod.pack_postings_width(postings, man.shard_width, cfg)
     pack_mod.write_segment(packed, seg_path, cfg)
     docs.write.mode("append").parquet(os.path.join(index_dir, "corpus"))
-    docmap.write.mode("append").parquet(os.path.join(index_dir, "docmap"))
+    # same narrow docmap schema as the batch build (dl lives inlined in
+    # the segments; stats maintained exactly via sum_dl below)
+    docmap.select("doc_id", "conv_id", "turn_idx") \
+        .write.mode("append").parquet(os.path.join(index_dir, "docmap"))
     tokenized.unpersist()
     man.segments.append(Segment(inc_id, -1, seg_path, rows=-1,
                                 wall_s=time.perf_counter() - t0,
