@@ -247,6 +247,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boolean NOT: rank for "spark join", excluding docs with "hash"
         return _bm25_engine(spark, sf, "spark join", "OR", exclude="hash")
 
+    def term_stats_hooked(spark, sf):
+        # C3 analyzer hooks under the hard gate: stopword removal + the
+        # light plural stemmer, identical across the Spark expression
+        # form and the DuckDB twin (engine.analyzer.duckdb_tokenize)
+        from engine.config import AnalyzerConfig
+        acfg = AnalyzerConfig(stopwords=("the", "a", "of", "to"), stem="s")
+        toks = _docs(spark, sf).select(
+            "doc_id",
+            F.explode(tokenize_expr(F.col("text"), acfg)).alias("term"))
+        return (toks.groupBy("term")
+                .agg(F.countDistinct("doc_id").alias("df"),
+                     F.count("*").alias("cf")))
+
     def fingerprint(spark, sf):
         # document fingerprint: md5 over the NORMALIZED token stream
         return _docs(spark, sf).select(
@@ -381,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doclen": doclen,
         "term_stats": term_stats,
+        "term_stats_hooked": term_stats_hooked,
         "corpus_stats": corpus_stats,
         "lexicon_idf": lexicon_idf,
         "tf_topk": tf_topk,
@@ -409,6 +423,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": user_sessions,
         "media_features": media_features,
     }
+
+
+def _term_stats_hooked_sql() -> str:
+    from engine.analyzer import duckdb_tokenize
+    from engine.config import AnalyzerConfig
+    acfg = AnalyzerConfig(stopwords=("the", "a", "of", "to"), stem="s")
+    frag = duckdb_tokenize("text", acfg)
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({frag}) AS term FROM documents)
+        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+        FROM toks GROUP BY term"""
 
 
 def _stopword_ratio_sql(words: list[str]) -> str:
@@ -567,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and": _bm25_sql(["hash", "join", "merge"], "AND"),
         "bm25_qtf": _bm25_sql(["spark", "spark", "vector"], "OR"),
         "bm25_not": _bm25_sql(["join", "spark"], "OR", exclude=["hash"]),
+        "term_stats_hooked": _term_stats_hooked_sql(),
         "fingerprint": f"""
             SELECT doc_id,
                    md5(array_to_string({_TOK_SQL}, ' ')) AS fp

@@ -298,25 +298,22 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         man.save(index_dir)
     seg = man.segment(seg0_id)
     if not (seg.status == "complete" and _success_marker(seg0_path)):
-        # postings stream from the (cached) corpus through the tokenizer
-        # directly into the pack shuffle — no corpus-sized intermediate
-        postings = tokenize_corpus(docs, cfg).filter(
-            F.col("term").isNotNull()).select("doc_id", "term", "tf", "dl")
         t0 = time.perf_counter()
         with timer.time("pack"):
-            # shuffle width scales with the data: at least one partition
-            # per fine slice, and enough that each pack task holds
-            # ~pack_rows_per_task posting rows (est. n_docs * avgdl) —
-            # bounded, cache-friendly per-task working sets at any
-            # corpus size and parallelism
-            # avgdl is exact on resume (manifest); on a fresh build it is
-            # not known yet — a nominal 64 tokens/doc sizes the estimate
-            # (the max() floors make under/over-estimates benign)
+            # map-side run generation: tokenize + pack PARTIAL runs per
+            # Arrow batch BEFORE any shuffle (pack.tokenize_pack_partial)
+            # — only VByte-packed runs cross the wire (~10x fewer bytes
+            # than raw posting rows), then one fanin=1 merge pass orders
+            # and concatenates the doc-range-disjoint runs per
+            # (term, shard). Shuffle width scales with the data; avgdl is
+            # exact on resume (manifest), a nominal 64 tokens/doc sizes
+            # the estimate otherwise (max() floors make it benign).
             est_rows = int(n_docs * (avgdl or 64.0))
             parts = max(cfg.pack_partitions, fine_slices,
                         -(-est_rows // cfg.pack_rows_per_task))
-            packed = pack_mod.pack_postings_width(
-                postings, w_fine, cfg, n_parts=parts)
+            partial = pack_mod.tokenize_pack_partial(docs, w_fine, cfg)
+            packed = merge_mod.merge_pass(partial, fanin=1, cfg=cfg,
+                                          n_parts=parts)
             pack_mod.write_segment(packed, seg0_path, cfg)
         rows = _parquet_rows(seg0_path)
         man.mark_complete(seg0_id, rows, time.perf_counter() - t0)

@@ -47,6 +47,7 @@ class Manifest:
     shard_width: int = 0
     block_size: int = 0
     bm25: dict = field(default_factory=dict)
+    analyzer: dict = field(default_factory=dict)  # stopwords/stem hooks
     segments: list[Segment] = field(default_factory=list)
     final_segment: str = ""
     metrics: dict = field(default_factory=dict)

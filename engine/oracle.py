@@ -17,17 +17,21 @@ import math
 from collections import Counter
 
 from .analyzer import tokenize_py
-from .config import BM25Config
+from .config import DEFAULT_ANALYZER, AnalyzerConfig, BM25Config
 
 
 class OracleIndex:
-    def __init__(self, docs: list[tuple[int, str]], cfg: BM25Config | None = None):
-        """docs: (doc_id, text) with doc_id dense in stable corpus order."""
+    def __init__(self, docs: list[tuple[int, str]], cfg: BM25Config | None = None,
+                 acfg: AnalyzerConfig = DEFAULT_ANALYZER):
+        """docs: (doc_id, text) with doc_id dense in stable corpus order.
+        ``acfg``: analyzer hooks — must match the engine's index config
+        for rank-identity (same contract as the engine itself)."""
         self.cfg = cfg or BM25Config()
+        self.acfg = acfg
         self.postings: dict[str, list[tuple[int, int]]] = {}
         self.dl: dict[int, int] = {}
         for doc_id, text in docs:
-            toks = tokenize_py(text)
+            toks = tokenize_py(text, acfg)
             self.dl[doc_id] = len(toks)
             for term, tf in sorted(Counter(toks).items()):
                 self.postings.setdefault(term, []).append((doc_id, tf))
@@ -50,7 +54,7 @@ class OracleIndex:
         query terms (conjunctive posting-list intersection). Query-term
         weight = qtf (repeated query terms count multiply).
         """
-        qtf = Counter(t for t in tokenize_py(query))
+        qtf = Counter(t for t in tokenize_py(query, self.acfg))
         terms = sorted(qtf)  # ascending term order == frozen summation order
         known = [t for t in terms if t in self.postings]
         if mode.upper() == "AND" and len(known) < len(terms):

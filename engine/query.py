@@ -22,9 +22,11 @@ from .build import FlatIndex
 from .config import BM25Config
 
 
-def query_terms(query: str) -> dict[str, int]:
-    """query string -> {term: qtf}, via the SAME frozen analyzer (E1)."""
-    return dict(Counter(tokenize_py(query)))
+def query_terms(query: str, acfg=None) -> dict[str, int]:
+    """query string -> {term: qtf}, via the SAME frozen analyzer incl.
+    the index's config hooks (E1) — build/query analysis cannot drift."""
+    from .config import DEFAULT_ANALYZER
+    return dict(Counter(tokenize_py(query, acfg or DEFAULT_ANALYZER)))
 
 
 def bm25_score_col(tf_col, dl_col, idf_col, qtf_col, avgdl: float,
@@ -54,7 +56,8 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
     normally instead of returning nothing.
     """
     spark = idx.docs.sparkSession
-    qtf = query_terms(query)
+    acfg = idx.cfg.analyzer
+    qtf = query_terms(query, acfg)
     empty = idx.postings.sparkSession.createDataFrame(
         [], "doc_id long, score double")
     if not qtf:
@@ -80,7 +83,7 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
               .agg(F.sum("_s").alias("score"), F.count("*").alias("_nt")))
     if mode.upper() == "AND":
         scored = scored.filter(F.col("_nt") == n_known)
-    neg = sorted(set(tokenize_py(exclude)) - set(qtf)) if exclude else []
+    neg = sorted(set(tokenize_py(exclude, acfg)) - set(qtf)) if exclude else []
     if neg:
         negdocs = (idx.postings.filter(F.col("term").isin(neg))
                    .select("doc_id").distinct())
@@ -173,11 +176,12 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     from .build import PackedIndex  # noqa: F401 (typing)
     spark = index.spark
     mode = mode.upper()
-    qtf = query_terms(query)
+    acfg = index.cfg.analyzer
+    qtf = query_terms(query, acfg)
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not qtf:
         return empty
-    neg = sorted(set(tokenize_py(exclude)) - set(qtf)) if exclude else []
+    neg = sorted(set(tokenize_py(exclude, acfg)) - set(qtf)) if exclude else []
     terms = sorted(qtf)
     lex = index.lookup_terms(sorted(set(terms) | set(neg)))
     known = [t for t in terms if t in lex]
@@ -234,7 +238,8 @@ def search_batch(index, queries: list[dict], k: int = 10) -> DataFrame:
     import pandas as pd
     from pyspark.sql import Window
     spark = index.spark
-    per_q = {q["id"]: query_terms(q["query"]) for q in queries}
+    per_q = {q["id"]: query_terms(q["query"], index.cfg.analyzer)
+             for q in queries}
     modes = {q["id"]: q["mode"].upper() for q in queries}
     per_q = {qid: qt for qid, qt in per_q.items() if qt}
     if not per_q:

@@ -94,3 +94,66 @@ def test_spark_xxhash64_property(spark):
     for s in cases:
         assert spark_xxhash64(s) == got[s], repr(s)
         assert term_bucket(s, 16) == got[s] % 16, repr(s)
+
+
+def test_analyzer_hooks_four_forms_agree(spark):
+    """C3 config hooks (stopwords + light plural stemmer) produce the
+    IDENTICAL token stream across all synchronized forms: pure-Python,
+    pandas, Arrow fast path, Spark expression, and the DuckDB SQL twin."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from engine.analyzer import (doc_term_freqs, doc_term_freqs_arrow,
+                                 duckdb_tokenize, tokenize_expr, tokenize_py)
+    from engine.config import AnalyzerConfig
+
+    acfg = AnalyzerConfig(stopwords=("the", "a", "of"), stem="s")
+    texts = ["The queries of the parsers pass GAS tests",
+             "days this does buses 42s ss is a energies",
+             "", "THE THE THE", "pass passes passed class classes",
+             "Größe Ties dies İstanbul days"]  # non-ASCII -> pandas fallback
+
+    # frozen expectations for the stemmer itself
+    assert tokenize_py("queries days this does gas ss class", acfg) == \
+        ["query", "day", "this", "does", "gas", "ss", "class"]
+
+    want = [tokenize_py(t, acfg) for t in texts]
+
+    # pandas + arrow paths, via the tf tuples (canonical multiset form)
+    def canon(r):
+        rows, terms, tfs, _ = r
+        return sorted(zip(np.asarray(rows).tolist(),
+                          [str(t) for t in terms],
+                          np.asarray(tfs).tolist()))
+    from collections import Counter
+    want_tf = sorted((i, t, c) for i, toks in enumerate(want)
+                     for t, c in Counter(toks).items())
+    assert canon(doc_term_freqs(pd.Series(texts), acfg)) == want_tf
+    assert canon(doc_term_freqs_arrow(pa.array(texts, pa.string()), acfg)) == want_tf
+    # dl counts post-filter tokens
+    _, _, _, dl = doc_term_freqs(pd.Series(texts), acfg)
+    assert dl.tolist() == [len(w) for w in want]
+
+    # Spark expression form
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got_expr = {r["i"]: r["toks"] for r in df.select(
+        "i", tokenize_expr(F.col("text"), acfg).alias("toks")).collect()}
+    assert [got_expr[i] for i in range(len(texts))] == want
+
+    # DuckDB twin — ASCII rows only: DuckDB's lower() maps U+0130 'İ'
+    # -> 'i' (simple case folding) where Python/Java produce 'i' + a
+    # combining dot, a pre-existing documented divergence of the SQL
+    # twin on non-ASCII (the frozen analyzer semantics are the Python
+    # ones; the driver tables are ASCII)
+    ascii_rows = [i for i, t in enumerate(texts) if t.isascii()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{texts[i]}')" for i in ascii_rows)
+                + ") v(i, text)")
+    rows = con.execute(
+        f"SELECT i, {duckdb_tokenize('text', acfg)} AS toks FROM t ORDER BY i"
+    ).fetchall()
+    assert [r[1] for r in rows] == [want[i] for i in ascii_rows]

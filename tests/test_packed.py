@@ -202,3 +202,36 @@ def test_resume_refuses_plan_mismatch(spark, corpus_df, tmp_path):
     # the original cfg still resumes cleanly
     idx = build_index(spark, corpus_df, d, cfg=cfg)
     assert idx.shard_width <= 64
+
+
+def test_custom_analyzer_end_to_end(spark, corpus_df, corpus_pdf, tmp_path):
+    """C3 hooks end-to-end: a packed index built with stopwords + the
+    plural stemmer is rank-identical to the pure-Python oracle configured
+    the same way, and the config survives the manifest round-trip (a
+    RELOADED index analyzes queries identically)."""
+    from engine.build import build_index, load_index
+    from engine.config import AnalyzerConfig, IndexConfig
+    from engine.oracle import OracleIndex
+    acfg = AnalyzerConfig(stopwords=("the", "a", "hot0"), stem="s")
+    cfg = IndexConfig(analyzer=acfg)
+    d = str(tmp_path / "custom_an")
+    idx = build_index(spark, corpus_df, d, cfg=cfg)
+    oracle = OracleIndex(list(zip(range(len(corpus_pdf)), corpus_pdf.text)),
+                         acfg=acfg)
+    # 'hot0' is a stopword now: indexed nowhere, query side drops it too
+    assert not oracle.postings.get("hot0")
+    for q in ("hot0 rare3", "rare5 mid2 queries", "the details"):
+        got = [(r.doc_id, round(r.score, 9)) for r in
+               Q.search(idx, q, k=10, mode="OR").collect()]
+        want = [(dd, round(s, 9)) for dd, s in oracle.search(q, 10, "OR")]
+        assert got == want, q
+    # manifest round-trip: a freshly loaded index applies the same hooks
+    idx2 = load_index(spark, d)
+    assert idx2.cfg.analyzer == acfg or (
+        sorted(idx2.cfg.analyzer.stopwords) == sorted(acfg.stopwords)
+        and idx2.cfg.analyzer.stem == acfg.stem)
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           Q.search(idx2, "rare5 mid2 queries", k=10).collect()]
+    want = [(dd, round(s, 9)) for dd, s in
+            oracle.search("rare5 mid2 queries", 10, "OR")]
+    assert got == want
