@@ -227,13 +227,16 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def search_batch(index, queries: list[dict], k: int = 10) -> DataFrame:
+def search_batch(index, queries: list[dict], k: int = 10,
+                 use_wand: bool = True) -> DataFrame:
     """E9: execute a whole query set in ONE Spark job.
 
     ``queries``: [{"id", "query", "mode"}]. One pruned postings scan
     covering the union of all query terms; the per-shard scorer loops the
-    queries (each numpy-vectorized); global per-query top-k via window
-    rank (single shuffle). Returns (qid, doc_id, score).
+    queries — OR queries through the Block-Max WAND scorer (rank-safe
+    pruning amortized across the set), AND through the exhaustive
+    intersection scorer; global per-query top-k via window rank (single
+    shuffle). Returns (qid, doc_id, score).
     """
     import pandas as pd
     from pyspark.sql import Window
@@ -252,21 +255,28 @@ def search_batch(index, queries: list[dict], k: int = 10) -> DataFrame:
         return spark.createDataFrame([], "qid string, doc_id long, score double")
     idfs = {t: float(lex[t]["idf"]) for t in scan_terms}
     buckets = sorted({lex[t]["bucket"] for t in scan_terms})
+    any_or = use_wand and any(m == "OR" for m in modes.values())
+    cols = ["term", "shard", "df", "doc_ids", "tfs", "dls"] + (
+        ["blocks", "max_tf"] if any_or else [])
     post = (index.postings()
             .filter(F.col("bucket").isin(buckets)
                     & F.col("term").isin(scan_terms))
-            .select("term", "shard", "df", "doc_ids", "tfs", "dls"))
+            .select(*cols))
     width = index.shard_width
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b,
             "avgdl": index.avgdl}
 
     def fn(key, post_pdf):
+        from .wand import score_shard_wand
         outs = []
         for qid, qt in per_q.items():
             sub = post_pdf[post_pdf["term"].isin(list(qt))]
-            r = _score_shard_exhaustive(sub, {t: float(n) for t, n in qt.items()},
-                                        idfs, cfgd, k, modes[qid], width,
-                                        len(qt))
+            qtfs = {t: float(n) for t, n in qt.items()}
+            if any_or and modes[qid] == "OR":
+                r = score_shard_wand(sub, qtfs, idfs, cfgd, k, width)
+            else:
+                r = _score_shard_exhaustive(sub, qtfs, idfs, cfgd, k,
+                                            modes[qid], width, len(qt))
             if r is not None:
                 r.insert(0, "qid", qid)
                 outs.append(r)

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import merge as merge_mod
 from . import pack as pack_mod
-from .build import corpus_stats, idf_col, load_index, tokenize_corpus, PackedIndex
+from .build import idf_col, load_index, PackedIndex
 from .config import DEFAULT, IndexConfig
 from .docids import assign_doc_ids
 from .manifest import Manifest, Segment, _success_marker
@@ -56,33 +56,34 @@ def create_streaming_index(spark: SparkSession, index_dir: str,
 
 def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
                  cfg: IndexConfig = DEFAULT) -> int:
-    """Index one micro-batch; returns docs appended."""
+    """Index one micro-batch; returns docs appended.
+
+    Same single-tokenize pipeline as the batch build: map-side partial
+    runs (tokenize_pack_partial) -> fanin=1 merge -> one row per
+    (term, shard) in the increment segment; docmap is the narrow
+    projection, and exact dl totals for avgdl maintenance come from the
+    written segment's cf sum (the same identity the batch build uses)."""
     man = Manifest.load(index_dir)
     assert man is not None, "create_streaming_index first"
     base = man.n_docs
     docs = assign_doc_ids(batch_df).withColumn(
         "doc_id", F.col("doc_id") + F.lit(base))
-    tokenized = tokenize_corpus(docs, cfg).persist()
-    docmap = tokenized.filter(F.col("term").isNull()).select(
-        "doc_id", "conv_id", "turn_idx", "dl")
-    n_new, _ = corpus_stats(docmap)
-    sum_new = docmap.agg(F.sum("dl")).first()[0] or 0
+    docs.persist()
+    n_new = docs.count()
     if n_new == 0:
-        tokenized.unpersist()
+        docs.unpersist()
         return 0
-    postings = tokenized.filter(F.col("term").isNotNull()).select(
-        "doc_id", "term", "tf", "dl")
     inc_id = f"inc_{len(man.segments):05d}"
     seg_path = os.path.join(index_dir, "segments", inc_id)
     t0 = time.perf_counter()
-    packed = pack_mod.pack_postings_width(postings, man.shard_width, cfg)
+    partial = pack_mod.tokenize_pack_partial(docs, man.shard_width, cfg)
+    packed = merge_mod.merge_pass(partial, fanin=1, cfg=cfg)
     pack_mod.write_segment(packed, seg_path, cfg)
     docs.write.mode("append").parquet(os.path.join(index_dir, "corpus"))
-    # same narrow docmap schema as the batch build (dl lives inlined in
-    # the segments; stats maintained exactly via sum_dl below)
-    docmap.select("doc_id", "conv_id", "turn_idx") \
+    docs.select("doc_id", "conv_id", "turn_idx") \
         .write.mode("append").parquet(os.path.join(index_dir, "docmap"))
-    tokenized.unpersist()
+    docs.unpersist()
+    sum_new = spark.read.parquet(seg_path).agg(F.sum("cf")).first()[0] or 0
     man.segments.append(Segment(inc_id, -1, seg_path, rows=-1,
                                 wall_s=time.perf_counter() - t0,
                                 status="complete"))

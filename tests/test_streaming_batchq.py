@@ -89,14 +89,17 @@ def test_search_batch_matches_single(spark, corpus_df, oracle_idx, tmp_path):
     from engine import query as Q
     from engine.build import build_index
     idx = build_index(spark, corpus_df, str(tmp_path / "bq"))
-    out = Q.search_batch(idx, QUERY_SET, k=10).collect()
-    by_q = {}
-    for r in out:
-        by_q.setdefault(r.qid, []).append((r.doc_id, round(r.score, 9)))
-    for q in QUERY_SET:
-        want = [(d, round(s, 9)) for d, s in
-                oracle_idx.search(q["query"], 10, q["mode"])]
-        assert by_q.get(q["id"], []) == want, q["id"]
+    # both scorer routings (WAND for OR / exhaustive-only) must be
+    # rank-identical to the oracle — WAND's batch pruning is rank-safe
+    for use_wand in (True, False):
+        out = Q.search_batch(idx, QUERY_SET, k=10, use_wand=use_wand).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.qid, []).append((r.doc_id, round(r.score, 9)))
+        for q in QUERY_SET:
+            want = [(d, round(s, 9)) for d, s in
+                    oracle_idx.search(q["query"], 10, q["mode"])]
+            assert by_q.get(q["id"], []) == want, (q["id"], use_wand)
 
 
 def test_lineage_df(spark, corpus_df, tmp_path):
