@@ -132,7 +132,10 @@ def write_embeddings_lsh(emb: DataFrame, path: str, n_planes: int = 8,
     so per-partition file sizes stay sane at scale."""
     (emb.withColumn("bkt", lsh_bucket_expr(F.col(vec_col), n_planes, dim,
                                            seed))
-        .write.mode("overwrite").partitionBy("bkt").parquet(path))
+        .repartition(F.col("bkt"))  # cluster rows so each bucket dir gets
+        .write.mode("overwrite")    # one file per holding task, not one
+        .partitionBy("bkt")         # per (task x bucket) — file hygiene
+        .parquet(path))             # at scale and fewer files to list
 
 
 def _hamming_ball(center: int, n_planes: int, radius: int) -> list[int]:
@@ -171,6 +174,7 @@ def write_embeddings_ivf(emb: DataFrame, path: str, centroids,
     """Persist the embedding table partitioned by its IVF cell (nearest
     centroid of the coarse quantizer) — the inverted-file layout."""
     (emb.withColumn("cell", ivf_cell_expr(F.col(vec_col), centroids))
+        .repartition(F.col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path))
 
 
