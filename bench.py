@@ -42,8 +42,10 @@ def _delta_vs_prev_round(queries: dict) -> dict:
     the newest BENCH_r{N}.json the driver recorded, as extra JSON keys
     (the driver only requires metric/value/unit/queries/sf)."""
     import glob
+    import re
     repo = os.path.dirname(os.path.abspath(__file__))
-    prevs = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    prevs = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")),
+                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
     if not prevs:
         return {}
     try:
@@ -143,10 +145,16 @@ def main():
         queries["batch_query_set"] = round(t_batch, 4)
         queries["batch_queries_per_sec"] = round(len(QUERY_SET) / t_batch, 2)
 
+        # headline total = index_build + warm query rows ONLY; the extra
+        # build-stage rows (docs_index_build / ann_layout_build /
+        # index_build_merged) are reported but excluded so the total stays
+        # comparable round-over-round (ADVICE r2)
         total = sum(v for k, v in queries.items()
                     if k not in ("build_turns_per_sec",
                                  "batch_queries_per_sec",
-                                 "merged_turns_per_sec", "merge_passes"))
+                                 "merged_turns_per_sec", "merge_passes",
+                                 "docs_index_build", "ann_layout_build",
+                                 "index_build_merged"))
         out = {
             "metric": "engine_bench_total",
             "value": round(total, 4),

@@ -235,6 +235,21 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 f"merge_fanin={man.merge_fanin}, cfg has "
                 f"{cfg.merge_fanin}; pass the original cfg or delete the "
                 f"index dir to rebuild")
+        # ADVICE r2: the plan is more than shard geometry — a resume under
+        # a different analyzer / block size / bucket count would pack the
+        # remaining segments under one config and serve the manifest's
+        # original at query time (silent build/query drift). Refuse those
+        # too.
+        for what, old, new in [
+                ("analyzer", man.analyzer or {}, _acfg_dict(cfg)),
+                ("block_size", man.block_size, cfg.block_size),
+                ("n_buckets", man.n_buckets, cfg.n_buckets)]:
+            if old != new:
+                raise ValueError(
+                    f"resume plan mismatch at {index_dir}: index built "
+                    f"with {what}={old!r}, current cfg resolves {new!r}; "
+                    f"pass the original cfg or delete the index dir to "
+                    f"rebuild")
         docs = spark.read.parquet(corpus_path)
     else:
         man = Manifest(n_buckets=cfg.n_buckets, n_slices=cfg.n_slices,
@@ -439,6 +454,17 @@ class PackedIndex:
             for t in missing:
                 cache.setdefault(t, None)  # absent from corpus
         return {t: cache[t] for t in terms if cache.get(t) is not None}
+
+    def refresh(self) -> None:
+        """Drop memoized lexicon rows + DataFrame handles so a handle held
+        across ``streaming.compact()`` (which rewrites the lexicon with
+        fresh global df/idf) stops serving stale values. ``compact()``
+        returns a brand-new handle — that stays the recommended pattern —
+        but a long-lived handle can now be revalidated explicitly
+        (ADVICE r2: the memo had no invalidation hook)."""
+        self._term_cache = {}
+        self._post_df = None
+        self._lex_df = None
 
 
 def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:

@@ -88,15 +88,6 @@ def lsh_bucket_expr(vec_col, n_planes: int = 8, dim: int = 64,
     return sum(bits[1:], start=bits[0]).cast("int")
 
 
-def _hamming_ball(bucket_col, n_planes: int, radius: int):
-    """Boolean filter: popcount(bucket XOR q) <= radius, as an expression.
-    (bit_count exists in Spark 3.5+/4.x.)"""
-    def ball(qb: int):
-        x = bucket_col.bitwiseXOR(F.lit(qb))
-        return F.bit_count(x) <= radius
-    return ball
-
-
 def ann_lsh_topk(emb: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
                  radius: int = 1, id_col: str = "vec_id",
                  vec_col: str = "embedding", seed: int = 42,
