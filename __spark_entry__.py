@@ -35,10 +35,10 @@ from engine.config import DEFAULT  # noqa: E402
 _K1, _B = DEFAULT.bm25.k1, DEFAULT.bm25.b
 _TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
-# queries with NO oracle_sql twin (genuinely non-SQL-expressible:
-# synthetic-media mapInPandas plumbing) — the driver records a weaker
-# rows-only check for these.
-NO_ORACLE = {"media_features"}
+# queries with NO oracle_sql twin — empty since r3: media_features now
+# derives payloads from the documents table and features from md5(payload)
+# (portable), so even the mapInPandas media pipeline is hash-gated.
+NO_ORACLE: set[str] = set()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,6 +100,48 @@ def _packed_index(spark: SparkSession, sf_dir: str):
         _PACKED_IDX_CACHE[key] = build_index(
             spark, _corpus_from_documents(_docs(spark, sf_dir)), d)
     return _PACKED_IDX_CACHE[key]
+
+
+_STREAM_IDX_CACHE: dict = {}
+
+
+def _incremental_index(spark: SparkSession, sf_dir: str):
+    """Build-once incremental index per (session, corpus): the documents
+    corpus split into two halves by doc_id, indexed via two append_batch
+    calls + compact — the streaming pipeline (engine/streaming.py) built
+    externally so the driver's DuckDB gate exercises it. Arrival order ==
+    doc_id order, so engine doc_ids equal the table's doc_ids (the same
+    contract as _corpus_from_documents)."""
+    import tempfile
+    from engine.streaming import append_batch, compact, create_streaming_index
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="entry_sidx_")
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        corpus = _corpus_from_documents(docs)
+        cut = f"conv-{n // 2:012d}"  # zero-padded: string order == id order
+        create_streaming_index(spark, d, expected_docs=n)
+        append_batch(spark, corpus.filter(F.col("conv_id") < cut), d)
+        append_batch(spark, corpus.filter(F.col("conv_id") >= cut), d)
+        _STREAM_IDX_CACHE[key] = compact(spark, d)
+    return _STREAM_IDX_CACHE[key]
+
+
+def _adaptive_planes_sf001() -> int:
+    """The LSH plane count BOTH sides of the knn/near-dup gate resolve at
+    the driver's compare scale (sf0.01): data-scaled via
+    similarity.adaptive_n_planes, with the row count read from the
+    parquet footer (no Spark). The fixed-8 variant remains a pytest
+    cross-check; the gate now runs the production (adaptive) path."""
+    from engine.similarity import adaptive_n_planes
+    try:
+        import pyarrow.parquet as pq
+        n = pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet").metadata.num_rows
+    except Exception:
+        n = 500
+    return adaptive_n_planes(n)
 
 
 _ANN_LAYOUT_CACHE: dict = {}
@@ -337,12 +379,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 nprobe=2, exclude_id=0)
 
     def near_dup_embeddings(spark, sf):
+        # n_planes=None -> data-scaled plane count (the production path);
+        # the oracle twin resolves the same count from the row count
         from engine.dedup import embedding_near_dups
-        return embedding_near_dups(_emb(spark, sf), threshold=0.3)
+        return embedding_near_dups(_emb(spark, sf), threshold=0.3,
+                                   n_planes=None)
 
     def knn_join(spark, sf):
         from engine.similarity import knn_join_lsh
-        return knn_join_lsh(_emb(spark, sf), k=3)
+        return knn_join_lsh(_emb(spark, sf), k=3, n_planes=None)
 
     def events_hourly(spark, sf):
         # date functions: hourly rollup over the events table (count +
@@ -365,14 +410,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n_events"))
 
     def media_features(spark, sf):
-        # multimodal plumbing (synthetic media; deterministic fake decoder;
-        # no SQL twin -> rows-only check)
-        from engine.multimodal import extract_features, synthetic_media
-        feats = extract_features(synthetic_media(spark, n=60))
+        # multimodal plumbing under the HARD gate: payloads are the
+        # documents' UTF-8 bytes, the fake decoder is md5-derived
+        # (byte/256 -> exact float32), so DuckDB reproduces feat_sum
+        # bit-identically (mapInPandas batching/schema is the real path)
+        from engine.multimodal import extract_features, media_from_documents
+        feats = extract_features(media_from_documents(_docs(spark, sf)))
         return feats.select("media_id", "kind", "n_bytes",
                             F.round(F.aggregate("features", F.lit(0.0),
                                                 lambda a, x: a + x), 4)
                             .alias("feat_sum"))
+
+    def bm25_incremental(spark, sf):
+        # the streaming build pipeline (append_batch x2 -> compact) under
+        # the same BM25 oracle as the batch-built index: post-compact, the
+        # incremental index must rank identically to a batch build over
+        # the union (engine/streaming.py contract)
+        from engine import query as Q
+        idx = _incremental_index(spark, sf)
+        top = Q.search(idx, "vector hash spark", k=10, mode="OR")
+        return top.select("doc_id", F.round("score", 6).alias("score"))
 
     def ann_cosine(spark, sf):
         e = _emb(spark, sf)
@@ -422,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "user_sessions": user_sessions,
         "media_features": media_features,
+        "bm25_incremental": bm25_incremental,
     }
 
 
@@ -455,6 +513,25 @@ h AS (SELECT doc_id, tf,
              ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
 s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recon})::BIGINT AS simhash FROM s"""
+
+
+def _media_features_sql() -> str:
+    """DuckDB twin of the md5-derived fake decoder: feature j = byte j of
+    md5(utf-8 text) / 256 (exact in float32 AND double -> the sum is
+    engine-portable); kind/meta from doc_id % 3 as media_from_documents."""
+    byte_terms = " + ".join(
+        f"('0x' || substr(h, {2 * j + 1}, 2))::INT" for j in range(16))
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         strlen(text)::BIGINT AS n_bytes,
+         md5(text) AS h
+  FROM documents)
+SELECT media_id, kind, n_bytes,
+       round(({byte_terms}) / 256.0, 4) AS feat_sum
+FROM m"""
 
 
 def _ivf_codebook():
@@ -693,8 +770,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(16),
         "ann_lsh": _ann_lsh_sql(8, 1, 10),
         "ann_ivf": _ann_ivf_sql(2, 10),
-        "near_dup_embeddings": _near_dup_sql(0.3, 8),
-        "knn_join": _knn_join_sql(3, 8),
+        "near_dup_embeddings": _near_dup_sql(0.3, _adaptive_planes_sf001()),
+        "knn_join": _knn_join_sql(3, _adaptive_planes_sf001()),
+        "media_features": _media_features_sql(),
+        "bm25_incremental": _bm25_sql(["vector", "hash", "spark"], "OR"),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(min(value), 6) AS min_value,

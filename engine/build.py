@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from .config import DEFAULT, IndexConfig
-from .docids import assign_doc_ids
+from .docids import (assign_doc_ids, corpus_offsets, read_with_doc_ids,
+                     write_sorted_corpus)
 
 _TOKENIZED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
@@ -250,7 +251,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                     f"with {what}={old!r}, current cfg resolves {new!r}; "
                     f"pass the original cfg or delete the index dir to "
                     f"rebuild")
-        docs = spark.read.parquet(corpus_path)
+        docs = (read_with_doc_ids(spark, corpus_path, man.corpus_offsets)
+                if man.corpus_offsets is not None
+                else spark.read.parquet(corpus_path))  # doc_id stored
     else:
         man = Manifest(n_buckets=cfg.n_buckets, n_slices=cfg.n_slices,
                        merge_fanin=cfg.merge_fanin,
@@ -258,25 +261,29 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                        bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
                              "idf_variant": cfg.bm25.idf_variant},
                        analyzer=_acfg_dict(cfg))
+        # The corpus-sized flat-postings IR is NEVER materialized, the
+        # corpus is tokenized exactly ONCE (the pack pass), and — since
+        # r3 — the full corpus is never PERSISTED either (VERDICT r2 #5:
+        # the old MEMORY_AND_DISK cache was a corpus-sized executor-disk
+        # footprint at 100 TB). The sorted corpus is written straight to
+        # its final location tagged (part_id, local_idx); doc_id is a
+        # narrow derivation on read (docids.read_with_doc_ids), offsets
+        # live in the manifest. Shard geometry needs only n_docs (free
+        # from the offsets aggregation); the docmap is a narrow
+        # column-pruned projection of the written corpus; exact corpus
+        # stats come AFTER pack from the lexicon (avgdl == sum(cf)/n_docs,
+        # an identity).
         with timer.time("docids"):
-            docs = assign_doc_ids(corpus, n_parts=n_parts)
-            docs.persist(StorageLevel.MEMORY_AND_DISK)
-        # The corpus-sized flat-postings IR is NEVER materialized, and
-        # the corpus is tokenized exactly ONCE (the pack pass): shard
-        # geometry needs only n_docs (a cheap count), the docmap is a
-        # narrow projection (per-doc dl lives inlined in the segments —
-        # codec dls stream), and exact corpus stats come AFTER pack from
-        # the lexicon (avgdl == sum(cf)/n_docs, an identity). The r1
-        # layout spent ~20% of build wall on a second tokenize pass just
-        # for dl/avgdl.
+            write_sorted_corpus(corpus, corpus_path, n_parts=n_parts)
         with timer.time("base_counts"):
-            n_docs = docs.count()
+            offsets, n_docs = corpus_offsets(spark, corpus_path)
             avgdl = 0.0  # exact value derived from the lexicon below
-        with timer.time("write_corpus_docmap"):
-            docs.write.mode("overwrite").parquet(corpus_path)
+        docs = read_with_doc_ids(spark, corpus_path, offsets)
+        with timer.time("write_docmap"):
             docs.select("doc_id", "conv_id", "turn_idx") \
                 .write.mode("overwrite").parquet(docmap_path)
         man.n_docs, man.avgdl = n_docs, avgdl
+        man.corpus_offsets = offsets
         man.n_slices = effective_slices(cfg, n_docs)
         man.shard_width = pack_mod.shard_width(n_docs, man.n_slices)
         man.save(index_dir)
@@ -390,11 +397,6 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     }
     man.completed = True
     man.save(index_dir)
-    # release build-time caches: the served index lives on disk now
-    docs.unpersist()
-    base = getattr(docs, "_graft_cached_base", None)
-    if base is not None:
-        base.unpersist()
     return load_index(spark, index_dir)
 
 
@@ -425,6 +427,15 @@ class PackedIndex:
         return self._post_df
 
     def corpus(self) -> DataFrame:
+        """Stored corpus WITH doc_id. Batch builds store (part_id,
+        local_idx) and derive doc_id from the manifest's offsets (the
+        corpus is written once, never persisted — docids.py); streaming
+        corpora store doc_id directly (append-time ids are final)."""
+        from .manifest import Manifest
+        man = Manifest.load(self.index_dir)
+        if man is not None and man.corpus_offsets is not None:
+            return read_with_doc_ids(self.spark, f"{self.index_dir}/corpus",
+                                     man.corpus_offsets)
         return self.spark.read.parquet(f"{self.index_dir}/corpus")
 
     def docmap(self) -> DataFrame:

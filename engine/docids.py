@@ -58,3 +58,80 @@ def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = ("conv_id", "turn_idx"
     # materialization no longer depends on recomputing the sort
     out._graft_cached_base = part
     return out
+
+
+# --------------------------------------------------------------------------
+# Disk-backed variant for the packed build (VERDICT r2 #5): instead of
+# persisting the full range-sorted corpus (a corpus-sized executor-disk
+# footprint at 100 TB) to serve the count + id passes, the sorted corpus is
+# written ONCE to its final parquet location tagged with (part_id,
+# local_idx); doc_id = offsets[part_id] + local_idx is then a narrow
+# derivation applied on every read. The write was already required by the
+# build, so the only added cost is re-reading the (pruned) columns each
+# consumer needs — sequential columnar scans instead of a corpus-sized
+# cache.
+# --------------------------------------------------------------------------
+
+def write_sorted_corpus(df: DataFrame, path: str,
+                        keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+                        n_parts: int | None = None) -> None:
+    """Range-partition + sort ``df`` by ``keys`` and write it to ``path``
+    with (part_id:int, local_idx:long) columns — ONE shuffle+sort+write
+    job, nothing persisted. doc_id is NOT stored: it is derived on read
+    (global rank = offsets[part_id] + local_idx), which keeps this single
+    pass sufficient (storing doc_id directly would need the per-partition
+    counts first, i.e. a second corpus-sized pass or a persist)."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (df.repartitionByRange(n_parts, *keys)
+              .sortWithinPartitions(*keys))
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("local_idx", T.LongType(), False)])
+
+    def tag(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        pos = 0
+        for b in batches:
+            n = b.num_rows
+            b = b.append_column("part_id", pa.array(
+                np.full(n, pid, dtype=np.int32), type=pa.int32()))
+            b = b.append_column("local_idx", pa.array(
+                np.arange(pos, pos + n, dtype=np.int64), type=pa.int64()))
+            pos += n
+            yield b
+
+    part.mapInArrow(tag, out_schema).write.mode("overwrite").parquet(path)
+
+
+def corpus_offsets(spark, path: str) -> tuple[list[int], int]:
+    """Per-part_id base offsets + total row count for a written sorted
+    corpus — ONE aggregation over a single int column (column-pruned
+    scan; the dataset is never cached). Range partitions are ordered by
+    part_id, so the cumulative sum over part_id order is the global-rank
+    base — identical ids to ``assign_doc_ids``."""
+    counts = {r["part_id"]: r["count"]
+              for r in spark.read.parquet(path)
+              .groupBy("part_id").count().collect()}
+    offsets: list[int] = []
+    base = 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append(base)
+        base += counts.get(pid, 0)  # empty range partitions write no rows
+    return offsets, base
+
+
+def read_with_doc_ids(spark, path: str, offsets: list[int]) -> DataFrame:
+    """Read a written sorted corpus with ``doc_id`` derived from the
+    stored (part_id, local_idx) and the manifest's offsets — a broadcast
+    join against the tiny offsets table plus one projection; column
+    pruning and predicate pushdown pass straight through to the scan."""
+    off_df = spark.createDataFrame(
+        [(i, int(o)) for i, o in enumerate(offsets)],
+        "part_id int, _base long")
+    return (spark.read.parquet(path)
+            .join(F.broadcast(off_df), "part_id")
+            .withColumn("doc_id", F.col("_base") + F.col("local_idx"))
+            .drop("part_id", "local_idx", "_base"))

@@ -52,6 +52,9 @@ class Manifest:
     final_segment: str = ""
     metrics: dict = field(default_factory=dict)
     completed: bool = False
+    # per-part_id doc_id base offsets of the written sorted corpus (batch
+    # builds; None = corpus stores doc_id directly, e.g. streaming appends)
+    corpus_offsets: list | None = None
 
     # ---- persistence ----
     @staticmethod

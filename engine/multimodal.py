@@ -59,14 +59,48 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the ``documents`` corpus:
+    payload = the document's UTF-8 bytes, kind = doc_id % 3, typed meta.
+
+    Pure expression tree (no Python). Because the payload is reproducible
+    from a shared table, an engine-external oracle (DuckDB) can recompute
+    the md5-derived fake features — the driver-gate variant of the media
+    pipeline. ``synthetic_media`` (opaque random payloads) remains the
+    pytest fixture shape."""
+    kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio").otherwise("video"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.when(kind == "image", F.lit(32)).cast("int").alias("width"),
+            F.when(kind == "image", F.lit(32)).cast("int").alias("height"),
+            F.when(kind == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(kind == "video", F.lit(30)).cast("int").alias("n_frames"),
+            F.when(kind == "image", F.lit("png"))
+             .when(kind == "audio", F.lit("wav"))
+             .otherwise(F.lit("mp4")).alias("format"),
+        ).alias("meta"))
+
+
 def _fake_features(payloads: pd.Series) -> np.ndarray:
-    """Deterministic stand-in for a real decoder+encoder: hash payload
-    bytes into FEATURE_DIM floats. Vectorized per Arrow batch."""
+    """Deterministic stand-in for a real decoder+encoder: the 16 bytes of
+    ``md5(payload)``, each divided by 256, as FEATURE_DIM float32s.
+
+    md5 is PORTABLE (any engine reproduces it from the same bytes), and
+    byte/256 is exactly representable in float32 — so the feature vector,
+    and any float64 sum over it, is bit-identical across engines. That
+    puts this op under the driver's DuckDB hash gate (VERDICT r2 #4: the
+    prior payload-chunk-mean fake was the one remaining rows-only check).
+    Per-row hashing is bounded by the Arrow batch size, exactly like the
+    real decoder it stands in for."""
+    import hashlib
     out = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
     for i, p in enumerate(payloads):  # bounded by batch size, not corpus
-        a = np.frombuffer(bytes(p), dtype=np.uint8)
-        chunks = np.resize(a.astype(np.float32), FEATURE_DIM * 4)
-        out[i] = chunks.reshape(FEATURE_DIM, 4).mean(axis=1) / 255.0
+        digest = np.frombuffer(hashlib.md5(bytes(p)).digest(), dtype=np.uint8)
+        out[i] = digest.astype(np.float32) / 256.0
     return out
 
 

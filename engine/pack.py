@@ -118,9 +118,12 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
     pack each Arrow batch into per-(term, shard) PARTIAL runs before any
     shuffle.
 
-    The docs input is doc-range sorted (assign_doc_ids), so each batch
-    covers a contiguous doc_id range and its (term, shard) sub-lists are
-    exact sorted runs of the final posting lists. Shuffling the
+    The docs input is doc-range sorted (docids.assign_doc_ids, or the
+    written sorted corpus re-read via docids.read_with_doc_ids — parquet
+    splits of range-partitioned files stay doc-range disjoint), so each
+    batch's (term, shard) sub-lists are exact sorted runs of the final
+    posting lists (the in-batch lexsort enforces run order; merge only
+    needs runs doc-range DISJOINT, which file/chunk boundaries guarantee). Shuffling the
     VByte-packed runs instead of raw (doc, term, tf, dl) rows moves
     ~10x fewer bytes (measured: 2.5 GB -> ~0.25 GB at 1.95M turns) and
     replaces the corpus-sized JVM shuffle sort with a vocab-sized one —

@@ -199,6 +199,22 @@ def test_resume_refuses_plan_mismatch(spark, corpus_df, tmp_path):
         build_index(spark, corpus_df, d,
                     cfg=IndexConfig(n_slices=4, docs_per_score_shard=64,
                                     merge_fanin=8))
+    # ADVICE r2: analyzer / block_size / n_buckets drift is refused too —
+    # the remaining passes would otherwise pack under one config while
+    # queries analyze under the manifest's original
+    from engine.config import AnalyzerConfig
+    with _pytest.raises(ValueError, match="analyzer"):
+        build_index(spark, corpus_df, d,
+                    cfg=IndexConfig(n_slices=4, docs_per_score_shard=64,
+                                    analyzer=AnalyzerConfig(stopwords=("the",))))
+    with _pytest.raises(ValueError, match="block_size"):
+        build_index(spark, corpus_df, d,
+                    cfg=IndexConfig(n_slices=4, docs_per_score_shard=64,
+                                    block_size=32))
+    with _pytest.raises(ValueError, match="n_buckets"):
+        build_index(spark, corpus_df, d,
+                    cfg=IndexConfig(n_slices=4, docs_per_score_shard=64,
+                                    n_buckets=4))
     # the original cfg still resumes cleanly
     idx = build_index(spark, corpus_df, d, cfg=cfg)
     assert idx.shard_width <= 64

@@ -208,6 +208,25 @@ def test_multimodal_plumbing(spark):
     assert len(frames) == vids * 3  # 30 frames / every 10
 
 
+def test_media_md5_features_portable(spark):
+    """The fake decoder is md5(payload)-derived (byte/256 — exact in
+    float32), so an engine-external oracle can reproduce features from
+    the same bytes; media_from_documents ties payloads to a shared table."""
+    import hashlib
+    from engine.multimodal import extract_features, media_from_documents
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, ""), (2, "Zwölf Boxkämpfer!")],
+        "doc_id long, text string")
+    rows = {r.media_id: r for r in
+            extract_features(media_from_documents(docs)).collect()}
+    for i, txt in [(0, "hello world"), (1, ""), (2, "Zwölf Boxkämpfer!")]:
+        dig = hashlib.md5(txt.encode("utf-8")).digest()
+        assert [round(x * 256) for x in rows[i].features] == list(dig), i
+        assert rows[i].n_bytes == len(txt.encode("utf-8"))
+    assert rows[0].kind == "image" and rows[1].kind == "audio" \
+        and rows[2].kind == "video"
+
+
 def test_multimodal_raise_stub(spark):
     from engine.multimodal import extract_features, synthetic_media
     media = synthetic_media(spark, n=3)
