@@ -88,17 +88,23 @@ def entry(spark: SparkSession) -> DataFrame:
 _PACKED_IDX_CACHE: dict = {}
 
 
-def _packed_index(spark: SparkSession, sf_dir: str):
-    """Build-once packed index per (session, corpus) — the index build is
-    a separate pipeline stage from query execution, so the bm25_* queries
-    share one build (mirrors real usage: build once, query many)."""
+def _packed_index(spark: SparkSession, sf_dir: str, positions: bool = False):
+    """Build-once packed index per (session, corpus[, positions]) — the
+    index build is a separate pipeline stage from query execution, so the
+    bm25_* queries share one build (mirrors real usage: build once, query
+    many). ``positions=True`` builds the phrase-capable layout (poss
+    stream) — a separate physical index, like a real deployment choosing
+    its schema."""
     import tempfile
     from engine.build import build_index
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from engine.config import IndexConfig
+    key = (spark.sparkContext.applicationId, sf_dir, positions)
     if key not in _PACKED_IDX_CACHE:
         d = tempfile.mkdtemp(prefix="entry_idx_")
+        cfg = IndexConfig(index_positions=True) if positions else None
         _PACKED_IDX_CACHE[key] = build_index(
-            spark, _corpus_from_documents(_docs(spark, sf_dir)), d)
+            spark, _corpus_from_documents(_docs(spark, sf_dir)), d,
+            **({"cfg": cfg} if cfg else {}))
     return _PACKED_IDX_CACHE[key]
 
 
@@ -421,6 +427,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                 lambda a, x: a + x), 4)
                             .alias("feat_sum"))
 
+    def phrase_search(spark, sf):
+        # exact phrase query over the positions-enabled packed index
+        # (poss stream; engine/query.py search_phrase) — integer match
+        # counts, so the oracle compare is exact
+        from engine import query as Q
+        idx = _packed_index(spark, sf, positions=True)
+        return Q.search_phrase(idx, "table hash", k=10)
+
     def bm25_incremental(spark, sf):
         # the streaming build pipeline (append_batch x2 -> compact) under
         # the same BM25 oracle as the batch-built index: post-compact, the
@@ -480,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": user_sessions,
         "media_features": media_features,
         "bm25_incremental": bm25_incremental,
+        "phrase_search": phrase_search,
     }
 
 
@@ -513,6 +528,23 @@ h AS (SELECT doc_id, tf,
              ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
 s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recon})::BIGINT AS simhash FROM s"""
+
+
+def _phrase_sql(terms: list[str], k: int = 10) -> str:
+    """DuckDB twin of search_phrase: sliding-window adjacency count over
+    the SAME analyzer token list (frozen post-analyzer adjacency
+    contract); integer counts -> exact compare."""
+    L = len(terms)
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+m AS (SELECT doc_id,
+        len(list_filter(generate_series(1, greatest(len(toks) - {L - 1}, 0)),
+            i -> {conds}))::BIGINT AS n_phrase
+      FROM t)
+SELECT doc_id, n_phrase FROM m WHERE n_phrase > 0
+ORDER BY n_phrase DESC, doc_id ASC LIMIT {k}"""
 
 
 def _media_features_sql() -> str:
@@ -774,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_join_sql(3, _adaptive_planes_sf001()),
         "media_features": _media_features_sql(),
         "bm25_incremental": _bm25_sql(["vector", "hash", "spark"], "OR"),
+        "phrase_search": _phrase_sql(["table", "hash"], 10),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(min(value), 6) AS min_value,

@@ -36,8 +36,12 @@ def cmd_build(args) -> int:
         corpus = spark.read.table(args.input[len("table:"):])  # Iceberg path
     else:
         corpus = spark.read.parquet(args.input)
+    cfg = DEFAULT
+    if args.positions:
+        from dataclasses import replace
+        cfg = replace(cfg, index_positions=True)
     t0 = time.perf_counter()
-    idx = build_index(spark, corpus, args.index_dir, DEFAULT)
+    idx = build_index(spark, corpus, args.index_dir, cfg)
     wall = time.perf_counter() - t0
     print(json.dumps({"n_docs": idx.n_docs, "avgdl": idx.avgdl,
                       "wall_s": round(wall, 3),
@@ -50,6 +54,12 @@ def cmd_search(args) -> int:
     from .build import load_index
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
+    if args.mode.upper() == "PHRASE":
+        top = Q.search_phrase(idx, args.query, k=args.k)
+        rows = top.collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        return 0
     top = Q.search(idx, args.query, k=args.k, mode=args.mode,
                    use_wand=not args.no_wand)
     rows = (Q.materialize_packed(idx, top) if args.text else top).collect()
@@ -76,12 +86,15 @@ def main(argv=None) -> int:
     b.add_argument("--index-dir", required=True)
     b.add_argument("--convs", type=int, default=2000,
                    help="synthetic corpus size (conversations)")
+    b.add_argument("--positions", action="store_true",
+                   help="store the positions stream (phrase queries)")
     b.set_defaults(fn=cmd_build)
     s = sub.add_parser("search", help="BM25 top-k search")
     s.add_argument("--index-dir", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
-    s.add_argument("--mode", default="OR", choices=["OR", "AND", "or", "and"])
+    s.add_argument("--mode", default="OR",
+                   choices=["OR", "AND", "PHRASE", "or", "and", "phrase"])
     s.add_argument("--no-wand", action="store_true")
     s.add_argument("--text", action="store_true", help="materialize text")
     s.set_defaults(fn=cmd_search)

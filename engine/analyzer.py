@@ -138,6 +138,81 @@ def doc_term_freqs_arrow(arr, acfg: AnalyzerConfig = DEFAULT_ANALYZER):
     return uk // v, terms, counts.astype(np.int64), dl
 
 
+def doc_token_positions(texts: pd.Series, acfg: AnalyzerConfig = DEFAULT_ANALYZER):
+    """Vectorized per-occurrence token stream for one batch (positions
+    variant of :func:`doc_term_freqs` — used when the index stores a
+    positions stream for phrase queries).
+
+    Returns ``(row_idx:int64[], term:object[], pos:int64[], dl:int64[nrows])``
+    with ONE entry per token OCCURRENCE (not per (doc, term) pair).
+    ``pos`` is the token's index within its document counted over the
+    tokens actually indexed (post-stopword/stem — the frozen choice:
+    phrase adjacency is defined on the indexed token stream, matching how
+    ``dl`` counts indexed tokens)."""
+    toks = tokenize_series(texts)
+    toks.index = pd.RangeIndex(len(toks))
+    n = len(texts)
+    raw_dl = toks.str.len().to_numpy(dtype=np.int64)
+    if n == 0 or raw_dl.sum() == 0:
+        return (np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64), raw_dl)
+    flat = toks.explode().dropna()
+    if acfg.stopwords:
+        flat = flat[~flat.isin(set(acfg.stopwords))]
+    if acfg.stem == "s":
+        for pat, repl in _STEM_RULES:
+            flat = flat.str.replace(pat, repl, regex=True)
+    rows = flat.index.to_numpy(np.int64)
+    dl = (raw_dl if acfg.is_noop
+          else np.bincount(rows, minlength=n).astype(np.int64))
+    if rows.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64), dl)
+    # position within doc: occurrence index minus the doc's start offset
+    # (rows is non-decreasing — explode preserves row order)
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(dl[:-1], out=starts[1:])
+    pos = np.arange(rows.size, dtype=np.int64) - starts[rows]
+    return rows, flat.to_numpy(object), pos, dl
+
+
+def doc_token_positions_arrow(arr, acfg: AnalyzerConfig = DEFAULT_ANALYZER):
+    """Arrow-native fast path of :func:`doc_token_positions` (RE2 kernels,
+    ASCII-gated exactly like :func:`doc_term_freqs_arrow`)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(arr) == 0:
+        return (np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64), np.zeros(0, np.int64))
+    if not pc.min(pc.string_is_ascii(pc.fill_null(arr, ""))).as_py():
+        return doc_token_positions(arr.to_pandas(), acfg)
+    lists = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9]+")
+    parents = pc.list_parent_indices(lists)
+    flat = pc.list_flatten(lists)
+    mask = pc.not_equal(flat, "")
+    if acfg.stopwords:
+        mask = pc.and_(mask, pc.invert(pc.is_in(
+            flat, value_set=pa.array(sorted(acfg.stopwords)))))
+    flat, parents = flat.filter(mask), parents.filter(mask)
+    if acfg.stem == "s":
+        for pat, repl in _STEM_RULES:
+            flat = pc.replace_substring_regex(flat, pat, repl)
+    pn = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(arr)
+    dl = np.bincount(pn, minlength=n).astype(np.int64)
+    if pn.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64), dl)
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(dl[:-1], out=starts[1:])
+    pos = np.arange(pn.size, dtype=np.int64) - starts[pn]
+    terms = flat.to_numpy(zero_copy_only=False)
+    return pn, terms, pos, dl
+
+
 def tokenize_expr(col, acfg: AnalyzerConfig = DEFAULT_ANALYZER):
     """Spark Column form of the same analyzer (for oracle-parallel SQL
     path). Hooks compose as array expressions: filter (stopwords) then

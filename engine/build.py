@@ -244,7 +244,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         for what, old, new in [
                 ("analyzer", man.analyzer or {}, _acfg_dict(cfg)),
                 ("block_size", man.block_size, cfg.block_size),
-                ("n_buckets", man.n_buckets, cfg.n_buckets)]:
+                ("n_buckets", man.n_buckets, cfg.n_buckets),
+                ("positions", man.positions, cfg.index_positions)]:
             if old != new:
                 raise ValueError(
                     f"resume plan mismatch at {index_dir}: index built "
@@ -258,6 +259,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         man = Manifest(n_buckets=cfg.n_buckets, n_slices=cfg.n_slices,
                        merge_fanin=cfg.merge_fanin,
                        block_size=cfg.block_size,
+                       positions=cfg.index_positions,
                        bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
                              "idf_variant": cfg.bm25.idf_variant},
                        analyzer=_acfg_dict(cfg))
@@ -491,6 +493,7 @@ def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
     cfg = IndexConfig(block_size=man.block_size or DEFAULT.block_size,
                       n_buckets=man.n_buckets or DEFAULT.n_buckets,
                       n_slices=man.n_slices or DEFAULT.n_slices,
+                      index_positions=bool(man.positions),
                       bm25=BM25Config(**bm) if bm else DEFAULT.bm25,
                       analyzer=acfg)
     return PackedIndex(spark=spark, index_dir=index_dir, n_docs=man.n_docs,

@@ -243,6 +243,66 @@ def pack_lists(term_starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
     return doc_payloads, tf_payloads, dl_payloads, blocks
 
 
+# --------------------------------------------------------------------------
+# Positions stream (phrase queries). Per (term, shard) row: the positions
+# of the term in each of its documents, concatenated in posting order.
+# Within one posting the first position is absolute and the rest are
+# deltas (strictly positive), so the stream is self-delimiting given the
+# per-posting counts (== tfs). Because every posting's encoding restarts
+# at an absolute value, MERGING rows is plain byte concatenation in run
+# order — no decode/re-encode in the merge pass.
+# --------------------------------------------------------------------------
+
+def encode_positions_groups(group_starts_occ: np.ndarray,
+                            posting_starts_occ: np.ndarray,
+                            pos: np.ndarray) -> list[bytes]:
+    """Encode per-occurrence positions into one payload per row group.
+
+    Parameters
+    ----------
+    group_starts_occ : int64[G+1] — occurrence-index bounds per (term,
+        shard) row group (CSR).
+    posting_starts_occ : int64[P] — occurrence index of each posting's
+        first occurrence (ascending; every group start is a posting start).
+    pos : int64[] — positions sorted by (group, posting, pos).
+    """
+    p = np.ascontiguousarray(pos, dtype=np.int64)
+    gaps = np.empty_like(p)
+    if p.size:
+        gaps[0] = p[0]
+        np.subtract(p[1:], p[:-1], out=gaps[1:])
+        s = posting_starts_occ[posting_starts_occ < p.size]
+        gaps[s] = p[s]  # absolute at each posting start
+    b, nb = vbyte_encode(gaps.astype(np.uint64))
+    cum = np.zeros(nb.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=cum[1:])
+    blob = b.tobytes()
+    G = group_starts_occ.size - 1
+    return [blob[cum[group_starts_occ[g]]:cum[group_starts_occ[g + 1]]]
+            for g in range(G)]
+
+
+def decode_positions(pos_bytes: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one row's positions payload.
+
+    Returns ``(pos:int64[], bounds:int64[df+1])`` — ``bounds`` (from the
+    cumsum of ``tfs``) splits the flat position array per posting; the
+    per-posting delta chains are reconstructed with a segmented cumsum."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    bounds = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=bounds[1:])
+    gaps = vbyte_decode(pos_bytes).astype(np.int64)
+    if gaps.size == 0:
+        return gaps, bounds
+    assert gaps.size == bounds[-1], (gaps.size, bounds[-1])
+    total = np.cumsum(gaps)
+    base = np.zeros(tfs.size, dtype=np.int64)
+    nz = bounds[:-1] > 0
+    base[nz] = total[bounds[:-1][nz] - 1]
+    pos = total - np.repeat(base, np.diff(bounds))
+    return pos, bounds
+
+
 def _block_meta_many(term_starts, doc_ids, tfs, dcum, tcum, block_size,
                      lcum=None):
     """Per-term block metadata with byte offsets, vectorized across all

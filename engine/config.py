@@ -121,6 +121,11 @@ class IndexConfig:
     # passes (everything fits one run per shard); pass count grows
     # logarithmically with corpus size. None = force merge_passes.
     pack_docs_per_slice: int | None = 65536
+    # store a per-posting positions stream (token offsets within each doc,
+    # post-analyzer) enabling phrase queries; ~1-2 bytes/token extra index
+    # size, zero query-time cost for non-phrase queries (the poss column
+    # is simply not selected by their pruned scan)
+    index_positions: bool = False
     # skew: terms whose estimated df exceeds this fraction of N get salted
     # across `skew_splits` sub-groups during the pack stage (D8)
     skew_df_frac: float = 0.10

@@ -55,6 +55,8 @@ class Manifest:
     # per-part_id doc_id base offsets of the written sorted corpus (batch
     # builds; None = corpus stores doc_id directly, e.g. streaming appends)
     corpus_offsets: list | None = None
+    # index stores the positions stream (phrase queries)
+    positions: bool = False
 
     # ---- persistence ----
     @staticmethod

@@ -28,7 +28,10 @@ from .pack import PACKED_SCHEMA, _ARROW_BLOCKS
 def _merge_batches(batches, block_size: int):
     """Merge one shuffle partition (sorted by term, shard) — rows of the
     same (term, shard) are doc-range-disjoint runs; concat + re-encode."""
-    tbl = pa.Table.from_batches(list(batches))
+    blist = list(batches)
+    if not blist:
+        return  # empty shuffle partition: no batches at all
+    tbl = pa.Table.from_batches(blist)
     if tbl.num_rows == 0:
         return
     tdict = tbl.column("term").combine_chunks().dictionary_encode()
@@ -38,6 +41,7 @@ def _merge_batches(batches, block_size: int):
     doc_pl = tbl.column("doc_ids").to_pylist()
     tf_pl = tbl.column("tfs").to_pylist()
     dl_pl = tbl.column("dls").to_pylist()
+    pos_pl = tbl.column("poss").to_pylist()
     n = codes.size
     # decode everything in one vectorized pass
     doc_ids, tfs, row_bounds = codec.decode_postings_many(doc_pl, tf_pl, dfs)
@@ -74,6 +78,12 @@ def _merge_batches(batches, block_size: int):
     max_tf = np.maximum.reduceat(m_tfs, out_bounds[:-1]).astype(np.int32)
     doc_payloads, tf_payloads, dl_payloads, blocks = codec.pack_lists(
         out_bounds, m_docs, m_tfs, m_dls, block_size)
+    # positions: every posting's encoding restarts at an absolute value,
+    # so merging runs is byte concatenation in run order — no re-encode
+    # (codec.encode_positions_groups contract)
+    pos_payloads = [b"".join(pos_pl[order[i]]
+                             for i in range(gbound[g], gbound[g + 1]))
+                    for g in range(gstart.size)]
     yield pa.RecordBatch.from_arrays([
         tdict.dictionary.take(pa.array(codes[gstart])).cast(pa.string()),
         pa.array(shards[gstart], pa.int32()),
@@ -84,6 +94,7 @@ def _merge_batches(batches, block_size: int):
         pa.array(tf_payloads, pa.binary()),
         pa.array(dl_payloads, pa.binary()),
         pa.array(blocks, _ARROW_BLOCKS),
+        pa.array(pos_payloads, pa.binary()),
     ], names=[f.name for f in PACKED_SCHEMA.fields])
 
 

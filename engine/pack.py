@@ -53,6 +53,12 @@ PACKED_SCHEMA = T.StructType([
     T.StructField("tfs", T.BinaryType(), False),
     T.StructField("dls", T.BinaryType(), False),
     T.StructField("blocks", BLOCK_T, False),
+    # positions stream (phrase queries): per posting, the term's positions
+    # in that doc (first absolute, then deltas; split by tf counts).
+    # Empty bytes when the index is built without positions
+    # (IndexConfig.index_positions=False) — the column always exists so
+    # one schema serves both layouts.
+    T.StructField("poss", T.BinaryType(), False),
 ])
 
 _ARROW_BLOCKS = pa.list_(pa.struct([
@@ -75,7 +81,10 @@ def _pack_batches(batches, block_size: int):
     object-array form created one Python string per posting row — at 32
     concurrent multi-million-row tasks that dominated DRAM traffic and
     collapsed build throughput at high parallelism."""
-    tbl = pa.Table.from_batches(list(batches))
+    blist = list(batches)
+    if not blist:
+        return  # empty shuffle partition: no batches at all
+    tbl = pa.Table.from_batches(blist)
     if tbl.num_rows == 0:
         return
     tdict = tbl.column("term").combine_chunks().dictionary_encode()
@@ -109,6 +118,7 @@ def _pack_batches(batches, block_size: int):
         pa.array(tf_payloads, pa.binary()),
         pa.array(dl_payloads, pa.binary()),
         pa.array(blocks, _ARROW_BLOCKS),
+        pa.array([b""] * g, pa.binary()),  # raw IR carries no positions
     ], names=[f.name for f in PACKED_SCHEMA.fields])
 
 
@@ -135,28 +145,59 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
     """
     acfg = cfg.analyzer
     block_size = cfg.block_size
+    with_pos = cfg.index_positions
     names = [f.name for f in PACKED_SCHEMA.fields]
 
     def fn(batches):
-        from .analyzer import doc_term_freqs_arrow
+        from .analyzer import doc_term_freqs_arrow, doc_token_positions_arrow
         for b in batches:
             if b.num_rows == 0:
                 continue
             doc_ids_b = b.column("doc_id").to_numpy(zero_copy_only=False)
-            rows, terms, tfs, dl = doc_term_freqs_arrow(
-                b.column("text").cast(pa.string()), acfg)
-            if rows.size == 0:
-                continue
-            post_docs = doc_ids_b[rows].astype(np.int64)
-            post_dls = dl[rows].astype(np.int64)
-            post_tfs = tfs.astype(np.int64)
-            shards = (post_docs // width).astype(np.int64)
-            tdict = pa.array(terms, pa.string()).dictionary_encode()
-            codes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.lexsort((post_docs, shards, codes))
-            codes, shards = codes[order], shards[order]
-            post_docs, post_tfs, post_dls = (
-                post_docs[order], post_tfs[order], post_dls[order])
+            text_arr = b.column("text").cast(pa.string())
+            if with_pos:
+                # occurrence-level kernel: one entry per token occurrence,
+                # lexsorted with pos innermost -> postings fall out as
+                # (term, doc) runs and positions stay sorted per posting
+                rows, terms, pos, dl = doc_token_positions_arrow(text_arr, acfg)
+                if rows.size == 0:
+                    continue
+                occ_docs = doc_ids_b[rows].astype(np.int64)
+                occ_dls = dl[rows].astype(np.int64)
+                occ_shards = (occ_docs // width).astype(np.int64)
+                tdict = pa.array(terms, pa.string()).dictionary_encode()
+                occ_codes = tdict.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                order = np.lexsort((pos, occ_docs, occ_shards, occ_codes))
+                occ_codes, occ_shards = occ_codes[order], occ_shards[order]
+                occ_docs, occ_dls, pos = (
+                    occ_docs[order], occ_dls[order], pos[order])
+                no = occ_codes.size
+                pch = np.empty(no, dtype=bool)
+                pch[0] = True
+                pch[1:] = ((occ_codes[1:] != occ_codes[:-1])
+                           | (occ_docs[1:] != occ_docs[:-1]))
+                posting_starts = np.flatnonzero(pch)  # occurrence index
+                post_docs = occ_docs[posting_starts]
+                post_tfs = np.diff(np.append(posting_starts, no)).astype(np.int64)
+                post_dls = occ_dls[posting_starts]
+                codes = occ_codes[posting_starts]
+                shards = occ_shards[posting_starts]
+            else:
+                rows, terms, tfs, dl = doc_term_freqs_arrow(text_arr, acfg)
+                if rows.size == 0:
+                    continue
+                post_docs = doc_ids_b[rows].astype(np.int64)
+                post_dls = dl[rows].astype(np.int64)
+                post_tfs = tfs.astype(np.int64)
+                shards = (post_docs // width).astype(np.int64)
+                tdict = pa.array(terms, pa.string()).dictionary_encode()
+                codes = tdict.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                order = np.lexsort((post_docs, shards, codes))
+                codes, shards = codes[order], shards[order]
+                post_docs, post_tfs, post_dls = (
+                    post_docs[order], post_tfs[order], post_dls[order])
             n = codes.size
             change = np.empty(n, dtype=bool)
             change[0] = True
@@ -168,6 +209,13 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
             max_tf = np.maximum.reduceat(post_tfs, starts).astype(np.int32)
             doc_pl, tf_pl, dl_pl, blocks = codec.pack_lists(
                 bounds, post_docs, post_tfs, post_dls, block_size)
+            if with_pos:
+                occ_bounds = np.append(posting_starts[starts],
+                                       no).astype(np.int64)
+                pos_pl = codec.encode_positions_groups(
+                    occ_bounds, posting_starts, pos)
+            else:
+                pos_pl = [b""] * starts.size
             yield pa.RecordBatch.from_arrays([
                 tdict.dictionary.take(pa.array(codes[starts])).cast(pa.string()),
                 pa.array(shards[starts].astype(np.int32), pa.int32()),
@@ -178,6 +226,7 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
                 pa.array(tf_pl, pa.binary()),
                 pa.array(dl_pl, pa.binary()),
                 pa.array(blocks, _ARROW_BLOCKS),
+                pa.array(pos_pl, pa.binary()),
             ], names=names)
 
     return docs.select("doc_id", "text").mapInArrow(fn, PACKED_SCHEMA)

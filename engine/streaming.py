@@ -47,6 +47,7 @@ def create_streaming_index(spark: SparkSession, index_dir: str,
     man = Manifest(n_buckets=cfg.n_buckets, n_slices=n_shards,
                    merge_fanin=cfg.merge_fanin,
                    block_size=cfg.block_size, shard_width=width,
+                   positions=cfg.index_positions,
                    bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
                          "idf_variant": cfg.bm25.idf_variant},
                    analyzer=_acfg_dict(cfg))
@@ -65,6 +66,11 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     written segment's cf sum (the same identity the batch build uses)."""
     man = Manifest.load(index_dir)
     assert man is not None, "create_streaming_index first"
+    if bool(man.positions) != cfg.index_positions:
+        # the index's positions layout is fixed at creation — honor it
+        # even when the caller passes a default cfg
+        from dataclasses import replace
+        cfg = replace(cfg, index_positions=bool(man.positions))
     base = man.n_docs
     docs = assign_doc_ids(batch_df).withColumn(
         "doc_id", F.col("doc_id") + F.lit(base))

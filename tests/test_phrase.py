@@ -1,0 +1,154 @@
+"""Positional phrase queries (positions stream, SURVEY §2 beyond-spec
+extension — VERDICT r2 'What's missing #4').
+
+Oracle: a naive pure-Python sliding-window count over the frozen analyzer
+token stream (the same post-analyzer stream ``dl`` counts — the frozen
+adjacency contract). Coverage: single-pass build, FORCED multi-pass merge
+(positions must survive run concatenation), streaming append/compact, and
+the analyzer-hooked variant (stopword removal re-compacts positions).
+"""
+
+import numpy as np
+import pytest
+
+from engine.analyzer import tokenize_py
+from engine.fixtures import make_transcripts, spark_transcripts
+
+
+def _py_phrase_counts(texts, phrase, acfg=None):
+    from engine.config import DEFAULT_ANALYZER
+    acfg = acfg or DEFAULT_ANALYZER
+    seq = tokenize_py(phrase, acfg)
+    out = {}
+    for i, t in enumerate(texts):
+        toks = tokenize_py(t, acfg)
+        n = sum(1 for j in range(len(toks) - len(seq) + 1)
+                if toks[j:j + len(seq)] == seq)
+        if n:
+            out[i] = n
+    return out
+
+
+def _want_topk(texts, phrase, k=10, acfg=None):
+    c = _py_phrase_counts(texts, phrase, acfg)
+    return sorted(((d, n) for d, n in c.items()),
+                  key=lambda x: (-x[1], x[0]))[:k]
+
+
+PHRASES = ["hot0 hot1", "MiXeD-Case7!", "rare3", "hot0 w001"]
+
+
+def test_positions_codec_roundtrip():
+    from engine import codec as C
+    rng = np.random.default_rng(7)
+    tfs = rng.integers(1, 9, size=200)
+    pos_list = [np.sort(rng.choice(2000, size=t, replace=False)) for t in tfs]
+    flat = np.concatenate(pos_list).astype(np.int64)
+    posting_starts = (np.cumsum(tfs) - tfs).astype(np.int64)
+    cut = int(posting_starts[77])
+    occ_bounds = np.array([0, cut, flat.size], dtype=np.int64)
+    pls = C.encode_positions_groups(occ_bounds, posting_starts, flat)
+    p1, _ = C.decode_positions(pls[0], tfs[:77])
+    p2, _ = C.decode_positions(pls[1], tfs[77:])
+    assert np.array_equal(np.concatenate([p1, p2]), flat)
+    # merge contract: concatenating group payloads re-decodes identically
+    pall, _ = C.decode_positions(pls[0] + pls[1], tfs)
+    assert np.array_equal(pall, flat)
+
+
+def test_phrase_matches_oracle(spark, tmp_path):
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    pdf = make_transcripts(300)
+    idx = build_index(spark, spark_transcripts(spark, 300),
+                      str(tmp_path / "p1"),
+                      cfg=IndexConfig(index_positions=True))
+    for phrase in PHRASES:
+        want = _want_topk(list(pdf.text), phrase)
+        got = [(r.doc_id, r.n_phrase)
+               for r in Q.search_phrase(idx, phrase, k=10).collect()]
+        assert got == want, phrase
+    assert Q.search_phrase(idx, "ghost0 hot0", k=5).collect() == []
+    assert Q.search_phrase(idx, "", k=5).collect() == []
+
+
+def test_phrase_survives_merge_passes(spark, tmp_path):
+    """Positions through >= 2 forced merge passes must equal the
+    single-pass build (run concatenation preserves the per-posting
+    absolute-restart encoding)."""
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    from engine.manifest import Manifest
+    pdf = make_transcripts(300)
+    idx = build_index(
+        spark, spark_transcripts(spark, 300), str(tmp_path / "pm"),
+        cfg=IndexConfig(index_positions=True, pack_docs_per_slice=64,
+                        n_slices=4, docs_per_score_shard=512))
+    assert Manifest.load(str(tmp_path / "pm")).n_passes >= 2
+    for phrase in PHRASES:
+        want = _want_topk(list(pdf.text), phrase)
+        got = [(r.doc_id, r.n_phrase)
+               for r in Q.search_phrase(idx, phrase, k=10).collect()]
+        assert got == want, phrase
+
+
+def test_phrase_streaming_incremental(spark, tmp_path):
+    from engine import query as Q
+    from engine.config import IndexConfig
+    from engine.streaming import append_batch, compact, create_streaming_index
+    pdf = make_transcripts(200)
+    full = spark_transcripts(spark, 200)
+    n = len(pdf)
+    sdir = str(tmp_path / "ps")
+    cfg = IndexConfig(index_positions=True)
+    create_streaming_index(spark, sdir, expected_docs=n, cfg=cfg)
+    h = n // 2
+    # append with DEFAULT cfg: the manifest's positions flag must win
+    append_batch(spark, spark.createDataFrame(pdf.iloc[:h], full.schema), sdir)
+    append_batch(spark, spark.createDataFrame(pdf.iloc[h:], full.schema), sdir,
+                 cfg=cfg)
+    idx = compact(spark, sdir, cfg=cfg)
+    assert idx.cfg.index_positions
+    for phrase in PHRASES[:2]:
+        want = _want_topk(list(pdf.text), phrase)
+        got = [(r.doc_id, r.n_phrase)
+               for r in Q.search_phrase(idx, phrase, k=10).collect()]
+        assert got == want, phrase
+
+
+def test_phrase_with_analyzer_hooks(spark, tmp_path):
+    """Stopword removal re-compacts positions: 'hot0 the hot1' indexes as
+    adjacent (hot0, hot1) under stopwords=('the',) — the frozen
+    post-analyzer adjacency contract."""
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import AnalyzerConfig, IndexConfig
+    texts = ["hot0 the hot1 w005", "hot0 hot1", "hot0 w002 hot1", "the hot0"]
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i:04d}" for i in range(len(texts))],
+        "turn_idx": np.zeros(len(texts), dtype=np.int32),
+        "role": ["user"] * len(texts),
+        "text": texts,
+        "tool": [""] * len(texts),
+        "ts": pd.to_datetime(["2026-01-01"] * len(texts)),
+    })
+    df = spark.createDataFrame(pdf, spark_transcripts(spark, 2).schema)
+    acfg = AnalyzerConfig(stopwords=("the",))
+    idx = build_index(spark, df, str(tmp_path / "ph"),
+                      cfg=IndexConfig(index_positions=True, analyzer=acfg))
+    got = [(r.doc_id, r.n_phrase)
+           for r in Q.search_phrase(idx, "hot0 hot1", k=10).collect()]
+    want = _want_topk(texts, "hot0 hot1", acfg=acfg)
+    assert got == want == [(0, 1), (1, 1)]
+
+
+def test_phrase_requires_positions_index(spark, tmp_path):
+    from engine import query as Q
+    from engine.build import build_index
+    idx = build_index(spark, spark_transcripts(spark, 50),
+                      str(tmp_path / "np"))
+    with pytest.raises(ValueError, match="positions"):
+        Q.search_phrase(idx, "hot0 hot1")
