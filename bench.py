@@ -132,6 +132,22 @@ def main():
                            in man.metrics.get("stage_wall_s", {}).items()
                            if k == "pack" or k.startswith("merge_pass")}
 
+        # positions layout + phrase query (r3 feature) — separate index
+        # build (the positions stream is an opt-in layout), rows excluded
+        # from the headline total for round-over-round comparability
+        if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
+            from engine.config import IndexConfig as _IC
+            t_pos, pidx = tdur(build_index, spark, corpus, f"{work}/pos",
+                               _IC(index_positions=True))
+            queries["positions_index_build"] = round(t_pos, 4)
+            Q.search_phrase(pidx, "hot0 hot1", k=10).collect()  # warm
+            dt, _ = tdur(lambda: Q.search_phrase(
+                pidx, "hot0 hot1", k=10).collect())
+            queries["phrase_2term"] = round(dt, 4)
+            dt, _ = tdur(lambda: Q.search_phrase(
+                pidx, "w001 w002 w003", k=10).collect())
+            queries["phrase_3term"] = round(dt, 4)
+
         lat = []
         for q in QUERY_SET:
             dt, _ = tdur(lambda: Q.search(idx, q["query"], k=10,
@@ -166,7 +182,9 @@ def main():
                                  "merged_turns_per_sec", "merge_passes",
                                  "docs_index_build", "ann_layout_build",
                                  "index_build_merged",
-                                 "batch_query_set_cold"))
+                                 "batch_query_set_cold",
+                                 "positions_index_build",
+                                 "phrase_2term", "phrase_3term"))
         out = {
             "metric": "engine_bench_total",
             "value": round(total, 4),

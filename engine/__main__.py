@@ -61,7 +61,7 @@ def cmd_search(args) -> int:
             print(json.dumps(r.asDict(), default=str))
         return 0
     top = Q.search(idx, args.query, k=args.k, mode=args.mode,
-                   use_wand=not args.no_wand)
+                   use_wand=False if args.no_wand else "auto")
     rows = (Q.materialize_packed(idx, top) if args.text else top).collect()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))

@@ -18,11 +18,12 @@ def test_skewed_corpus_rank_identity_and_split(spark, tmp_path):
     idx = build_index(spark, corpus, str(tmp_path / "skewidx"))
     oracle = OracleIndex(list(zip(range(len(pdf)), pdf.text)))
 
-    # (a) rank identity on hot-term queries, both scorers
+    # (a) rank identity on hot-term queries: forced-exhaustive, forced-
+    # WAND, and the default cost-gated "auto" routing must all agree
     for query, mode in [("hot0", "OR"), ("hot0 hot1", "AND"),
                         ("hot0 rare3", "OR")]:
         want = [(d, round(s, 9)) for d, s in oracle.search(query, 10, mode)]
-        for wand in (False, True):
+        for wand in (False, True, "auto"):
             got = [(r.doc_id, round(r.score, 9)) for r in
                    Q.search(idx, query, 10, mode, use_wand=wand).collect()]
             assert got == want, (query, mode, wand)

@@ -89,9 +89,10 @@ def test_search_batch_matches_single(spark, corpus_df, oracle_idx, tmp_path):
     from engine import query as Q
     from engine.build import build_index
     idx = build_index(spark, corpus_df, str(tmp_path / "bq"))
-    # both scorer routings (WAND for OR / exhaustive-only) must be
-    # rank-identical to the oracle — WAND's batch pruning is rank-safe
-    for use_wand in (True, False):
+    # all three routings (forced WAND for OR / exhaustive-only / default
+    # cost-gated "auto") must be rank-identical to the oracle — WAND's
+    # batch pruning is rank-safe, so routing is purely a cost decision
+    for use_wand in (True, False, "auto"):
         out = Q.search_batch(idx, QUERY_SET, k=10, use_wand=use_wand).collect()
         by_q = {}
         for r in out:
