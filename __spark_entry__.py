@@ -53,7 +53,10 @@ def _corpus_from_documents(docs: DataFrame) -> DataFrame:
     """Adapt the driver's documents table to the engine's contractual
     transcript shape (conv_id, turn_idx, role, text, tool, ts). conv_id is
     zero-padded doc_id so the stable (conv_id, turn_idx) order == doc_id
-    order -> engine-assigned dense doc_ids equal the table's doc_ids."""
+    order -> engine-assigned dense doc_ids equal the table's doc_ids.
+    lang/source ride along as extra metadata columns: the engine's stored
+    corpus preserves any columns beyond the contract six, which is what
+    query-time doc_filter predicates (bm25_filtered) filter on."""
     return docs.select(
         F.format_string("conv-%012d", F.col("doc_id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
@@ -61,6 +64,8 @@ def _corpus_from_documents(docs: DataFrame) -> DataFrame:
         F.col("text"),
         F.lit("").alias("tool"),
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        F.col("lang"),
+        F.col("source"),
     )
 
 
@@ -179,12 +184,17 @@ def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str,
 
 
 def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
-              exclude: list[str] | None = None) -> str:
+              exclude: list[str] | None = None,
+              where: str | None = None) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
     term that is ALSO a positive query term is dropped from the exclusion
-    set — mirrored here so oracle and engine agree on the contract."""
+    set — mirrored here so oracle and engine agree on the contract.
+
+    ``where``: doc_filter twin — restricts CANDIDATE docs only; N, avgdl
+    and df/idf stay corpus-global (the engine's frozen filter semantics),
+    which is why the restriction sits in the scored CTE, after dfreq."""
     from collections import Counter
     qtf = Counter(query_terms)
     if exclude:
@@ -193,6 +203,8 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
     qtf_rows = ", ".join(f"('{t}', {n}::DOUBLE)" for t, n in sorted(qtf.items()))
     n_distinct = len(qtf)
     and_filter = f"HAVING count(*) = {n_distinct}" if mode == "AND" else ""
+    where_clause = (f"WHERE tf.doc_id IN (SELECT doc_id FROM documents "
+                    f"WHERE {where})" if where else "")
     return f"""
 WITH dl AS (
   SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents
@@ -219,6 +231,7 @@ scored AS (
   FROM tf
   JOIN dfreq USING (term) JOIN q USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  {where_clause}
   GROUP BY tf.doc_id {and_filter}
 )
 SELECT doc_id, round(score, 6) AS score FROM scored
@@ -435,6 +448,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _packed_index(spark, sf, positions=True)
         return Q.search_phrase(idx, "table hash", k=10)
 
+    def bm25_filtered(spark, sf):
+        # query-time doc_filter over a stored-corpus metadata column
+        # (lang rides through the adapter as an extra column): candidate
+        # restriction with GLOBAL BM25 stats — the filtered cogroup path
+        # (engine/query.py search doc_filter)
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search(idx, "spark join fast", k=10, mode="OR",
+                       doc_filter="lang = 'en'")
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def search_snippets(spark, sf):
+        # E8 snippet materialization: top-10 BM25 hits with a +-3-token
+        # context window around the first query-term occurrence, computed
+        # as a Catalyst expression over <= k tokenized rows
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search(idx, "spark join fast", k=10, mode="OR")
+        snip = Q.materialize_snippets(idx, top, "spark join fast", window=3)
+        return snip.select("doc_id", F.round("score", 6).alias("score"),
+                           "snippet")
+
     def bm25_incremental(spark, sf):
         # the streaming build pipeline (append_batch x2 -> compact) under
         # the same BM25 oracle as the batch-built index: post-compact, the
@@ -495,6 +530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "bm25_incremental": bm25_incremental,
         "phrase_search": phrase_search,
+        "bm25_filtered": bm25_filtered,
+        "search_snippets": search_snippets,
     }
 
 
@@ -545,6 +582,34 @@ m AS (SELECT doc_id,
       FROM t)
 SELECT doc_id, n_phrase FROM m WHERE n_phrase > 0
 ORDER BY n_phrase DESC, doc_id ASC LIMIT {k}"""
+
+
+def _snippet_sql(query_terms: list[str], k: int = 10,
+                 window: int = 3) -> str:
+    """DuckDB twin of materialize_snippets over the bm25 top-k: snippet =
+    ``window`` analyzer tokens either side of the FIRST occurrence of any
+    query term. list_position == Spark array_position (1-based, 0 when
+    absent -> nullif/least/coalesce mirror the Column expression); DuckDB
+    ``toks[a:b]`` slicing is 1-based inclusive with a clamped end, the
+    same frame as Spark ``slice(toks, a, b - a + 1)``."""
+    terms = sorted(set(query_terms))
+    nullifs = ", ".join(f"nullif(list_position(toks, '{t}'), 0)"
+                        for t in terms)
+    first = (f"least({nullifs})" if len(terms) > 1
+             else nullifs) if terms else "NULL"
+    return f"""
+WITH topk AS ({_bm25_sql(query_terms, "OR", k)}),
+t AS (
+  SELECT d.doc_id, tk.score, {_TOK_SQL} AS toks
+  FROM documents d JOIN topk tk USING (doc_id)
+),
+p AS (
+  SELECT doc_id, score, toks, coalesce({first}, 1) AS p FROM t
+)
+SELECT doc_id, score,
+       array_to_string(toks[greatest(1, p - {window}) : p + {window}],
+                       ' ') AS snippet
+FROM p ORDER BY score DESC, doc_id ASC"""
 
 
 def _media_features_sql() -> str:
@@ -807,6 +872,9 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_sql(),
         "bm25_incremental": _bm25_sql(["vector", "hash", "spark"], "OR"),
         "phrase_search": _phrase_sql(["table", "hash"], 10),
+        "bm25_filtered": _bm25_sql(["spark", "join", "fast"], "OR",
+                                   where="lang = 'en'"),
+        "search_snippets": _snippet_sql(["spark", "join", "fast"], 10, 3),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(min(value), 6) AS min_value,

@@ -148,6 +148,19 @@ def main():
                 pidx, "w001 w002 w003", k=10).collect())
             queries["phrase_3term"] = round(dt, 4)
 
+        # r3 features: filtered search (doc_filter cogroup path — masks
+        # via the allowed-doc shuffle) and snippet materialization; warm
+        # timing, excluded from the headline total like the phrase rows
+        Q.search(idx, "hot0 hot1", k=10,
+                 doc_filter="role = 'user'").collect()  # warm
+        dt, _ = tdur(lambda: Q.search(
+            idx, "hot0 hot1", k=10, doc_filter="role = 'user'").collect())
+        queries["search_filtered"] = round(dt, 4)
+        _top = Q.search(idx, "hot0 hot1", k=10)
+        dt, _ = tdur(lambda: Q.materialize_snippets(
+            idx, _top, "hot0 hot1", window=3).collect())
+        queries["search_snippets"] = round(dt, 4)
+
         lat = []
         for q in QUERY_SET:
             dt, _ = tdur(lambda: Q.search(idx, q["query"], k=10,
@@ -184,7 +197,8 @@ def main():
                                  "index_build_merged",
                                  "batch_query_set_cold",
                                  "positions_index_build",
-                                 "phrase_2term", "phrase_3term"))
+                                 "phrase_2term", "phrase_3term",
+                                 "search_filtered", "search_snippets"))
         out = {
             "metric": "engine_bench_total",
             "value": round(total, 4),

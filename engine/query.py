@@ -53,7 +53,8 @@ def bm25_score_col(tf_col, dl_col, idf_col, qtf_col, avgdl: float,
 
 
 def search_flat(idx: FlatIndex, query: str, k: int = 10,
-                mode: str = "OR", exclude: str | None = None) -> DataFrame:
+                mode: str = "OR", exclude: str | None = None,
+                doc_filter: str | None = None) -> DataFrame:
     """BM25 top-k over the flat postings IR.
 
     Returns (doc_id, score) ordered by (score desc, doc_id asc), k rows.
@@ -101,6 +102,12 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
         negdocs = (idx.postings.filter(F.col("term").isin(neg))
                    .select("doc_id").distinct())
         scored = scored.join(negdocs, "doc_id", "left_anti")
+    if doc_filter is not None:
+        # query-time candidate restriction with GLOBAL stats (same frozen
+        # semantics as the packed path): a semi-join against the filtered
+        # corpus — predicate and column pruning reach the corpus scan
+        scored = scored.join(idx.docs.filter(doc_filter).select("doc_id"),
+                             "doc_id", "left_semi")
     return (scored.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
@@ -111,7 +118,8 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
 # --------------------------------------------------------------------------
 
 def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
-                            n_required, neg_terms=frozenset()):
+                            n_required, neg_terms=frozenset(),
+                            allowed_loc=None):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
     Per-posting document lengths come from the inlined ``dls`` stream and
@@ -158,6 +166,14 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
         cnt[loc] += 1
     if negmask is not None:
         cnt[negmask] = -1     # excluded docs can never hit
+    if allowed_loc is not None:
+        # doc_filter restriction: docs OUTSIDE the allowed set can never
+        # hit (same mechanism as NOT). Applied after accumulation, so the
+        # per-term float summation order — and therefore every surviving
+        # score — is bit-identical to the unfiltered path.
+        allow = np.zeros(width, dtype=bool)
+        allow[allowed_loc] = True
+        cnt[~allow] = -1
     if mode == "AND":
         hit = np.flatnonzero(cnt == n_required)
     else:
@@ -176,7 +192,8 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
 
 def search(index, query: str, k: int = 10, mode: str = "OR",
            use_wand: "bool | str" = "auto",
-           exclude: str | None = None) -> DataFrame:
+           exclude: str | None = None,
+           doc_filter: str | None = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -184,6 +201,22 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     win (see WAND_MIN_SHARD_POSTINGS); ``True`` forces WAND (rank-safe
     always — the tests pin it to keep WAND coverage non-vacuous at small
     corpora); ``False`` forces the exhaustive scorer.
+
+    ``doc_filter``: optional SQL predicate over the stored corpus's
+    columns (the contract columns plus any extra metadata columns the
+    input carried, e.g. ``"role = 'user'"`` or ``"lang = 'en'"``) —
+    query-time candidate restriction with GLOBAL BM25 stats (N, avgdl,
+    idf stay corpus-wide; the filter only decides which docs may appear
+    in the top-k — frozen semantics, mirrored by the oracle twin). Plan:
+    the predicate is pushed down into the corpus parquet scan (only the
+    filter columns + the doc-id derivation columns are read), the
+    surviving doc_ids are grouped by the SAME doc-range shard key as the
+    postings and cogrouped into the scorer, which masks non-matching
+    docs after accumulation. The extra shuffle moves one int64 per
+    matching doc — the minimum information an arbitrary predicate can
+    transfer. Filtered queries run the exhaustive scorer: block-max
+    bounds are unconditional maxima over each block's docs, so WAND
+    pruning under a mask would need filtered bounds (future work).
 
     Plan: memoized driver-side lexicon lookup of the <= |query| terms
     (one tiny term-pushed job the FIRST time a term is seen; zero jobs
@@ -215,8 +248,8 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     n_required = len(terms)
     scan_terms = sorted(set(known) | set(neg))
     buckets = sorted({lex[t]["bucket"] for t in scan_terms})
-    if neg:
-        use_wand = False  # NOT-mode scores via the exhaustive path
+    if neg or doc_filter is not None:
+        use_wand = False  # NOT/filter modes score via the exhaustive path
     if use_wand == "auto" and mode == "OR" and len(known) > 1:
         # Driver-side WAND cost gate from GLOBAL df (already in hand from
         # the lexicon lookup — no extra job), on the PER-SHARD posting
@@ -243,6 +276,34 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     width = index.shard_width
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b, "avgdl": index.avgdl}
     neg_set = frozenset(neg)
+
+    if doc_filter is not None:
+        # allowed-doc side: predicate pushed into the corpus scan, then
+        # one int64 per matching doc shuffled on the scorer's own shard
+        # key (no extra key appears anywhere in the job)
+        allowed = (index.corpus().filter(doc_filter)
+                   .select(F.col("doc_id"),
+                           F.expr(f"CAST(doc_id DIV {width} AS INT)")
+                           .alias("shard")))
+
+        def fn2(key, post_pdf, allowed_pdf):
+            import numpy as np
+            import pandas as pd
+            empty_r = pd.DataFrame({"doc_id": [], "score": []})
+            if len(post_pdf) == 0 or len(allowed_pdf) == 0:
+                return empty_r  # no postings / no doc passes the filter
+            shard = int(post_pdf["shard"].iloc[0])
+            loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
+                   - shard * width)
+            r = _score_shard_exhaustive(post_pdf, qtfs, idfs, cfgd, k,
+                                        mode, width, n_required, neg_set,
+                                        allowed_loc=loc)
+            return r if r is not None else empty_r
+
+        scored = (post.groupBy("shard")
+                  .cogroup(allowed.groupBy("shard"))
+                  .applyInPandas(fn2, "doc_id long, score double"))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     if use_wand and mode == "OR":
         from .wand import score_shard_wand as scorer_fn
@@ -526,6 +587,43 @@ def materialize_packed(index, topk: DataFrame) -> DataFrame:
     """E8 for the packed index: join top-k back to the stored corpus."""
     return (index.corpus().join(F.broadcast(topk), "doc_id")
             .select("doc_id", "conv_id", "turn_idx", "text", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def materialize_snippets(index, topk: DataFrame, query: str,
+                         window: int = 3) -> DataFrame:
+    """E8 extension: top-k rows with a contextual snippet — ``window``
+    analyzer tokens either side of the FIRST occurrence of any query
+    term (earliest position across terms; frozen contract, mirrored by
+    the DuckDB oracle twin).
+
+    Snippets are defined over the post-analyzer token stream (the same
+    stream ``dl`` counts), so the whole computation is a Catalyst
+    expression tree — ``array_position`` / ``least`` / ``slice`` /
+    ``array_join`` on the tokenized text, zero Python. Only the <= k
+    matched docs are tokenized: topk is the pinned broadcast side of the
+    corpus join, so the corpus scan reads just the joined rows' columns
+    and the tokenize expression runs on <= k rows.
+    """
+    from .analyzer import tokenize_expr
+    acfg = index.cfg.analyzer
+    terms = sorted(set(tokenize_py(query, acfg)))
+    toks = tokenize_expr(F.col("text"), acfg)
+    # first position (1-based) of any query term; array_position yields 0
+    # for an absent term -> NULL via nullif so `least` skips it. A hit
+    # doc always contains >= 1 term, but coalesce(1) keeps the expression
+    # total for exotic top-k inputs (e.g. phrase results).
+    pos_cols = [F.nullif(F.array_position(F.col("_toks"), F.lit(t)),
+                         F.lit(0)) for t in terms]
+    p = F.coalesce(F.least(*pos_cols) if len(pos_cols) > 1 else pos_cols[0],
+                   F.lit(1)) if pos_cols else F.lit(1)
+    start = F.greatest(F.lit(1), p - F.lit(window))
+    length = p + F.lit(window) - start + F.lit(1)  # slice clamps the end
+    return (index.corpus().join(F.broadcast(topk), "doc_id")
+            .withColumn("_toks", toks)
+            .select("doc_id", "score",
+                    F.array_join(F.slice(F.col("_toks"), start, length), " ")
+                    .alias("snippet"))
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
