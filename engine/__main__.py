@@ -61,9 +61,16 @@ def cmd_search(args) -> int:
             print(json.dumps(r.asDict(), default=str))
         return 0
     top = Q.search(idx, args.query, k=args.k, mode=args.mode,
-                   use_wand=False if args.no_wand else "auto")
-    rows = (Q.materialize_packed(idx, top) if args.text else top).collect()
-    for r in rows:
+                   use_wand=False if args.no_wand else "auto",
+                   exclude=args.exclude, doc_filter=args.filter)
+    if args.snippets:
+        out = Q.materialize_snippets(idx, top, args.query,
+                                     window=args.snippet_window)
+    elif args.text:
+        out = Q.materialize_packed(idx, top)
+    else:
+        out = top
+    for r in out.collect():
         print(json.dumps(r.asDict(), default=str))
     return 0
 
@@ -97,6 +104,14 @@ def main(argv=None) -> int:
                    choices=["OR", "AND", "PHRASE", "or", "and", "phrase"])
     s.add_argument("--no-wand", action="store_true")
     s.add_argument("--text", action="store_true", help="materialize text")
+    s.add_argument("--exclude", default=None,
+                   help="NOT terms (drop docs containing any of these)")
+    s.add_argument("--filter", default=None,
+                   help="doc_filter SQL predicate over stored-corpus "
+                        "columns, e.g. \"role = 'user'\"")
+    s.add_argument("--snippets", action="store_true",
+                   help="materialize contextual snippets")
+    s.add_argument("--snippet-window", type=int, default=3)
     s.set_defaults(fn=cmd_search)
     be = sub.add_parser("bench", help="run bench.py")
     be.add_argument("--convs", type=int, default=20000)

@@ -346,7 +346,8 @@ WAND_SEED_FRAC = 8                 # rarest list must be < mass / this
 
 
 def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
-                       cfg: dict, k: int, width: int, use_wand: bool):
+                       cfg: dict, k: int, width: int, use_wand: bool,
+                       allowed_loc=None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -390,6 +391,12 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                                 / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
         return c
 
+    allow = None
+    if allowed_loc is not None:
+        # one shared doc_filter mask for the whole batch (built once per
+        # shard task; every query of the set is restricted by it)
+        allow = np.zeros(width, dtype=bool)
+        allow[allowed_loc] = True
     acc = np.zeros(width, dtype=np.float64)
     cnt = np.zeros(width, dtype=np.int32)
     outs = []
@@ -423,6 +430,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             hit = touched[cnt[touched] == len(qt)]
         else:
             hit = touched        # every touched doc has cnt > 0
+        if allow is not None:
+            hit = hit[allow[hit]]
         if hit.size:
             scores = acc[hit]
             if hit.size > k:
@@ -439,7 +448,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
 
 
 def search_batch(index, queries: list[dict], k: int = 10,
-                 use_wand: "bool | str" = "auto") -> DataFrame:
+                 use_wand: "bool | str" = "auto",
+                 doc_filter: str | None = None) -> DataFrame:
     """E9: execute a whole query set in ONE Spark job.
 
     ``queries``: [{"id", "query", "mode"}]. One pruned postings scan
@@ -451,6 +461,11 @@ def search_batch(index, queries: list[dict], k: int = 10,
     multi-term OR query — test hook; ``False`` forces exhaustive);
     global per-query top-k via window rank (single shuffle).
     Returns (qid, doc_id, score).
+
+    ``doc_filter``: one SQL predicate applied to EVERY query of the set
+    (same frozen semantics as ``search``: global stats, candidate
+    restriction) — the filtered-eval workload. One pushed-down corpus
+    scan feeds a single shared per-shard mask; routing is exhaustive.
     """
     import pandas as pd
     from pyspark.sql import Window
@@ -471,6 +486,8 @@ def search_batch(index, queries: list[dict], k: int = 10,
     buckets = sorted({lex[t]["bucket"] for t in scan_terms})
     # keep the "auto" / True distinction (plain `and` would collapse it)
     wand_mode = use_wand if any(m == "OR" for m in modes.values()) else False
+    if doc_filter is not None:
+        wand_mode = False  # filtered batches score exhaustively (masked)
     cols = ["term", "shard", "df", "doc_ids", "tfs", "dls"] + (
         ["blocks", "max_tf"] if wand_mode else [])
     post = (index.postings()
@@ -481,14 +498,38 @@ def search_batch(index, queries: list[dict], k: int = 10,
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b,
             "avgdl": index.avgdl}
 
-    def fn(key, post_pdf):
-        r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
-                               width, wand_mode)
-        return r if r is not None else pd.DataFrame(
-            {"qid": [], "doc_id": [], "score": []})
+    if doc_filter is not None:
+        import numpy as np
+        allowed = (index.corpus().filter(doc_filter)
+                   .select(F.col("doc_id"),
+                           F.expr(f"CAST(doc_id DIV {width} AS INT)")
+                           .alias("shard")))
 
-    scored = (post.groupBy("shard")
-              .applyInPandas(fn, "qid string, doc_id long, score double"))
+        def fnf(key, post_pdf, allowed_pdf):
+            empty_r = pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+            if len(post_pdf) == 0 or len(allowed_pdf) == 0:
+                return empty_r
+            shard = int(post_pdf["shard"].iloc[0])
+            loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
+                   - shard * width)
+            r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
+                                   width, False, allowed_loc=loc)
+            return r if r is not None else empty_r
+
+        scored = (post.groupBy("shard")
+                  .cogroup(allowed.groupBy("shard"))
+                  .applyInPandas(fnf,
+                                 "qid string, doc_id long, score double"))
+    else:
+        def fn(key, post_pdf):
+            r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
+                                   width, wand_mode)
+            return r if r is not None else pd.DataFrame(
+                {"qid": [], "doc_id": [], "score": []})
+
+        scored = (post.groupBy("shard")
+                  .applyInPandas(fn,
+                                 "qid string, doc_id long, score double"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn")

@@ -158,3 +158,37 @@ def test_snippet_earliest_term_across_query(spark, tmp_path):
     got = Q.materialize_snippets(idx, top, "early late", window=1).collect()
     # "late" first occurs at position 2 (earlier than "early" at 6)
     assert got[0]["snippet"] == "one late two"
+
+
+def test_batch_filtered_matches_single_filtered(packed_index):
+    """search_batch(doc_filter=...) == per-query search(doc_filter=...)
+    for every query of the set (same frozen filter contract)."""
+    from engine import query as Q
+    from engine.fixtures import QUERY_SET
+    out = Q.search_batch(packed_index, QUERY_SET, k=10,
+                         doc_filter=FILTER).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.doc_id, round(r.score, 9)))
+    for q in QUERY_SET:
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                Q.search(packed_index, q["query"], k=10, mode=q["mode"],
+                         doc_filter=FILTER).collect()]
+        assert by_q.get(q["id"], []) == want, q["id"]
+
+
+def test_cli_filter_and_snippets(spark, corpus_df, tmp_path, capsys):
+    """spark-submit surface: --filter and --snippets flags end-to-end."""
+    import json
+
+    from engine.__main__ import main
+    from engine.build import build_index
+    d = str(tmp_path / "cliidx")
+    build_index(spark, corpus_df, d)
+    assert main(["search", "--index-dir", d, "--query", "hot0 hot1",
+                 "--k", "3", "--filter", "role = 'user'",
+                 "--snippets"]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(lines) <= 3
+    assert all({"doc_id", "score", "snippet"} <= set(r) for r in lines)
