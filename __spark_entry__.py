@@ -146,12 +146,14 @@ def _adaptive_planes_sf001() -> int:
     parquet footer (no Spark). The fixed-8 variant remains a pytest
     cross-check; the gate now runs the production (adaptive) path."""
     from engine.similarity import adaptive_n_planes
-    try:
-        import pyarrow.parquet as pq
-        n = pq.ParquetFile(
-            "/root/testdata/sf0.01/embeddings.parquet").metadata.num_rows
-    except Exception:
-        n = 500
+    import pyarrow.parquet as pq
+    # no silent fallback: a missing/unreadable testdata file must fail
+    # loudly here, not surface as a wrong-answer gate mismatch. Note the
+    # lo-clamp in adaptive_n_planes means every n <= 4096 resolves to 4
+    # planes, so the sf0.001 pytest twin and this sf0.01 driver twin
+    # agree by construction, not by luck.
+    n = pq.ParquetFile(
+        "/root/testdata/sf0.01/embeddings.parquet").metadata.num_rows
     return adaptive_n_planes(n)
 
 

@@ -63,7 +63,8 @@ def _delta_vs_prev_round(queries: dict) -> dict:
     import re
     repo = os.path.dirname(os.path.abspath(__file__))
     prevs = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")),
-                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+                   key=lambda p: int(re.search(r"r(\d+)",
+                                               os.path.basename(p)).group(1)))
     if not prevs:
         return {}
     try:

@@ -55,14 +55,17 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
     if args.mode.upper() == "PHRASE":
+        if args.exclude or args.filter:
+            # refuse rather than silently drop the flags: phrase search
+            # has no exclude/doc_filter execution path (yet)
+            print("error: --exclude/--filter are not supported with "
+                  "--mode PHRASE", file=sys.stderr)
+            return 2
         top = Q.search_phrase(idx, args.query, k=args.k)
-        rows = top.collect()
-        for r in rows:
-            print(json.dumps(r.asDict(), default=str))
-        return 0
-    top = Q.search(idx, args.query, k=args.k, mode=args.mode,
-                   use_wand=False if args.no_wand else "auto",
-                   exclude=args.exclude, doc_filter=args.filter)
+    else:
+        top = Q.search(idx, args.query, k=args.k, mode=args.mode,
+                       use_wand=False if args.no_wand else "auto",
+                       exclude=args.exclude, doc_filter=args.filter)
     if args.snippets:
         out = Q.materialize_snippets(idx, top, args.query,
                                      window=args.snippet_window)

@@ -389,6 +389,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             total_cf = spark.read.parquet(lex_path).agg(
                 F.sum("cf")).first()[0] or 0
             man.avgdl = float(total_cf) / n_docs if n_docs else 0.0
+            # seed the exact token total so a later streaming
+            # append_batch maintains avgdl from the true base, not 0
+            man.sum_dl = int(total_cf)
 
     total_wall = time.perf_counter() - t_start
     man.metrics = {
@@ -428,16 +431,31 @@ class PackedIndex:
             self._post_df = self.spark.read.parquet(self.postings_path)
         return self._post_df
 
+    def _corpus_layout(self):
+        """(corpus_offsets, mixed) — cached per handle (one manifest read,
+        not one per corpus() call); refresh() reloads. ``mixed`` is true
+        once any streaming increment was appended: appended corpus files
+        store doc_id directly while the batch-built files derive it from
+        (part_id, local_idx), so the read must coalesce both layouts."""
+        if not hasattr(self, "_corpus_offsets"):
+            from .manifest import Manifest
+            man = Manifest.load(self.index_dir)
+            self._corpus_offsets = man.corpus_offsets if man else None
+            self._corpus_mixed = bool(man) and any(
+                s.segment_id.startswith("inc_") for s in man.segments)
+        return self._corpus_offsets, self._corpus_mixed
+
     def corpus(self) -> DataFrame:
         """Stored corpus WITH doc_id. Batch builds store (part_id,
         local_idx) and derive doc_id from the manifest's offsets (the
         corpus is written once, never persisted — docids.py); streaming
-        corpora store doc_id directly (append-time ids are final)."""
-        from .manifest import Manifest
-        man = Manifest.load(self.index_dir)
-        if man is not None and man.corpus_offsets is not None:
+        corpora store doc_id directly (append-time ids are final); a
+        batch-built index that later received appends reads both layouts
+        (schema-merged, doc_id coalesced)."""
+        offsets, mixed = self._corpus_layout()
+        if offsets is not None:
             return read_with_doc_ids(self.spark, f"{self.index_dir}/corpus",
-                                     man.corpus_offsets)
+                                     offsets, mixed=mixed)
         return self.spark.read.parquet(f"{self.index_dir}/corpus")
 
     def docmap(self) -> DataFrame:
@@ -469,12 +487,23 @@ class PackedIndex:
         return {t: cache[t] for t in terms if cache.get(t) is not None}
 
     def refresh(self) -> None:
-        """Drop memoized lexicon rows + DataFrame handles so a handle held
-        across ``streaming.compact()`` (which rewrites the lexicon with
-        fresh global df/idf) stops serving stale values. ``compact()``
-        returns a brand-new handle — that stays the recommended pattern —
-        but a long-lived handle can now be revalidated explicitly
-        (ADVICE r2: the memo had no invalidation hook)."""
+        """Revalidate a handle held across ``streaming.append_batch()`` /
+        ``compact()``: drop memoized lexicon rows + DataFrame handles AND
+        reload the manifest-backed scalars (n_docs, avgdl, corpus layout)
+        — BM25 scores use ``index.avgdl``/``n_docs`` directly, so clearing
+        only the caches would mix fresh idf with stale avgdl (silently
+        wrong scores). ``compact()`` returns a brand-new handle — that
+        stays the recommended pattern — but a long-lived handle can now
+        be revalidated explicitly (ADVICE r2 + r3 review)."""
+        from .manifest import Manifest
+        man = Manifest.load(self.index_dir)
+        if man is not None:
+            self.n_docs = man.n_docs
+            self.avgdl = man.avgdl
+            self.shard_width = man.shard_width
+            self._corpus_offsets = man.corpus_offsets
+            self._corpus_mixed = any(
+                s.segment_id.startswith("inc_") for s in man.segments)
         self._term_cache = {}
         self._post_df = None
         self._lex_df = None

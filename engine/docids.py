@@ -123,14 +123,28 @@ def corpus_offsets(spark, path: str) -> tuple[list[int], int]:
     return offsets, base
 
 
-def read_with_doc_ids(spark, path: str, offsets: list[int]) -> DataFrame:
+def read_with_doc_ids(spark, path: str, offsets: list[int],
+                      mixed: bool = False) -> DataFrame:
     """Read a written sorted corpus with ``doc_id`` derived from the
     stored (part_id, local_idx) and the manifest's offsets — a broadcast
     join against the tiny offsets table plus one projection; column
-    pruning and predicate pushdown pass straight through to the scan."""
+    pruning and predicate pushdown pass straight through to the scan.
+
+    ``mixed=True``: the directory also holds streaming-appended files
+    that store ``doc_id`` directly (and have no part_id/local_idx) —
+    read schema-merged, LEFT-join the offsets, and coalesce the stored
+    doc_id with the derived one. Without this, an inner join on part_id
+    would silently drop every appended doc from filtered search and
+    materialization."""
     off_df = spark.createDataFrame(
         [(i, int(o)) for i, o in enumerate(offsets)],
         "part_id int, _base long")
+    if mixed:
+        return (spark.read.option("mergeSchema", "true").parquet(path)
+                .join(F.broadcast(off_df), "part_id", "left")
+                .withColumn("doc_id", F.coalesce(
+                    F.col("doc_id"), F.col("_base") + F.col("local_idx")))
+                .drop("part_id", "local_idx", "_base"))
     return (spark.read.parquet(path)
             .join(F.broadcast(off_df), "part_id")
             .withColumn("doc_id", F.col("_base") + F.col("local_idx"))

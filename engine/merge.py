@@ -74,6 +74,21 @@ def _merge_batches(batches, block_size: int):
     out_df = np.add.reduceat(dfs, gstart)
     out_bounds = np.zeros(gstart.size + 1, dtype=np.int64)
     np.cumsum(out_df, out=out_bounds[1:])
+    # disjointness contract check: within each merged group doc_ids must
+    # be STRICTLY increasing (concat of interval-disjoint sorted runs).
+    # A violation means upstream fed overlapping/duplicated runs — fail
+    # loudly here instead of letting the delta encoder silently wrap a
+    # negative gap into garbage doc_ids (pack.tokenize_pack_partial
+    # guarantees the contract by splitting batches at discontinuities).
+    if m_docs.size > 1:
+        bad = m_docs[1:] <= m_docs[:-1]
+        bad[out_bounds[1:-1] - 1] = False  # group boundaries may decrease
+        if bad.any():
+            i = int(np.flatnonzero(bad)[0])
+            raise ValueError(
+                "merge contract violation: overlapping or duplicate "
+                f"posting runs (doc {int(m_docs[i])} -> "
+                f"{int(m_docs[i + 1])} within one (term, shard) group)")
     cf = np.add.reduceat(m_tfs, out_bounds[:-1])
     max_tf = np.maximum.reduceat(m_tfs, out_bounds[:-1]).astype(np.int32)
     doc_payloads, tf_payloads, dl_payloads, blocks = codec.pack_lists(

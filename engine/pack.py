@@ -129,11 +129,19 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
     shuffle.
 
     The docs input is doc-range sorted (docids.assign_doc_ids, or the
-    written sorted corpus re-read via docids.read_with_doc_ids — parquet
-    splits of range-partitioned files stay doc-range disjoint), so each
+    written sorted corpus re-read via docids.read_with_doc_ids), so each
     batch's (term, shard) sub-lists are exact sorted runs of the final
-    posting lists (the in-batch lexsort enforces run order; merge only
-    needs runs doc-range DISJOINT, which file/chunk boundaries guarantee). Shuffling the
+    posting lists. Merge needs same-(term, shard) runs to cover DISJOINT
+    doc-id INTERVALS — and a parquet re-read does NOT guarantee that per
+    batch: Spark bin-packs files into scan tasks by size (not range
+    order) and re-batches rows across file boundaries, so one Arrow
+    batch can hold the tail of one range and the head of a non-adjacent
+    one. Each batch is therefore SPLIT at doc-id discontinuities before
+    packing (doc_ids are +1-contiguous within any scan split, so a gap
+    marks a file/split boundary); every emitted run then covers a single
+    contiguous interval, and intervals are globally disjoint because
+    every doc appears in exactly one input row. merge._merge_batches
+    additionally validates monotonicity and fails loudly. Shuffling the
     VByte-packed runs instead of raw (doc, term, tf, dl) rows moves
     ~10x fewer bytes (measured: 2.5 GB -> ~0.25 GB at 1.95M turns) and
     replaces the corpus-sized JVM shuffle sort with a vocab-sized one —
@@ -150,18 +158,15 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
 
     def fn(batches):
         from .analyzer import doc_term_freqs_arrow, doc_token_positions_arrow
-        for b in batches:
-            if b.num_rows == 0:
-                continue
-            doc_ids_b = b.column("doc_id").to_numpy(zero_copy_only=False)
-            text_arr = b.column("text").cast(pa.string())
+
+        def emit(doc_ids_b, text_arr):
             if with_pos:
                 # occurrence-level kernel: one entry per token occurrence,
                 # lexsorted with pos innermost -> postings fall out as
                 # (term, doc) runs and positions stay sorted per posting
                 rows, terms, pos, dl = doc_token_positions_arrow(text_arr, acfg)
                 if rows.size == 0:
-                    continue
+                    return None
                 occ_docs = doc_ids_b[rows].astype(np.int64)
                 occ_dls = dl[rows].astype(np.int64)
                 occ_shards = (occ_docs // width).astype(np.int64)
@@ -186,7 +191,7 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
             else:
                 rows, terms, tfs, dl = doc_term_freqs_arrow(text_arr, acfg)
                 if rows.size == 0:
-                    continue
+                    return None
                 post_docs = doc_ids_b[rows].astype(np.int64)
                 post_dls = dl[rows].astype(np.int64)
                 post_tfs = tfs.astype(np.int64)
@@ -216,7 +221,7 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
                     occ_bounds, posting_starts, pos)
             else:
                 pos_pl = [b""] * starts.size
-            yield pa.RecordBatch.from_arrays([
+            return pa.RecordBatch.from_arrays([
                 tdict.dictionary.take(pa.array(codes[starts])).cast(pa.string()),
                 pa.array(shards[starts].astype(np.int32), pa.int32()),
                 pa.array(df_, pa.int64()),
@@ -228,6 +233,28 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
                 pa.array(blocks, _ARROW_BLOCKS),
                 pa.array(pos_pl, pa.binary()),
             ], names=names)
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            doc_ids_b = b.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            text_arr = b.column("text").cast(pa.string())
+            # split at doc-id discontinuities (run-disjointness guarantee
+            # — see the docstring): realistic scans yield few pieces
+            # (doc_ids are +1-contiguous within a file/split)
+            cuts = np.flatnonzero(np.diff(doc_ids_b) != 1) + 1
+            if cuts.size == 0:
+                rb = emit(doc_ids_b, text_arr)
+                if rb is not None:
+                    yield rb
+            else:
+                bounds = np.concatenate(
+                    ([0], cuts, [doc_ids_b.size])).astype(np.int64)
+                for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+                    rb = emit(doc_ids_b[s:e], text_arr.slice(s, e - s))
+                    if rb is not None:
+                        yield rb
 
     return docs.select("doc_id", "text").mapInArrow(fn, PACKED_SCHEMA)
 

@@ -190,6 +190,18 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                          "score": scores[srt]})
 
 
+def _allowed_shards(index, doc_filter: str, width: int) -> DataFrame:
+    """Allowed-doc side of a filtered search (shared by search and
+    search_batch — ONE definition of the frozen filter semantics): the
+    predicate is pushed into the corpus scan, then one int64 per matching
+    doc is shuffled on the scorer's own shard key (no extra key appears
+    anywhere in the job)."""
+    return (index.corpus().filter(doc_filter)
+            .select(F.col("doc_id"),
+                    F.expr(f"CAST(doc_id DIV {width} AS INT)")
+                    .alias("shard")))
+
+
 def search(index, query: str, k: int = 10, mode: str = "OR",
            use_wand: "bool | str" = "auto",
            exclude: str | None = None,
@@ -250,7 +262,10 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     buckets = sorted({lex[t]["bucket"] for t in scan_terms})
     if neg or doc_filter is not None:
         use_wand = False  # NOT/filter modes score via the exhaustive path
-    if use_wand == "auto" and mode == "OR" and len(known) > 1:
+    if use_wand == "auto" and mode == "OR":
+        # single-term queries resolve through the same formula: mass ==
+        # seed_df, so the seed-selectivity test fails -> exhaustive (the
+        # truthy string "auto" must never reach the scorer routing)
         # Driver-side WAND cost gate from GLOBAL df (already in hand from
         # the lexicon lookup — no extra job), on the PER-SHARD posting
         # mass: the scorer task's dense scatter pass costs O(shard mass),
@@ -278,13 +293,7 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     neg_set = frozenset(neg)
 
     if doc_filter is not None:
-        # allowed-doc side: predicate pushed into the corpus scan, then
-        # one int64 per matching doc shuffled on the scorer's own shard
-        # key (no extra key appears anywhere in the job)
-        allowed = (index.corpus().filter(doc_filter)
-                   .select(F.col("doc_id"),
-                           F.expr(f"CAST(doc_id DIV {width} AS INT)")
-                           .alias("shard")))
+        allowed = _allowed_shards(index, doc_filter, width)
 
         def fn2(key, post_pdf, allowed_pdf):
             import numpy as np
@@ -500,10 +509,7 @@ def search_batch(index, queries: list[dict], k: int = 10,
 
     if doc_filter is not None:
         import numpy as np
-        allowed = (index.corpus().filter(doc_filter)
-                   .select(F.col("doc_id"),
-                           F.expr(f"CAST(doc_id DIV {width} AS INT)")
-                           .alias("shard")))
+        allowed = _allowed_shards(index, doc_filter, width)
 
         def fnf(key, post_pdf, allowed_pdf):
             empty_r = pd.DataFrame({"qid": [], "doc_id": [], "score": []})

@@ -93,6 +93,10 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     man.segments.append(Segment(inc_id, -1, seg_path, rows=-1,
                                 wall_s=time.perf_counter() - t0,
                                 status="complete"))
+    if man.sum_dl == 0 and man.n_docs and man.avgdl:
+        # batch-built index from before sum_dl was persisted: reconstruct
+        # the token total from the stored exact avgdl
+        man.sum_dl = round(man.avgdl * man.n_docs)
     man.n_docs += int(n_new)
     man.sum_dl += int(sum_new)
     man.avgdl = man.sum_dl / man.n_docs
