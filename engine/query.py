@@ -356,7 +356,7 @@ WAND_SEED_FRAC = 8                 # rarest list must be < mass / this
 
 def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        cfg: dict, k: int, width: int, use_wand: bool,
-                       allowed_loc=None):
+                       allowed_loc=None, negs: dict | None = None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -416,7 +416,9 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
         if not terms_here:
             continue
         mode = modes[qid]
-        if use_wand and mode == "OR" and len(terms_here) > 1:
+        q_negs = [t for t in (negs.get(qid, ()) if negs else ())
+                  if t in decoded]
+        if use_wand and mode == "OR" and len(terms_here) > 1 and not q_negs:
             mass = sum(decoded[t][0].size for t in terms_here)
             seed = min(decoded[t][0].size for t in terms_here)
             if use_wand is True or (mass >= WAND_MIN_SHARD_POSTINGS
@@ -441,6 +443,11 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             hit = touched        # every touched doc has cnt > 0
         if allow is not None:
             hit = hit[allow[hit]]
+        if q_negs and hit.size:
+            # NOT semantics (same contract as the single-query scorer):
+            # drop docs containing ANY excluded term, before top-k
+            ex = np.unique(np.concatenate([decoded[t][0] for t in q_negs]))
+            hit = hit[~np.isin(hit, ex, assume_unique=True)]
         if hit.size:
             scores = acc[hit]
             if hit.size > k:
@@ -475,19 +482,30 @@ def search_batch(index, queries: list[dict], k: int = 10,
     (same frozen semantics as ``search``: global stats, candidate
     restriction) — the filtered-eval workload. One pushed-down corpus
     scan feeds a single shared per-shard mask; routing is exhaustive.
+
+    A query dict may carry an optional ``"exclude"`` string (NOT terms,
+    same contract as ``search(exclude=...)``): docs containing ANY
+    excluded term are dropped before top-k; excluded-term postings ride
+    the same single pruned scan. NOT queries route exhaustive.
     """
     import pandas as pd
     from pyspark.sql import Window
     spark = index.spark
-    per_q = {q["id"]: query_terms(q["query"], index.cfg.analyzer)
-             for q in queries}
+    acfg = index.cfg.analyzer
+    per_q = {q["id"]: query_terms(q["query"], acfg) for q in queries}
     modes = {q["id"]: q["mode"].upper() for q in queries}
+    negs = {q["id"]: sorted(set(tokenize_py(q.get("exclude"), acfg))
+                            - set(per_q.get(q["id"], ())))
+            for q in queries if q.get("exclude")}
     per_q = {qid: qt for qid, qt in per_q.items() if qt}
+    negs = {qid: ts for qid, ts in negs.items() if qid in per_q and ts}
     if not per_q:
         return _empty_topk(spark, with_qid=True)
-    # ONE memoized lexicon lookup for the union of all query terms; idf
-    # rides the task closure — the batch job is the pruned scan alone
-    lex = index.lookup_terms(sorted({t for qt in per_q.values() for t in qt}))
+    # ONE memoized lexicon lookup for the union of all query + NOT terms;
+    # idf rides the task closure — the batch job is the pruned scan alone
+    lex = index.lookup_terms(sorted(
+        {t for qt in per_q.values() for t in qt}
+        | {t for ts in negs.values() for t in ts}))
     scan_terms = sorted(t for t in lex)
     if not scan_terms:
         return _empty_topk(spark, with_qid=True)
@@ -497,6 +515,8 @@ def search_batch(index, queries: list[dict], k: int = 10,
     wand_mode = use_wand if any(m == "OR" for m in modes.values()) else False
     if doc_filter is not None:
         wand_mode = False  # filtered batches score exhaustively (masked)
+    # (per-query NOT routing is handled inside the scorer: a query with
+    # excludes skips the WAND branch; others in the set still route)
     cols = ["term", "shard", "df", "doc_ids", "tfs", "dls"] + (
         ["blocks", "max_tf"] if wand_mode else [])
     post = (index.postings()
@@ -519,7 +539,7 @@ def search_batch(index, queries: list[dict], k: int = 10,
             loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
                    - shard * width)
             r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
-                                   width, False, allowed_loc=loc)
+                                   width, False, allowed_loc=loc, negs=negs)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -529,7 +549,7 @@ def search_batch(index, queries: list[dict], k: int = 10,
     else:
         def fn(key, post_pdf):
             r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
-                                   width, wand_mode)
+                                   width, wand_mode, negs=negs)
             return r if r is not None else pd.DataFrame(
                 {"qid": [], "doc_id": [], "score": []})
 

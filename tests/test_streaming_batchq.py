@@ -103,6 +103,32 @@ def test_search_batch_matches_single(spark, corpus_df, oracle_idx, tmp_path):
             assert by_q.get(q["id"], []) == want, (q["id"], use_wand)
 
 
+def test_search_batch_exclude_matches_single(spark, corpus_df, tmp_path):
+    """A batch query dict's optional "exclude" (NOT terms) must match the
+    per-query search(exclude=...) contract exactly, for every routing —
+    including a mixed set where other queries still WAND-route."""
+    from engine import query as Q
+    from engine.build import build_index
+    idx = build_index(spark, corpus_df, str(tmp_path / "bqn"))
+    qset = [
+        {"id": "n1", "query": "hot0 hot1", "mode": "OR", "exclude": "rare3"},
+        {"id": "n2", "query": "hot0 hot1", "mode": "AND", "exclude": "hot2"},
+        {"id": "n3", "query": "hot0", "mode": "OR"},  # no excludes
+        {"id": "n4", "query": "hot0", "mode": "OR", "exclude": "ghostterm"},
+    ]
+    for use_wand in (True, False, "auto"):
+        out = Q.search_batch(idx, qset, k=10, use_wand=use_wand).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.qid, []).append((r.doc_id, round(r.score, 9)))
+        for q in qset:
+            want = [(r["doc_id"], round(r["score"], 9)) for r in
+                    Q.search(idx, q["query"], k=10, mode=q["mode"],
+                             exclude=q.get("exclude")).collect()]
+            assert by_q.get(q["id"], []) == want, (q["id"], use_wand)
+            assert want  # non-degenerate: every query matches something
+
+
 def test_lineage_df(spark, corpus_df, tmp_path):
     from engine.build import build_index
     from engine.config import IndexConfig
