@@ -139,6 +139,33 @@ def _incremental_index(spark: SparkSession, sf_dir: str):
     return _STREAM_IDX_CACHE[key]
 
 
+_HYBRID_IDX_CACHE: dict = {}
+
+
+def _hybrid_index(spark: SparkSession, sf_dir: str):
+    """BATCH-built first half (offsets corpus layout, no doc_id stored) +
+    streaming append of the second half (doc_id stored) + compact — the
+    mixed-lifecycle index (r3: engine/build.py corpus() mixed layout,
+    docids.read_with_doc_ids(mixed=True), streaming sum_dl seeding),
+    built externally so the driver's DuckDB gate exercises it. Halves
+    split by conv_id (string order == doc_id order), so engine doc_ids
+    equal the table's doc_ids across both build paths."""
+    import tempfile
+    from engine.build import build_index
+    from engine.streaming import append_batch, compact
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _HYBRID_IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="entry_hidx_")
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        corpus = _corpus_from_documents(docs)
+        cut = f"conv-{n // 2:012d}"  # zero-padded: string order == id order
+        build_index(spark, corpus.filter(F.col("conv_id") < cut), d)
+        append_batch(spark, corpus.filter(F.col("conv_id") >= cut), d)
+        _HYBRID_IDX_CACHE[key] = compact(spark, d)
+    return _HYBRID_IDX_CACHE[key]
+
+
 def _adaptive_planes_sf001() -> int:
     """The LSH plane count BOTH sides of the knn/near-dup gate resolve at
     the driver's compare scale (sf0.01): data-scaled via
@@ -482,6 +509,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = Q.search(idx, "vector hash spark", k=10, mode="OR")
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def bm25_hybrid(spark, sf):
+        # batch build + streaming append + compact, then a FILTERED
+        # search: the doc_filter forces the mixed corpus read (batch
+        # files derive doc_id from offsets, appended files store it) —
+        # ranking and filtering must be identical to a single-path build
+        from engine import query as Q
+        idx = _hybrid_index(spark, sf)
+        top = Q.search(idx, "hash merge scan", k=10, mode="OR",
+                       doc_filter="lang = 'en'")
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
     def ann_cosine(spark, sf):
         e = _emb(spark, sf)
         qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -531,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": user_sessions,
         "media_features": media_features,
         "bm25_incremental": bm25_incremental,
+        "bm25_hybrid": bm25_hybrid,
         "phrase_search": phrase_search,
         "bm25_filtered": bm25_filtered,
         "search_snippets": search_snippets,
@@ -873,6 +912,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_join_sql(3, _adaptive_planes_sf001()),
         "media_features": _media_features_sql(),
         "bm25_incremental": _bm25_sql(["vector", "hash", "spark"], "OR"),
+        "bm25_hybrid": _bm25_sql(["hash", "merge", "scan"], "OR",
+                                 where="lang = 'en'"),
         "phrase_search": _phrase_sql(["table", "hash"], 10),
         "bm25_filtered": _bm25_sql(["spark", "join", "fast"], "OR",
                                    where="lang = 'en'"),
