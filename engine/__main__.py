@@ -78,6 +78,19 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_search_batch(args) -> int:
+    from . import query as Q
+    from .build import load_index
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    with open(args.queries_file) as f:
+        qset = json.load(f)
+    out = Q.search_batch(idx, qset, k=args.k, doc_filter=args.filter)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import os
     import subprocess
@@ -116,6 +129,15 @@ def main(argv=None) -> int:
                    help="materialize contextual snippets")
     s.add_argument("--snippet-window", type=int, default=3)
     s.set_defaults(fn=cmd_search)
+    sb = sub.add_parser("search-batch",
+                        help="whole query set in ONE Spark job (E9)")
+    sb.add_argument("--index-dir", required=True)
+    sb.add_argument("--queries-file", required=True,
+                    help="JSON list of {id, query, mode[, exclude]}")
+    sb.add_argument("--k", type=int, default=10)
+    sb.add_argument("--filter", default=None,
+                    help="doc_filter SQL predicate applied to every query")
+    sb.set_defaults(fn=cmd_search_batch)
     be = sub.add_parser("bench", help="run bench.py")
     be.add_argument("--convs", type=int, default=20000)
     be.set_defaults(fn=cmd_bench)

@@ -177,6 +177,26 @@ def test_batch_filtered_matches_single_filtered(packed_index):
         assert by_q.get(q["id"], []) == want, q["id"]
 
 
+def test_cli_search_batch(spark, packed_index, tmp_path, capsys):
+    """spark-submit surface: search-batch runs a JSON query set (with
+    per-query excludes and a shared --filter) in one job."""
+    import json
+
+    from engine.__main__ import main
+    qf = tmp_path / "qs.json"
+    qf.write_text(json.dumps([
+        {"id": "a", "query": "hot0 hot1", "mode": "OR", "exclude": "rare3"},
+        {"id": "b", "query": "hot0", "mode": "AND"},
+    ]))
+    assert main(["search-batch", "--index-dir", packed_index.index_dir,
+                 "--queries-file", str(qf), "--k", "3",
+                 "--filter", FILTER]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines and {r["qid"] for r in lines} == {"a", "b"}
+    assert all({"qid", "doc_id", "score"} <= set(r) for r in lines)
+
+
 def test_cli_filter_and_snippets(spark, corpus_df, tmp_path, capsys):
     """spark-submit surface: --filter and --snippets flags end-to-end."""
     import json
