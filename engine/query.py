@@ -226,9 +226,11 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     postings and cogrouped into the scorer, which masks non-matching
     docs after accumulation. The extra shuffle moves one int64 per
     matching doc — the minimum information an arbitrary predicate can
-    transfer. Filtered queries run the exhaustive scorer: block-max
-    bounds are unconditional maxima over each block's docs, so WAND
-    pruning under a mask would need filtered bounds (future work).
+    transfer. Filtered OR queries route through the SAME WAND cost gate:
+    masked WAND is rank-safe with unchanged block bounds (maxima over
+    block supersets stay valid upper bounds for the allowed subset; θ
+    seeds from allowed-only seed scores), and the mask intersects the
+    candidate set, so a selective filter SHRINKS pruning-phase work.
 
     Plan: memoized driver-side lexicon lookup of the <= |query| terms
     (one tiny term-pushed job the FIRST time a term is seen; zero jobs
@@ -260,8 +262,11 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     n_required = len(terms)
     scan_terms = sorted(set(known) | set(neg))
     buckets = sorted({lex[t]["bucket"] for t in scan_terms})
-    if neg or doc_filter is not None:
-        use_wand = False  # NOT/filter modes score via the exhaustive path
+    if neg:
+        use_wand = False  # NOT queries score via the exhaustive path
+    # (doc_filter queries route through the same cost gate: masked WAND
+    # is rank-safe — wand.score_shard_wand(allowed_loc=...) — and a
+    # selective filter shrinks its candidate set further)
     if use_wand == "auto" and mode == "OR":
         # single-term queries resolve through the same formula: mass ==
         # seed_df, so the seed-selectivity test fails -> exhaustive (the
@@ -294,6 +299,9 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
 
     if doc_filter is not None:
         allowed = _allowed_shards(index, doc_filter, width)
+        wand_on = bool(use_wand) and mode == "OR"
+        if wand_on:
+            from .wand import score_shard_wand
 
         def fn2(key, post_pdf, allowed_pdf):
             import numpy as np
@@ -304,9 +312,13 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
             shard = int(post_pdf["shard"].iloc[0])
             loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
                    - shard * width)
-            r = _score_shard_exhaustive(post_pdf, qtfs, idfs, cfgd, k,
-                                        mode, width, n_required, neg_set,
-                                        allowed_loc=loc)
+            if wand_on:
+                r = score_shard_wand(post_pdf, qtfs, idfs, cfgd, k, width,
+                                     allowed_loc=loc)
+            else:
+                r = _score_shard_exhaustive(post_pdf, qtfs, idfs, cfgd, k,
+                                            mode, width, n_required,
+                                            neg_set, allowed_loc=loc)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")

@@ -60,15 +60,29 @@ def _decode_block(doc_payload, tf_payload, dl_payload, blocks, j):
 
 
 def score_shard_wand(post_pdf: pd.DataFrame,
-                     qtfs: dict, idfs: dict, cfg: dict, k: int, width: int):
+                     qtfs: dict, idfs: dict, cfg: dict, k: int, width: int,
+                     allowed_loc=None):
     """``qtfs``: term -> query-term frequency; ``idfs``: term -> idf
     (collected once driver-side, inlined via the task closure — the
-    scoring job is the pruned postings scan alone)."""
+    scoring job is the pruned postings scan alone).
+
+    ``allowed_loc``: optional shard-local positions of docs passing a
+    doc_filter (masked WAND). Rank-safe with UNCHANGED block bounds:
+    bounds are maxima over block supersets, so they stay valid upper
+    bounds for the allowed subset; θ is seeded from allowed-only seed
+    contributions (a lower bound on the k-th ALLOWED score), and the
+    candidate set is intersected with the mask before exact scoring —
+    a selective filter therefore SHRINKS phase-3 work instead of
+    forcing the exhaustive scorer."""
     if len(post_pdf) == 0:
         return None
     k1, b, avgdl = cfg["k1"], cfg["b"], cfg["avgdl"]
     shard = int(post_pdf["shard"].iloc[0])
     start = shard * width
+    allow = None
+    if allowed_loc is not None:
+        allow = np.zeros(width, dtype=bool)
+        allow[np.asarray(allowed_loc, dtype=np.int64)] = True
 
     nrows = len(post_pdf)
     terms = post_pdf["term"].to_numpy(object)
@@ -98,8 +112,11 @@ def score_shard_wand(post_pdf: pd.DataFrame,
         # frozen 'lucene' variant); under 'okapi', df == N/2 gives idf == 0
         # and the exhaustive/flat paths return those docs with score 0.0 —
         # keep every posting then so rank-identity holds for that config.
-        hit = (np.flatnonzero(s_contrib != 0.0) if s_idf != 0.0
-               else np.arange(s_contrib.size))
+        keep = (s_contrib != 0.0 if s_idf != 0.0
+                else np.ones(s_contrib.size, dtype=bool))
+        if allow is not None:
+            keep &= allow[s_ids - start]
+        hit = np.flatnonzero(keep)
         if hit.size == 0:
             return None
         scores = s_contrib[hit]
@@ -110,8 +127,9 @@ def score_shard_wand(post_pdf: pd.DataFrame,
         srt = np.lexsort((docs, -scores))
         return pd.DataFrame({"doc_id": docs[srt].astype(np.int64),
                              "score": scores[srt]})
-    if s_contrib.size >= k:
-        theta = float(np.partition(s_contrib, s_contrib.size - k)[s_contrib.size - k])
+    sc = s_contrib if allow is None else s_contrib[allow[s_ids - start]]
+    if sc.size >= k:
+        theta = float(np.partition(sc, sc.size - k)[sc.size - k])
     else:
         theta = -np.inf
 
@@ -131,6 +149,8 @@ def score_shard_wand(post_pdf: pd.DataFrame,
         for j in survive[i]:
             ids, _, _ = _decode_block(dp, tp, lp, all_blocks[i], int(j))
             cand[ids - start] = True
+    if allow is not None:
+        cand &= allow  # only allowed docs are ever exact-scored
     n_cand = int(cand.sum())
     if n_cand == 0:
         return None

@@ -68,6 +68,32 @@ def test_filtered_scores_equal_unfiltered_scores(packed_index):
         assert r["score"] == unf[r["doc_id"]]  # bit-identical
 
 
+def test_masked_wand_matches_masked_exhaustive(packed_index):
+    """Forced masked WAND (doc_filter + use_wand=True) must be
+    rank-identical (scores to 1e-9) to the masked exhaustive scorer for
+    every query of the frozen set — block bounds stay valid upper bounds
+    under a mask and θ seeds from allowed-only scores (rank-safety of
+    engine/wand.py allowed_loc)."""
+    from engine import query as Q
+    for q in QUERY_SET:
+        if q["mode"] != "OR":
+            continue
+        w = [(r["doc_id"], round(r["score"], 9)) for r in
+             Q.search(packed_index, q["query"], k=10, mode="OR",
+                      doc_filter=FILTER, use_wand=True).collect()]
+        e = [(r["doc_id"], round(r["score"], 9)) for r in
+             Q.search(packed_index, q["query"], k=10, mode="OR",
+                      doc_filter=FILTER, use_wand=False).collect()]
+        assert w == e, q["id"]
+
+
+def test_masked_wand_empty_filter(packed_index):
+    from engine import query as Q
+    assert Q.search(packed_index, "hot0 hot1", k=10, mode="OR",
+                    doc_filter="role = 'no-such-role'",
+                    use_wand=True).collect() == []
+
+
 def test_filter_matches_none_is_empty(packed_index):
     from engine import query as Q
     rows = Q.search(packed_index, "hot0", k=10,
