@@ -437,7 +437,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                                     and seed * WAND_SEED_FRAC < mass):
                 sub = post_pdf[post_pdf["term"].isin(terms_here)]
                 r = score_shard_wand(sub, {t: float(n) for t, n in qt.items()},
-                                     idfs, cfg, k, width)
+                                     idfs, cfg, k, width,
+                                     allowed_loc=allowed_loc)
                 if r is not None:
                     r.insert(0, "qid", qid)
                     outs.append(r)
@@ -493,7 +494,8 @@ def search_batch(index, queries: list[dict], k: int = 10,
     ``doc_filter``: one SQL predicate applied to EVERY query of the set
     (same frozen semantics as ``search``: global stats, candidate
     restriction) — the filtered-eval workload. One pushed-down corpus
-    scan feeds a single shared per-shard mask; routing is exhaustive.
+    scan feeds a single shared per-shard mask; per-query WAND routing
+    still applies (masked WAND is rank-safe — engine/wand.py).
 
     A query dict may carry an optional ``"exclude"`` string (NOT terms,
     same contract as ``search(exclude=...)``): docs containing ANY
@@ -525,10 +527,10 @@ def search_batch(index, queries: list[dict], k: int = 10,
     buckets = sorted({lex[t]["bucket"] for t in scan_terms})
     # keep the "auto" / True distinction (plain `and` would collapse it)
     wand_mode = use_wand if any(m == "OR" for m in modes.values()) else False
-    if doc_filter is not None:
-        wand_mode = False  # filtered batches score exhaustively (masked)
     # (per-query NOT routing is handled inside the scorer: a query with
-    # excludes skips the WAND branch; others in the set still route)
+    # excludes skips the WAND branch; others in the set still route.
+    # Filtered batches route too — the per-shard WAND call carries the
+    # shared allowed mask, masked WAND being rank-safe.)
     cols = ["term", "shard", "df", "doc_ids", "tfs", "dls"] + (
         ["blocks", "max_tf"] if wand_mode else [])
     post = (index.postings()
@@ -551,7 +553,8 @@ def search_batch(index, queries: list[dict], k: int = 10,
             loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
                    - shard * width)
             r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
-                                   width, False, allowed_loc=loc, negs=negs)
+                                   width, wand_mode, allowed_loc=loc,
+                                   negs=negs)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")

@@ -188,19 +188,21 @@ def test_snippet_earliest_term_across_query(spark, tmp_path):
 
 def test_batch_filtered_matches_single_filtered(packed_index):
     """search_batch(doc_filter=...) == per-query search(doc_filter=...)
-    for every query of the set (same frozen filter contract)."""
+    for every query of the set and every routing (masked WAND in the
+    batch scorer included — use_wand=True forces it per shard)."""
     from engine import query as Q
     from engine.fixtures import QUERY_SET
-    out = Q.search_batch(packed_index, QUERY_SET, k=10,
-                         doc_filter=FILTER).collect()
-    by_q = {}
-    for r in out:
-        by_q.setdefault(r.qid, []).append((r.doc_id, round(r.score, 9)))
-    for q in QUERY_SET:
-        want = [(r["doc_id"], round(r["score"], 9)) for r in
-                Q.search(packed_index, q["query"], k=10, mode=q["mode"],
-                         doc_filter=FILTER).collect()]
-        assert by_q.get(q["id"], []) == want, q["id"]
+    for use_wand in (True, False, "auto"):
+        out = Q.search_batch(packed_index, QUERY_SET, k=10,
+                             use_wand=use_wand, doc_filter=FILTER).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.qid, []).append((r.doc_id, round(r.score, 9)))
+        for q in QUERY_SET:
+            want = [(r["doc_id"], round(r["score"], 9)) for r in
+                    Q.search(packed_index, q["query"], k=10, mode=q["mode"],
+                             doc_filter=FILTER).collect()]
+            assert by_q.get(q["id"], []) == want, (q["id"], use_wand)
 
 
 def test_cli_search_batch(spark, packed_index, tmp_path, capsys):
