@@ -55,13 +55,14 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
     if args.mode.upper() == "PHRASE":
-        if args.exclude or args.filter:
-            # refuse rather than silently drop the flags: phrase search
-            # has no exclude/doc_filter execution path (yet)
-            print("error: --exclude/--filter are not supported with "
-                  "--mode PHRASE", file=sys.stderr)
+        if args.exclude:
+            # refuse rather than silently drop the flag: phrase search
+            # has no exclude execution path (yet)
+            print("error: --exclude is not supported with --mode PHRASE",
+                  file=sys.stderr)
             return 2
-        top = Q.search_phrase(idx, args.query, k=args.k)
+        top = Q.search_phrase(idx, args.query, k=args.k,
+                              doc_filter=args.filter)
     else:
         top = Q.search(idx, args.query, k=args.k, mode=args.mode,
                        use_wand=False if args.no_wand else "auto",

@@ -577,7 +577,8 @@ def search_batch(index, queries: list[dict], k: int = 10,
             .orderBy("qid", F.desc("score"), F.asc("doc_id")))
 
 
-def search_phrase(index, phrase: str, k: int = 10) -> DataFrame:
+def search_phrase(index, phrase: str, k: int = 10,
+                  doc_filter: str | None = None) -> DataFrame:
     """Exact phrase query over a positions-enabled packed index
     (IndexConfig.index_positions=True) — beyond-spec extension (VERDICT r2
     'What's missing #4': the most common next ask of a search engine).
@@ -588,6 +589,11 @@ def search_phrase(index, phrase: str, k: int = 10) -> DataFrame:
     docs containing the phrase at least once, ordered by
     (n_phrase desc, doc_id asc), k rows — integer counts, so the DuckDB
     oracle twin compares exactly with no float tolerance.
+
+    ``doc_filter``: optional SQL predicate over the stored corpus (same
+    frozen semantics and cogrouped allowed-mask plan as ``search``):
+    candidates are restricted, surviving (doc, n_phrase) rows identical
+    to the unfiltered result.
 
     Plan shape is identical to ``search``: memoized lexicon lookup ->
     bucket/term-pruned postings scan (now also reading the ``poss``
@@ -617,7 +623,7 @@ def search_phrase(index, phrase: str, k: int = 10) -> DataFrame:
             .select("term", "shard", "df", "doc_ids", "tfs", "poss"))
     width = index.shard_width
 
-    def fn(key, pdf):
+    def _match(pdf, allowed_loc=None):
         import numpy as np
         import pandas as pd
         from . import codec as C
@@ -651,6 +657,13 @@ def search_phrase(index, phrase: str, k: int = 10) -> DataFrame:
                 return out_empty
         locs = (keys >> np.int64(32)).astype(np.int64)
         udocs, counts = np.unique(locs, return_counts=True)
+        if allowed_loc is not None:
+            allow = np.zeros(width, dtype=bool)
+            allow[np.asarray(allowed_loc, dtype=np.int64)] = True
+            keep = allow[udocs]
+            udocs, counts = udocs[keep], counts[keep]
+            if udocs.size == 0:
+                return out_empty
         # integer counts tie OFTEN at the k-boundary — the top-k selection
         # must apply the FULL (count desc, doc_id asc) order before
         # cutting, or boundary ties are kept arbitrarily (argpartition
@@ -660,8 +673,26 @@ def search_phrase(index, phrase: str, k: int = 10) -> DataFrame:
             {"doc_id": (udocs[srt] + start).astype(np.int64),
              "n_phrase": counts[srt].astype(np.int64)})
 
-    scored = (post.groupBy("shard")
-              .applyInPandas(fn, "doc_id long, n_phrase long"))
+    if doc_filter is not None:
+        allowed = _allowed_shards(index, doc_filter, width)
+
+        def fnf(key, pdf, allowed_pdf):
+            import numpy as np
+            import pandas as pd
+            if len(pdf) == 0 or len(allowed_pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "n_phrase": []})
+            shard = int(pdf["shard"].iloc[0])
+            loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
+                   - shard * width)
+            return _match(pdf, allowed_loc=loc)
+
+        scored = (post.groupBy("shard")
+                  .cogroup(allowed.groupBy("shard"))
+                  .applyInPandas(fnf, "doc_id long, n_phrase long"))
+    else:
+        scored = (post.groupBy("shard")
+                  .applyInPandas(lambda key, pdf: _match(pdf),
+                                 "doc_id long, n_phrase long"))
     return scored.orderBy(F.desc("n_phrase"), F.asc("doc_id")).limit(k)
 
 

@@ -152,3 +152,26 @@ def test_phrase_requires_positions_index(spark, tmp_path):
                       str(tmp_path / "np"))
     with pytest.raises(ValueError, match="positions"):
         Q.search_phrase(idx, "hot0 hot1")
+
+
+def test_phrase_doc_filter(spark, tmp_path):
+    """Filtered phrase search: the cogrouped allowed-mask restricts
+    candidates; surviving (doc, n_phrase) rows are identical to the
+    unfiltered result cut at k within the allowed set."""
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    pdf = make_transcripts(300)
+    idx = build_index(spark, spark_transcripts(spark, 300),
+                      str(tmp_path / "pf"),
+                      cfg=IndexConfig(index_positions=True))
+    allowed = set(np.flatnonzero((pdf["role"] == "user").to_numpy()))
+    for phrase in PHRASES:
+        full = _want_topk(list(pdf.text), phrase, k=len(pdf))
+        want = [(d, n) for d, n in full if d in allowed][:10]
+        got = [(r.doc_id, r.n_phrase) for r in
+               Q.search_phrase(idx, phrase, k=10,
+                               doc_filter="role = 'user'").collect()]
+        assert got == want, phrase
+    assert Q.search_phrase(idx, "hot0 hot1", k=10,
+                           doc_filter="role = 'no-such'").collect() == []
