@@ -415,6 +415,11 @@ class PackedIndex:
     shard_width: int
     n_buckets: int
     cfg: IndexConfig
+    # manifest.completed at load time: False while streaming increments
+    # are pending compaction — search() warns on a stale handle (VERDICT
+    # r3 #7: increments are invisible until compact(), and a silent stale
+    # read is worse than a warned one). refresh() reloads it.
+    completed: bool = True
 
     @property
     def postings_path(self) -> str:
@@ -494,16 +499,26 @@ class PackedIndex:
         only the caches would mix fresh idf with stale avgdl (silently
         wrong scores). ``compact()`` returns a brand-new handle — that
         stays the recommended pattern — but a long-lived handle can now
-        be revalidated explicitly (ADVICE r2 + r3 review)."""
+        be revalidated explicitly (ADVICE r2 + r3 review).
+
+        Raises if the manifest cannot be loaded (ADVICE r3: a partial
+        refresh — caches cleared, scalars stale — would mix fresh lexicon
+        reads with stale n_docs/avgdl, the exact drift this method
+        exists to prevent)."""
         from .manifest import Manifest
         man = Manifest.load(self.index_dir)
-        if man is not None:
-            self.n_docs = man.n_docs
-            self.avgdl = man.avgdl
-            self.shard_width = man.shard_width
-            self._corpus_offsets = man.corpus_offsets
-            self._corpus_mixed = any(
-                s.segment_id.startswith("inc_") for s in man.segments)
+        if man is None:
+            raise FileNotFoundError(
+                f"refresh(): no readable manifest at {self.index_dir} — "
+                f"refusing a partial refresh (stale scalars + cleared "
+                f"caches would silently mis-score)")
+        self.n_docs = man.n_docs
+        self.avgdl = man.avgdl
+        self.shard_width = man.shard_width
+        self.completed = bool(man.completed)
+        self._corpus_offsets = man.corpus_offsets
+        self._corpus_mixed = any(
+            s.segment_id.startswith("inc_") for s in man.segments)
         self._term_cache = {}
         self._post_df = None
         self._lex_df = None
@@ -527,4 +542,5 @@ def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
                       analyzer=acfg)
     return PackedIndex(spark=spark, index_dir=index_dir, n_docs=man.n_docs,
                        avgdl=man.avgdl, shard_width=man.shard_width,
-                       n_buckets=cfg.n_buckets, cfg=cfg)
+                       n_buckets=cfg.n_buckets, cfg=cfg,
+                       completed=bool(man.completed))

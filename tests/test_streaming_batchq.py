@@ -41,6 +41,77 @@ def test_incremental_equals_batch(spark, tmp_path):
         assert a == b, q["id"]
 
 
+def test_append_batch_releases_caches(spark, tmp_path):
+    """VERDICT r3 #1: append_batch must not leak one persisted dataset per
+    micro-batch (assign_doc_ids' internal range-sorted persist). After N
+    appends the JVM's persistent-RDD registry must be back to its
+    pre-append size — the 24/7 foreachBatch path cannot accumulate
+    batch-sized caches."""
+    from engine.streaming import append_batch, create_streaming_index
+    pdf = make_transcripts(120)
+    n = len(pdf)
+    full = spark_transcripts(spark, 120)
+    sdir = str(tmp_path / "leak")
+    create_streaming_index(spark, sdir, expected_docs=n)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        chunk = spark.createDataFrame(pdf.iloc[cuts[i]:cuts[i + 1]],
+                                      full.schema)
+        append_batch(spark, chunk, sdir)
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after == before, f"cache leak after append {i}: " \
+                                f"{after} persistent RDDs vs {before}"
+
+
+def test_search_warns_between_compacts(spark, tmp_path):
+    """VERDICT r3 #7: a search against an index with increments pending
+    compaction serves the stale corpus — it must WARN (explicit stale
+    read), and stop warning after compact()."""
+    import warnings
+    from engine import query as Q
+    from engine.build import load_index
+    from engine.streaming import append_batch, compact, create_streaming_index
+    pdf = make_transcripts(100)
+    n = len(pdf)
+    full = spark_transcripts(spark, 100)
+    sdir = str(tmp_path / "stale")
+    create_streaming_index(spark, sdir, expected_docs=n)
+    h = n // 2
+    append_batch(spark, spark.createDataFrame(pdf.iloc[:h], full.schema), sdir)
+    compact(spark, sdir)
+    # second append NOT yet compacted: the on-disk index is stale
+    append_batch(spark, spark.createDataFrame(pdf.iloc[h:], full.schema), sdir)
+    idx = load_index(spark, sdir)
+    assert idx.completed is False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Q.search(idx, "hot0", 5)
+        assert any("pending compaction" in str(x.message) for x in w)
+    idx2 = compact(spark, sdir)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Q.search(idx2, "hot0", 5).collect()
+        assert not any("pending compaction" in str(x.message) for x in w)
+    # refresh() revalidates the stale handle's completed flag too
+    idx.refresh()
+    assert idx.completed is True
+
+
+def test_refresh_requires_manifest(spark, tmp_path):
+    """ADVICE r3: refresh() must refuse a partial refresh (cleared caches
+    + stale scalars) when the manifest cannot be loaded."""
+    import pytest
+    from engine.build import build_index
+    idx = build_index(spark, spark_transcripts(spark, 60),
+                      str(tmp_path / "rfr"))
+    idx.refresh()  # manifest present: fine
+    import os
+    os.remove(os.path.join(idx.index_dir, "manifest.json"))
+    with pytest.raises(FileNotFoundError):
+        idx.refresh()
+
+
 def test_two_compact_cycles(spark, tmp_path):
     """append -> compact -> append -> compact must not re-merge already
     compacted increments (regression: double-counted postings)."""
