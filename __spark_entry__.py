@@ -204,6 +204,33 @@ def _ann_layout(spark: SparkSession, sf_dir: str, kind: str) -> str:
     return _ANN_LAYOUT_CACHE[key]
 
 
+# the mixed E9 gate set (batch_mixed): BM25 OR / AND / NOT + phrase +
+# phrase-NOT in ONE search_batch job over the positions index
+_BATCH_MIXED_SET = [
+    {"id": "m1", "query": "spark join fast", "mode": "OR"},
+    {"id": "m2", "query": "hash join merge", "mode": "AND"},
+    {"id": "m3", "query": "table hash", "mode": "PHRASE"},
+    {"id": "m4", "query": "spark join", "mode": "OR", "exclude": "hash"},
+    {"id": "m5", "query": "spark", "mode": "PHRASE", "exclude": "join"},
+]
+
+
+def _batch_mixed_sql(k: int = 10) -> str:
+    parts = []
+    for q in _BATCH_MIXED_SET:
+        terms = q["query"].split()
+        excl = q["exclude"].split() if q.get("exclude") else None
+        if q["mode"] == "PHRASE":
+            sub = _phrase_sql(terms, k, exclude=excl)
+            sel = (f"SELECT '{q['id']}' AS qid, doc_id, "
+                   f"round(n_phrase::DOUBLE, 6) AS score FROM ({sub})")
+        else:
+            sub = _bm25_sql(terms, q["mode"], k, exclude=excl)
+            sel = f"SELECT '{q['id']}' AS qid, doc_id, score FROM ({sub})"
+        parts.append(sel)
+    return "\nUNION ALL\n".join(parts)
+
+
 def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str,
                  exclude: str | None = None) -> DataFrame:
     from engine import query as Q
@@ -499,6 +526,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return snip.select("doc_id", F.round("score", 6).alias("score"),
                            "snippet")
 
+    def batch_mixed(spark, sf):
+        # E9 with PHRASE entries as full citizens (r4): one job runs
+        # BM25 OR/AND, BM25-NOT, phrase, and phrase-NOT entries over the
+        # SAME pruned scan of the positions index; phrase score column =
+        # n_phrase as double (exact). Each row set must equal its
+        # single-query twin — the oracle is the UNION ALL of the five
+        # per-query SQL twins.
+        from engine import query as Q
+        idx = _packed_index(spark, sf, positions=True)
+        out = Q.search_batch(idx, _BATCH_MIXED_SET, k=10)
+        return out.select("qid", "doc_id",
+                          F.round("score", 6).alias("score"))
+
     def bm25_incremental(spark, sf):
         # the streaming build pipeline (append_batch x2 -> compact) under
         # the same BM25 oracle as the batch-built index: post-compact, the
@@ -573,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": phrase_search,
         "bm25_filtered": bm25_filtered,
         "search_snippets": search_snippets,
+        "batch_mixed": batch_mixed,
     }
 
 
@@ -608,20 +649,30 @@ s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, ({recon})::BIGINT AS simhash FROM s"""
 
 
-def _phrase_sql(terms: list[str], k: int = 10) -> str:
+def _phrase_sql(terms: list[str], k: int = 10,
+                exclude: list[str] | None = None) -> str:
     """DuckDB twin of search_phrase: sliding-window adjacency count over
     the SAME analyzer token list (frozen post-analyzer adjacency
-    contract); integer counts -> exact compare."""
+    contract); integer counts -> exact compare. ``exclude``: NOT twin
+    (drop docs containing any excluded term; positive-wins — a phrase
+    term never excludes)."""
     L = len(terms)
     conds = " AND ".join(
         f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms))
+    not_clause = ""
+    if exclude:
+        negs = ", ".join(f"'{t}'" for t in sorted(set(exclude) - set(terms)))
+        if negs:
+            not_clause = (f" AND doc_id NOT IN (SELECT doc_id FROM "
+                          f"(SELECT doc_id, unnest({_TOK_SQL}) AS term "
+                          f"FROM documents) WHERE term IN ({negs}))")
     return f"""
 WITH t AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
 m AS (SELECT doc_id,
         len(list_filter(generate_series(1, greatest(len(toks) - {L - 1}, 0)),
             i -> {conds}))::BIGINT AS n_phrase
       FROM t)
-SELECT doc_id, n_phrase FROM m WHERE n_phrase > 0
+SELECT doc_id, n_phrase FROM m WHERE n_phrase > 0{not_clause}
 ORDER BY n_phrase DESC, doc_id ASC LIMIT {k}"""
 
 
@@ -918,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered": _bm25_sql(["spark", "join", "fast"], "OR",
                                    where="lang = 'en'"),
         "search_snippets": _snippet_sql(["spark", "join", "fast"], 10, 3),
+        "batch_mixed": _batch_mixed_sql(10),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(min(value), 6) AS min_value,

@@ -55,14 +55,8 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
     if args.mode.upper() == "PHRASE":
-        if args.exclude:
-            # refuse rather than silently drop the flag: phrase search
-            # has no exclude execution path (yet)
-            print("error: --exclude is not supported with --mode PHRASE",
-                  file=sys.stderr)
-            return 2
         top = Q.search_phrase(idx, args.query, k=args.k,
-                              doc_filter=args.filter)
+                              doc_filter=args.filter, exclude=args.exclude)
     else:
         top = Q.search(idx, args.query, k=args.k, mode=args.mode,
                        use_wand=False if args.no_wand else "auto",
@@ -134,7 +128,9 @@ def main(argv=None) -> int:
                         help="whole query set in ONE Spark job (E9)")
     sb.add_argument("--index-dir", required=True)
     sb.add_argument("--queries-file", required=True,
-                    help="JSON list of {id, query, mode[, exclude]}")
+                    help="JSON list of {id, query, mode[, exclude]}; "
+                         "mode OR|AND|PHRASE (PHRASE needs a positions "
+                         "index; its score column is the phrase count)")
     sb.add_argument("--k", type=int, default=10)
     sb.add_argument("--filter", default=None,
                     help="doc_filter SQL predicate applied to every query")

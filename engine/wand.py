@@ -61,26 +61,29 @@ def _decode_block(doc_payload, tf_payload, dl_payload, blocks, j):
 
 def score_shard_wand(post_pdf: pd.DataFrame,
                      qtfs: dict, idfs: dict, cfg: dict, k: int, width: int,
-                     allowed_loc=None):
+                     allowed_loc=None, allow_mask=None):
     """``qtfs``: term -> query-term frequency; ``idfs``: term -> idf
     (collected once driver-side, inlined via the task closure — the
     scoring job is the pruned postings scan alone).
 
     ``allowed_loc``: optional shard-local positions of docs passing a
-    doc_filter (masked WAND). Rank-safe with UNCHANGED block bounds:
-    bounds are maxima over block supersets, so they stay valid upper
-    bounds for the allowed subset; θ is seeded from allowed-only seed
-    contributions (a lower bound on the k-th ALLOWED score), and the
-    candidate set is intersected with the mask before exact scoring —
-    a selective filter therefore SHRINKS phase-3 work instead of
-    forcing the exhaustive scorer."""
+    doc_filter (masked WAND). ``allow_mask``: the same restriction as a
+    PREBUILT width-sized boolean mask (ADVICE r3: the batch scorer
+    builds it once per shard task and shares it across every
+    WAND-routed query of the set instead of re-allocating per query).
+    Rank-safe with UNCHANGED block bounds: bounds are maxima over block
+    supersets, so they stay valid upper bounds for the allowed subset;
+    θ is seeded from allowed-only seed contributions (a lower bound on
+    the k-th ALLOWED score), and the candidate set is intersected with
+    the mask before exact scoring — a selective filter therefore
+    SHRINKS phase-3 work instead of forcing the exhaustive scorer."""
     if len(post_pdf) == 0:
         return None
     k1, b, avgdl = cfg["k1"], cfg["b"], cfg["avgdl"]
     shard = int(post_pdf["shard"].iloc[0])
     start = shard * width
-    allow = None
-    if allowed_loc is not None:
+    allow = allow_mask
+    if allow is None and allowed_loc is not None:
         allow = np.zeros(width, dtype=bool)
         allow[np.asarray(allowed_loc, dtype=np.int64)] = True
 

@@ -201,3 +201,117 @@ def test_phrase_materialize_text_and_snippets(spark, tmp_path):
     snips = Q.materialize_snippets(idx, top, "hot0 hot1", window=2).collect()
     assert [(r.doc_id, r.n_phrase) for r in snips] == want
     assert all(s["snippet"] for s in snips)
+
+
+def _want_topk_excl(texts, phrase, exclude, k=10, acfg=None):
+    from engine.config import DEFAULT_ANALYZER
+    acfg = acfg or DEFAULT_ANALYZER
+    seq = tokenize_py(phrase, acfg)
+    neg = set(tokenize_py(exclude, acfg)) - set(seq)
+    c = _py_phrase_counts(texts, phrase, acfg)
+    c = {d: n for d, n in c.items()
+         if not (neg & set(tokenize_py(texts[d], acfg)))}
+    return sorted(((d, n) for d, n in c.items()),
+                  key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_phrase_exclude(spark, tmp_path):
+    """Phrase NOT (VERDICT r3 next #5): docs containing ANY excluded term
+    are dropped (same contract as search(exclude=...), positive-wins
+    included)."""
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    pdf = make_transcripts(300)
+    texts = list(pdf.text)
+    idx = build_index(spark, spark_transcripts(spark, 300),
+                      str(tmp_path / "pex"),
+                      cfg=IndexConfig(index_positions=True))
+    for phrase, excl in [("hot0 hot1", "w005"), ("hot0", "hot1 w003"),
+                         ("hot0 w001", "rare3")]:
+        want = _want_topk_excl(texts, phrase, excl)
+        got = [(r.doc_id, r.n_phrase) for r in
+               Q.search_phrase(idx, phrase, k=10, exclude=excl).collect()]
+        assert got == want, (phrase, excl)
+    # positive-wins: excluding a phrase term excludes nothing
+    want = _want_topk(texts, "hot0 hot1")
+    got = [(r.doc_id, r.n_phrase) for r in
+           Q.search_phrase(idx, "hot0 hot1", k=10,
+                           exclude="hot0").collect()]
+    assert got == want
+    # unknown excluded term excludes nothing
+    got = [(r.doc_id, r.n_phrase) for r in
+           Q.search_phrase(idx, "hot0 hot1", k=10,
+                           exclude="ghost0").collect()]
+    assert got == want
+
+
+def test_phrase_in_search_batch(spark, tmp_path):
+    """Mixed BM25 + PHRASE query set in ONE job (VERDICT r3 next #5):
+    each phrase entry's (doc_id, score=n_phrase) rows must equal the
+    single-query search_phrase result; BM25 entries must equal single
+    search; excludes compose; doc_filter applies to the whole set."""
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    import pytest
+    pdf = make_transcripts(300)
+    idx = build_index(spark, spark_transcripts(spark, 300),
+                      str(tmp_path / "pbt"),
+                      cfg=IndexConfig(index_positions=True))
+    qset = [
+        {"id": "b1", "query": "hot0 rare3", "mode": "OR"},
+        {"id": "p1", "query": "hot0 hot1", "mode": "PHRASE"},
+        {"id": "b2", "query": "hot0 hot1", "mode": "AND"},
+        {"id": "p2", "query": "w001 w002", "mode": "PHRASE",
+         "exclude": "w005"},
+        {"id": "p3", "query": "ghost0 hot0", "mode": "PHRASE"},
+        {"id": "b3", "query": "w010", "mode": "OR", "exclude": "w003"},
+    ]
+    for doc_filter in (None, "role = 'user'"):
+        got = {}
+        rows = Q.search_batch(idx, qset, k=10,
+                              doc_filter=doc_filter).collect()
+        for r in rows:
+            got.setdefault(r.qid, []).append((r.doc_id, round(r.score, 9)))
+        for q in qset:
+            if q["mode"] == "PHRASE":
+                single = Q.search_phrase(
+                    idx, q["query"], k=10, doc_filter=doc_filter,
+                    exclude=q.get("exclude")).collect()
+                want = [(r.doc_id, float(r.n_phrase)) for r in single]
+            else:
+                single = Q.search(
+                    idx, q["query"], k=10, mode=q["mode"],
+                    doc_filter=doc_filter,
+                    exclude=q.get("exclude")).collect()
+                want = [(r.doc_id, round(r.score, 9)) for r in single]
+            assert got.get(q["id"], []) == want, (q["id"], doc_filter)
+    # a phrase entry against a positions-less index must refuse loudly
+    nidx = build_index(spark, spark_transcripts(spark, 60),
+                       str(tmp_path / "nopos"))
+    with pytest.raises(ValueError, match="positions"):
+        Q.search_batch(nidx, [{"id": "p", "query": "hot0 hot1",
+                               "mode": "PHRASE"}])
+
+
+def test_cli_phrase_exclude_and_text(tmp_path):
+    """CLI: --mode PHRASE now composes with --exclude and --text
+    (ADVICE r3 medium: these crashed or were refused)."""
+    import json
+    import subprocess
+    import sys
+    d = str(tmp_path / "cli_idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "engine", "build", "--input", "synthetic",
+         "--convs", "120", "--index-dir", d, "--positions"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "engine", "search", "--index-dir", d,
+         "--query", "hot0 hot1", "--mode", "PHRASE",
+         "--exclude", "w005", "--text"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    assert out and all("text" in o and "n_phrase" in o for o in out)
