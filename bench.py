@@ -65,16 +65,19 @@ def _delta_vs_prev_round(queries: dict) -> dict:
     prevs = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")),
                    key=lambda p: int(re.search(r"r(\d+)",
                                                os.path.basename(p)).group(1)))
-    if not prevs:
-        return {}
-    try:
-        with open(prevs[-1]) as f:
-            prev = json.load(f).get("parsed", {}).get("queries", {})
-    except Exception:
-        return {}
-    delta = {k: round(v - prev[k], 4) for k, v in queries.items()
-             if k in prev and isinstance(prev[k], (int, float))}
-    return {"delta_vs": os.path.basename(prevs[-1]), "delta": delta}
+    # newest round whose artifact actually parsed (r3's was truncated ->
+    # "parsed": null; fall back past it rather than reporting no delta)
+    for p in reversed(prevs):
+        try:
+            with open(p) as f:
+                prev = (json.load(f).get("parsed") or {}).get("queries")
+        except Exception:
+            continue
+        if prev:
+            delta = {k: round(v - prev[k], 4) for k, v in queries.items()
+                     if k in prev and isinstance(prev[k], (int, float))}
+            return {"delta_vs": os.path.basename(p), "delta": delta}
+    return {}
 
 
 def main():
@@ -173,6 +176,67 @@ def main():
                 pidx, "w001 w002 w003", k=10).collect())
             queries["phrase_3term"] = round(dt, 4)
 
+        # r4: Block-Max WAND at its design geometry (VERDICT r3 next #4):
+        # ONE big scoring shard (n_slices=1), fine 32-posting blocks, and
+        # the WAND-regime corpus (fixtures.make_wand_corpus — selective
+        # seed term + concentrated high-impact docs). The SAME query runs
+        # auto-routed (WAND — wand_routes() asserted) and forced
+        # exhaustive, rank identity asserted; *_kernel_ms isolate the
+        # per-task scorer cost on the exact shard payload — the number
+        # that matters at cluster scale, where the pruned scan
+        # parallelizes across executors but the scorer kernel is the
+        # per-shard-task critical path. Rows excluded from the headline
+        # total (new workload).
+        if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
+            from pyspark.sql import functions as _F
+            from engine.config import IndexConfig as _ICW
+            from engine.fixtures import spark_wand_corpus, wand_query
+            from engine.query import _score_shard_exhaustive, wand_routes
+            from engine.wand import score_shard_wand
+            n_w = int(os.environ.get("SPARK_GRAFT_WAND_DOCS", "650000"))
+            wcorp = spark_wand_corpus(spark, n_w,
+                                      n_parts=max(8, int(cpus))).persist()
+            wcorp.count()
+            t_wb, widx = tdur(build_index, spark, wcorp, f"{work}/wand",
+                              _ICW(n_slices=1, block_size=32))
+            wcorp.unpersist()
+            queries["wand_corpus_build"] = round(t_wb, 4)
+            wq = wand_query()
+            assert wand_routes(widx, wq), "cost gate must route WAND here"
+            Q.search(widx, wq, k=10).collect()  # warm
+            t_w, r_w = tbest(lambda: Q.search(
+                widx, wq, 10, "OR", use_wand="auto").collect())
+            t_e, r_e = tbest(lambda: Q.search(
+                widx, wq, 10, "OR", use_wand=False).collect())
+            assert ([(r.doc_id, round(r.score, 9)) for r in r_w]
+                    == [(r.doc_id, round(r.score, 9)) for r in r_e]), \
+                "WAND/exhaustive rank identity"
+            queries["wand_big_shard"] = round(t_w, 4)
+            queries["exhaustive_big_shard"] = round(t_e, 4)
+            queries["wand_speedup"] = round(t_e / t_w, 3)
+            # kernel isolation: the exact (term, shard) payload a scorer
+            # task receives, scored in-process (no scan/job overhead)
+            wqt = Q.query_terms(wq)
+            wlex = widx.lookup_terms(sorted(wqt))
+            wqtfs = {t: float(n) for t, n in wqt.items()}
+            widfs = {t: float(wlex[t]["idf"]) for t in wlex}
+            wbuckets = sorted({wlex[t]["bucket"] for t in wlex})
+            wpost = (widx.postings()
+                     .filter(_F.col("bucket").isin(wbuckets)
+                             & _F.col("term").isin(sorted(wqt)))
+                     .select("term", "shard", "df", "doc_ids", "tfs",
+                             "dls", "blocks", "max_tf").toPandas())
+            wcfg = {"k1": widx.cfg.bm25.k1, "b": widx.cfg.bm25.b,
+                    "avgdl": widx.avgdl}
+            t_kw, _ = tbest(lambda: score_shard_wand(
+                wpost, wqtfs, widfs, wcfg, 10, widx.shard_width), 3)
+            t_ke, _ = tbest(lambda: _score_shard_exhaustive(
+                wpost, wqtfs, widfs, wcfg, 10, "OR", widx.shard_width,
+                len(wqt)), 3)
+            queries["wand_kernel_ms"] = round(t_kw * 1000, 2)
+            queries["exhaustive_kernel_ms"] = round(t_ke * 1000, 2)
+            queries["wand_kernel_speedup"] = round(t_ke / t_kw, 2)
+
         # r3 features: filtered search (doc_filter cogroup path — masks
         # via the allowed-doc shuffle) and snippet materialization; warm
         # timing, excluded from the headline total like the phrase rows
@@ -224,7 +288,11 @@ def main():
                                  "batch_query_set_cold",
                                  "positions_index_build",
                                  "phrase_2term", "phrase_3term",
-                                 "search_filtered", "search_snippets"))
+                                 "search_filtered", "search_snippets",
+                                 "wand_corpus_build", "wand_big_shard",
+                                 "exhaustive_big_shard", "wand_speedup",
+                                 "wand_kernel_ms", "exhaustive_kernel_ms",
+                                 "wand_kernel_speedup"))
         out = {
             "metric": "engine_bench_total",
             "value": round(total, 4),
@@ -238,9 +306,24 @@ def main():
             out["merge_stage_walls"] = merge_walls  # per-pass D5 evidence
         except NameError:
             pass  # scaling runs skip the merged build
+        # artifact robustness (VERDICT r3 #3: BENCH_r03's stdout line
+        # outgrew the driver's capture and parsed as null): the FULL
+        # result object — including the round-over-round delta block —
+        # is written to BENCH/last_run.json, and stdout carries the
+        # compact object without the delta so the one-line contract
+        # stays well under any capture limit.
+        full = dict(out)
         delta = _delta_vs_prev_round(queries)
         if delta:
-            out.update(delta)
+            full.update(delta)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        try:
+            os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+            with open(os.path.join(repo, "BENCH", "last_run.json"),
+                      "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError:
+            pass  # read-only checkout: stdout still carries the result
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)

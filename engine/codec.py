@@ -139,21 +139,62 @@ def decode_postings_many(doc_payloads, tf_payloads, counts: np.ndarray):
     return doc_ids, tfs.astype(np.int64), bounds
 
 
-def block_meta(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int) -> list[dict]:
-    """Per-block skip metadata: (last_doc_id, max_tf, off, n)."""
+def topk_tiebreak(ids: np.ndarray, scores: np.ndarray, k: int):
+    """Top-k under the frozen TOTAL order (score desc, id asc) — tie-SAFE
+    at the k boundary (r4 fix, shared by every scorer).
+
+    ``argpartition(-scores, k-1)[:k]`` alone keeps an ARBITRARY subset of
+    docs whose score ties the k-th value — float scores tie for real
+    (uniform-length corpora, integer-ish tf patterns), and the pure-Python
+    oracle breaks ties on doc id. This selects by score first (cheap
+    partition), widens to ALL ids tying the boundary score, then applies
+    the full lexicographic order before cutting. Cost stays
+    O(n + (k + ties) log(k + ties)).
+    """
+    if ids.size <= k:
+        srt = np.lexsort((ids, -scores))
+        return ids[srt], scores[srt]
+    part = np.argpartition(-scores, k - 1)
+    kth = scores[part[k - 1]]
+    keep = np.flatnonzero(scores >= kth)
+    srt = np.lexsort((ids[keep], -scores[keep]))[:k]
+    keep = keep[srt]
+    return ids[keep], scores[keep]
+
+
+# Block skip-metadata record (r4: serialized as ONE binary column — a
+# packed little-endian numpy structured array — instead of a parquet
+# array<struct>; the struct form materialized one Python dict per block
+# in every Arrow->pandas scorer task, which dominated WAND's runtime the
+# moment block counts grew. np.frombuffer on the binary form is free.)
+BLOCK_DTYPE = np.dtype([
+    ("last_doc_id", "<i8"), ("max_tf", "<i4"), ("min_dl", "<i4"),
+    ("off", "<i4"), ("n", "<i4"),
+    ("dbyte", "<i4"), ("tbyte", "<i4"), ("lbyte", "<i4")])
+
+
+def decode_blocks(buf: bytes) -> np.ndarray:
+    """Zero-copy view of a packed block-metadata payload."""
+    return np.frombuffer(buf, dtype=BLOCK_DTYPE)
+
+
+def block_meta(doc_ids: np.ndarray, tfs: np.ndarray,
+               block_size: int) -> np.ndarray:
+    """Per-block skip metadata as a BLOCK_DTYPE structured array
+    (standalone/unit form; byte offsets zero — use pack_lists for the
+    full stream layout)."""
     n = int(doc_ids.size)
+    out = np.zeros(-(-n // block_size) if n else 0, dtype=BLOCK_DTYPE)
     if n == 0:
-        return []
+        return out
     offs = np.arange(0, n, block_size, dtype=np.int64)
     ends = np.minimum(offs + block_size, n)
-    last = doc_ids[ends - 1]
-    # segmented max of tfs per block (vectorized)
-    maxtf = np.maximum.reduceat(np.ascontiguousarray(tfs, dtype=np.int64), offs)
-    return [
-        {"last_doc_id": int(last[i]), "max_tf": int(maxtf[i]),
-         "off": int(offs[i]), "n": int(ends[i] - offs[i])}
-        for i in range(offs.size)
-    ]
+    out["last_doc_id"] = doc_ids[ends - 1]
+    out["max_tf"] = np.maximum.reduceat(
+        np.ascontiguousarray(tfs, dtype=np.int64), offs)
+    out["off"] = offs
+    out["n"] = ends - offs
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -239,7 +280,7 @@ def pack_lists(term_starts: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
     tf_payloads = [tbytes[tcum[term_starts[g]]:tcum[term_starts[g + 1]]] for g in range(G)]
     dl_payloads = [lbytes[lcum[term_starts[g]]:lcum[term_starts[g + 1]]] for g in range(G)]
     blocks = _block_meta_many(term_starts, d, tfs, dcum, tcum, block_size,
-                              lcum=lcum)
+                              lcum=lcum, dls=dls)
     return doc_payloads, tf_payloads, dl_payloads, blocks
 
 
@@ -304,29 +345,39 @@ def decode_positions(pos_bytes: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.
 
 
 def _block_meta_many(term_starts, doc_ids, tfs, dcum, tcum, block_size,
-                     lcum=None):
+                     lcum=None, dls=None):
     """Per-term block metadata with byte offsets, vectorized across all
-    terms: one global pass builds every block's boundaries."""
+    terms; one packed BLOCK_DTYPE payload (bytes) per term.
+
+    ``min_dl`` (r4): the block's minimum document length. BM25 is
+    monotone increasing in tf and decreasing in dl, so
+    ``ub(max_tf, min_dl)`` is a valid per-block score upper bound that is
+    MUCH tighter than the classic dl->0 bound (``min_dl=0`` encodes
+    exactly that legacy bound, so absent dls degrade gracefully) —
+    tight bounds are what lets Block-Max WAND prune non-seed terms'
+    blocks at all (see engine/wand.py)."""
     tfs64 = np.ascontiguousarray(tfs, dtype=np.int64)
-    out: list[list[dict]] = []
+    dls64 = (np.ascontiguousarray(dls, dtype=np.int64)
+             if dls is not None else None)
+    out: list[bytes] = []
     for g in range(term_starts.size - 1):
         s, e = int(term_starts[g]), int(term_starts[g + 1])
         n = e - s
         if n == 0:
-            out.append([])
+            out.append(b"")
             continue
         offs = np.arange(0, n, block_size, dtype=np.int64)
         ends = np.minimum(offs + block_size, n)
-        maxtf = np.maximum.reduceat(tfs64[s:e], offs)
-        base_d, base_t = dcum[s], tcum[s]
-        base_l = lcum[s] if lcum is not None else 0
-        out.append([
-            {"last_doc_id": int(doc_ids[s + ends[i] - 1]),
-             "max_tf": int(maxtf[i]),
-             "off": int(offs[i]), "n": int(ends[i] - offs[i]),
-             "dbyte": int(dcum[s + offs[i]] - base_d),
-             "tbyte": int(tcum[s + offs[i]] - base_t),
-             "lbyte": int(lcum[s + offs[i]] - base_l) if lcum is not None else 0}
-            for i in range(offs.size)
-        ])
+        arr = np.zeros(offs.size, dtype=BLOCK_DTYPE)
+        arr["last_doc_id"] = doc_ids[s + ends - 1]
+        arr["max_tf"] = np.maximum.reduceat(tfs64[s:e], offs)
+        if dls64 is not None:
+            arr["min_dl"] = np.minimum.reduceat(dls64[s:e], offs)
+        arr["off"] = offs
+        arr["n"] = ends - offs
+        arr["dbyte"] = dcum[s + offs] - dcum[s]
+        arr["tbyte"] = tcum[s + offs] - tcum[s]
+        if lcum is not None:
+            arr["lbyte"] = lcum[s + offs] - lcum[s]
+        out.append(arr.tobytes())
     return out

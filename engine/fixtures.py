@@ -108,6 +108,96 @@ def spark_transcripts(spark, n_convs: int = 200, seed: int = SEED,
     return df.repartition(n_parts) if n_parts else df
 
 
+def make_wand_corpus(n_docs: int = 650_000, seed: int = SEED,
+                     n_hot: int = 6, n_gold: int = 32,
+                     seed_df: int = 5000) -> pd.DataFrame:
+    """Deterministic WAND-regime corpus (BENCH protocol, r4).
+
+    The transcript fixtures' flat Zipf tf distribution is hostile to
+    block-max pruning (every block's bound is ~the global bound), which
+    is why the r1-r3 cost gate correctly routed everything exhaustive.
+    This corpus is the regime Block-Max WAND exists for — a large shard
+    where the top-k is decided by a few high-impact docs:
+
+    * every doc is EXACTLY 64 tokens (uniform dl -> per-block
+      (max_tf, min_dl) bounds are EXACT for the block's best posting);
+    * hot terms ``h0..h{n_hot-1}``: df ~ (0.40..0.70) * n, tf = 1
+      everywhere except gold docs;
+    * seed term ``wq0``: df = seed_df + n_gold, tf = 1 except gold docs
+      (the selective list WAND seeds θ from);
+    * ``n_gold`` scattered gold docs contain wq0 x4 and every hot term
+      x8 (plus filler to 64) — the true top-k, concentrated impact;
+    * filler vocab ``f000..f399`` pads every doc to 64 tokens.
+
+    Query ``wq0 h0 .. h5``: posting mass ~2.2M/shard at the default
+    size, seed list ~5k -> the driver-side cost gate routes WAND, and
+    with θ refinement + min_dl bounds phases 3-4 decode only the
+    gold-bearing blocks instead of the full 2.2M postings.
+    """
+    rng = np.random.default_rng(seed)
+    filler = np.array([f"f{i:03d}" for i in range(400)], dtype=object)
+    hot = [f"h{i}" for i in range(n_hot)]
+    # hot-term membership: independent per (doc, term), tf=1
+    fracs = np.linspace(0.40, 0.70, n_hot)
+    member = rng.random((n_docs, n_hot)) < fracs[None, :]
+    # seed-term docs (tf=1) and gold docs, disjoint, deterministic
+    gold = (np.arange(n_gold, dtype=np.int64) * 9973 + 137) % n_docs
+    gold = np.unique(gold)
+    non_gold = np.setdiff1d(np.arange(n_docs, dtype=np.int64), gold)
+    seed_docs = rng.choice(non_gold, size=seed_df, replace=False)
+    member[gold] = False  # gold rows are constructed explicitly below
+    in_seed = np.zeros(n_docs, dtype=bool)
+    in_seed[seed_docs] = True
+    # token counts: query-term tokens per doc, filler pads to 64
+    n_q = member.sum(axis=1) + in_seed.astype(np.int64)
+    n_fill = 64 - n_q
+    flat_fill = filler[rng.integers(0, filler.size, size=int(n_fill.sum()))]
+    fill_series = pd.Series(flat_fill).groupby(
+        np.repeat(np.arange(n_docs), n_fill)).agg(" ".join)
+    texts = fill_series.reindex(np.arange(n_docs)).fillna("").to_numpy(object)
+    hot_arr = np.array(hot, dtype=object)
+    for t in range(n_hot):
+        rows = np.flatnonzero(member[:, t])
+        texts[rows] = np.char.add(texts[rows].astype(str), f" {hot[t]}")
+    texts[seed_docs] = np.char.add(texts[seed_docs].astype(str), " wq0")
+    gold_text = ("wq0 " * 4 + " ".join(
+        h for h in hot_arr for _ in range(8))
+        + " " + " ".join(filler[:64 - 4 - 8 * n_hot]))
+    texts[gold] = gold_text
+    conv_id = np.char.add("conv-", np.char.zfill(
+        np.arange(n_docs).astype(str), 10))
+    return pd.DataFrame({
+        "conv_id": conv_id.astype(object),
+        "turn_idx": np.zeros(n_docs, dtype=np.int32),
+        "role": np.where(np.arange(n_docs) % 2 == 0, "user",
+                         "assistant").astype(object),
+        "text": [str(t) for t in texts],
+        "tool": [""] * n_docs,
+        "ts": (np.datetime64("2026-01-01T00:00:00")
+               + np.arange(n_docs, dtype="timedelta64[s]")),
+    })
+
+
+def wand_query(n_hot: int = 6) -> str:
+    return "wq0 " + " ".join(f"h{i}" for i in range(n_hot))
+
+
+def spark_wand_corpus(spark, n_docs: int = 650_000, seed: int = SEED,
+                      n_parts: int | None = None, **kw):
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ])
+    pdf = make_wand_corpus(n_docs, seed, **kw)
+    df = spark.createDataFrame(pdf, schema=schema)
+    return df.repartition(n_parts) if n_parts else df
+
+
 # Frozen query set (FIXTURES.md §3): 20 queries, k=10.
 QUERY_SET: list[dict] = [
     {"id": "q01", "query": "hot0", "mode": "OR"},

@@ -33,15 +33,15 @@ from pyspark.sql import types as T
 from . import codec
 from .config import DEFAULT, IndexConfig
 
-BLOCK_T = T.ArrayType(T.StructType([
-    T.StructField("last_doc_id", T.LongType(), False),
-    T.StructField("max_tf", T.IntegerType(), False),
-    T.StructField("off", T.IntegerType(), False),
-    T.StructField("n", T.IntegerType(), False),
-    T.StructField("dbyte", T.IntegerType(), False),
-    T.StructField("tbyte", T.IntegerType(), False),
-    T.StructField("lbyte", T.IntegerType(), False),
-]))
+# Block skip metadata rides as ONE binary column: a packed
+# codec.BLOCK_DTYPE structured array per (term, shard) row —
+# (last_doc_id, max_tf, min_dl, off, n, dbyte, tbyte, lbyte) records.
+# r4: the earlier parquet array<struct> form cost one Python dict per
+# block in every Arrow->pandas scorer task; np.frombuffer on the binary
+# form is free (codec.decode_blocks). min_dl makes the per-block bound
+# ub(max_tf, min_dl) tight (BM25 monotone in tf up, dl down); 0 encodes
+# the legacy dl->0 bound (engine/wand.py).
+BLOCK_T = T.BinaryType()
 
 PACKED_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
@@ -61,10 +61,7 @@ PACKED_SCHEMA = T.StructType([
     T.StructField("poss", T.BinaryType(), False),
 ])
 
-_ARROW_BLOCKS = pa.list_(pa.struct([
-    ("last_doc_id", pa.int64()), ("max_tf", pa.int32()),
-    ("off", pa.int32()), ("n", pa.int32()),
-    ("dbyte", pa.int32()), ("tbyte", pa.int32()), ("lbyte", pa.int32())]))
+_ARROW_BLOCKS = pa.binary()  # packed codec.BLOCK_DTYPE records
 
 
 def shard_width(n_docs: int, n_slices: int) -> int:

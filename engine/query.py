@@ -196,14 +196,13 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
         hit = np.flatnonzero(cnt > 0)
     if hit.size == 0:
         return None
-    scores = acc[hit]
-    if hit.size > k:
-        part = np.argpartition(-scores, k - 1)[:k]
-        hit, scores = hit[part], scores[part]
-    srt = np.lexsort((hit, -scores))  # score desc, doc_id asc
+    # tie-SAFE per-shard top-k (r4): argpartition alone kept an arbitrary
+    # subset of k-boundary score ties — codec.topk_tiebreak widens to the
+    # tying ids and applies the frozen (score desc, doc_id asc) order
+    hit, scores = C.topk_tiebreak(hit, acc[hit], k)
     import pandas as pd
-    return pd.DataFrame({"doc_id": (hit[srt] + start).astype(np.int64),
-                         "score": scores[srt]})
+    return pd.DataFrame({"doc_id": (hit + start).astype(np.int64),
+                         "score": scores})
 
 
 def _allowed_shards(index, doc_filter: str, width: int) -> DataFrame:
@@ -383,6 +382,22 @@ WAND_MIN_SHARD_POSTINGS = 1 << 18  # min posting mass per scorer task
 WAND_SEED_FRAC = 8                 # rarest list must be < mass / this
 
 
+def wand_routes(index, query: str) -> bool:
+    """Replicates search()'s auto cost gate for a query WITHOUT running
+    it (bench/diagnostics: proves a measured row actually took the WAND
+    path rather than silently degrading to exhaustive)."""
+    qtf = query_terms(query, index.cfg.analyzer)
+    lex = index.lookup_terms(sorted(qtf))
+    known = [t for t in qtf if t in lex]
+    if len(known) < 2:
+        return False
+    mass = sum(int(lex[t]["df"]) for t in known)
+    seed_df = min(int(lex[t]["df"]) for t in known)
+    n_shards = max(1, -(-index.n_docs // index.shard_width))
+    return (mass // n_shards >= WAND_MIN_SHARD_POSTINGS
+            and seed_df * WAND_SEED_FRAC < mass)
+
+
 def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        cfg: dict, k: int, width: int, use_wand: bool,
                        allowed_loc=None, negs: dict | None = None,
@@ -508,13 +523,9 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             ex = np.unique(np.concatenate([decoded[t][0] for t in q_negs]))
             hit = hit[~np.isin(hit, ex, assume_unique=True)]
         if hit.size:
-            scores = acc[hit]
-            if hit.size > k:
-                part = np.argpartition(-scores, k - 1)[:k]
-                hit, scores = hit[part], scores[part]
-            srt = np.lexsort((hit, -scores))
-            r = pd.DataFrame({"doc_id": (hit[srt] + start).astype(np.int64),
-                              "score": scores[srt]})
+            hit_k, scores = C.topk_tiebreak(hit, acc[hit], k)
+            r = pd.DataFrame({"doc_id": (hit_k + start).astype(np.int64),
+                              "score": scores})
             r.insert(0, "qid", qid)
             outs.append(r)
         acc[touched] = 0.0       # reset ONLY touched positions

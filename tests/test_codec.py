@@ -74,4 +74,4 @@ def test_empty_postings():
     db, tb = codec.encode_postings(np.empty(0, np.int64), np.empty(0, np.int64))
     d, t = codec.decode_postings(db, tb)
     assert d.size == 0 and t.size == 0
-    assert codec.block_meta(d, t, 128) == []
+    assert codec.block_meta(d, t, 128).size == 0

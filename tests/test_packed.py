@@ -54,11 +54,18 @@ def test_index_invariants(spark, packed_index, oracle_idx):
         ids, tfs = codec.decode_postings(bytes(r["doc_ids"]), bytes(r["tfs"]))
         assert ids.size == r["df"]
         assert (np.diff(ids) > 0).all(), r["term"]
-        assert sum(b["n"] for b in r["blocks"]) == r["df"]
-        lasts = [b["last_doc_id"] for b in r["blocks"]]
+        blocks = codec.decode_blocks(bytes(r["blocks"]))
+        assert int(blocks["n"].sum()) == r["df"]
+        lasts = blocks["last_doc_id"].tolist()
         assert lasts == sorted(lasts)
         assert lasts[-1] == ids[-1]
         assert int(tfs.max()) == r["max_tf"]
+        # r4: per-block min_dl is a true lower bound of the block's dls
+        dls = codec.vbyte_decode(bytes(r["dls"])).astype(np.int64)
+        for b in blocks:
+            seg = dls[b["off"]:b["off"] + b["n"]]
+            assert int(seg.min()) == b["min_dl"]
+            assert int(tfs[b["off"]:b["off"] + b["n"]].max()) == b["max_tf"]
         seen.setdefault(r["term"], []).append((ids, tfs))
     # merged: exactly one row per (term, shard); union matches oracle lists
     for term, parts in seen.items():
