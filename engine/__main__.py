@@ -1,13 +1,14 @@
 """spark-submit entry points (BASELINE.json: "packaged for spark-submit
 --py-files on multi-executor clusters").
 
-Usage (cluster):
+Usage (cluster — spark-submit takes a FILE, not ``-m``; the repo-root
+``submit.py`` launcher wraps this module's ``main``):
     zip -r engine.zip engine
-    spark-submit --master <...> --py-files engine.zip -m engine build \
+    spark-submit --master <...> --py-files engine.zip submit.py build \
         --input <parquet-or-iceberg> --index-dir /path/idx
-    spark-submit ... -m engine search --index-dir /path/idx \
+    spark-submit ... submit.py search --index-dir /path/idx \
         --query "hot0 rare3" --k 10 --mode OR
-    spark-submit ... -m engine bench --index-dir /tmp/idx --convs 20000
+    spark-submit ... submit.py bench --index-dir /tmp/idx --convs 20000
 
 Local sandbox: ``python -m engine <cmd> ...`` (session from engine.session).
 """

@@ -450,6 +450,20 @@ class PackedIndex:
                 s.segment_id.startswith("inc_") for s in man.segments)
         return self._corpus_offsets, self._corpus_mixed
 
+    def corpus_raw(self, merge_schema: bool = False) -> DataFrame:
+        """Resolved handle (file listing + schema) over the stored corpus
+        files AS WRITTEN (part_id/local_idx, no derived doc_id), memoized
+        like postings()/lexicon(): per-query corpus reads (doc_filter,
+        materialization) pay the directory listing once per handle
+        instead of once per query. refresh() drops it (appends add
+        files)."""
+        key = "_corpus_df_m" if merge_schema else "_corpus_df"
+        if getattr(self, key, None) is None:
+            reader = (self.spark.read.option("mergeSchema", "true")
+                      if merge_schema else self.spark.read)
+            setattr(self, key, reader.parquet(f"{self.index_dir}/corpus"))
+        return getattr(self, key)
+
     def corpus(self) -> DataFrame:
         """Stored corpus WITH doc_id. Batch builds store (part_id,
         local_idx) and derive doc_id from the manifest's offsets (the
@@ -460,8 +474,9 @@ class PackedIndex:
         offsets, mixed = self._corpus_layout()
         if offsets is not None:
             return read_with_doc_ids(self.spark, f"{self.index_dir}/corpus",
-                                     offsets, mixed=mixed)
-        return self.spark.read.parquet(f"{self.index_dir}/corpus")
+                                     offsets, mixed=mixed,
+                                     base=self.corpus_raw(mixed))
+        return self.corpus_raw()
 
     def docmap(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/docmap")
@@ -522,6 +537,8 @@ class PackedIndex:
         self._term_cache = {}
         self._post_df = None
         self._lex_df = None
+        self._corpus_df = None
+        self._corpus_df_m = None
 
 
 def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:

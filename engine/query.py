@@ -849,11 +849,10 @@ def _corpus_pruned(index, doc_ids: list[int]) -> DataFrame:
     offsets (coalesced with the stored doc_id in mixed layouts)."""
     import bisect
     spark = index.spark
-    path = f"{index.index_dir}/corpus"
     offsets, mixed = index._corpus_layout()
     ids = sorted({int(d) for d in doc_ids})
     if offsets is None:  # streaming-only layout: doc_id stored directly
-        return spark.read.parquet(path).filter(F.col("doc_id").isin(ids))
+        return index.corpus_raw().filter(F.col("doc_id").isin(ids))
     by_part: dict[int, list[int]] = {}
     for d in ids:
         p = bisect.bisect_right(offsets, d) - 1
@@ -862,21 +861,18 @@ def _corpus_pruned(index, doc_ids: list[int]) -> DataFrame:
     for p, locs in sorted(by_part.items()):
         c = (F.col("part_id") == p) & F.col("local_idx").isin(locs)
         pred = c if pred is None else (pred | c)
-    reader = (spark.read.option("mergeSchema", "true") if mixed
-              else spark.read)
-    df = reader.parquet(path).filter(
+    df = index.corpus_raw(mixed).filter(
         (pred | F.col("doc_id").isin(ids)) if mixed else pred)
-    off_df = spark.createDataFrame(
-        [(int(p), int(offsets[p])) for p in sorted(by_part)],
-        "part_id int, _base long")
-    if mixed:
-        df = (df.join(F.broadcast(off_df), "part_id", "left")
-              .withColumn("doc_id", F.coalesce(
-                  F.col("doc_id"), F.col("_base") + F.col("local_idx"))))
-    else:
-        df = (df.join(F.broadcast(off_df), "part_id")
-              .withColumn("doc_id", F.col("_base") + F.col("local_idx")))
-    return df.drop("part_id", "local_idx", "_base")
+    # doc_id re-derivation as a literal map expression — a broadcast
+    # join against a createDataFrame offsets table planned as Scan
+    # ExistingRDD, whose broadcast build paid a Python-worker round
+    # trip per query (~0.4 s measured); the map literal is JVM-only
+    base = F.create_map(*[F.lit(x) for p in sorted(by_part)
+                          for x in (int(p), int(offsets[p]))])
+    derived = base[F.col("part_id")] + F.col("local_idx")
+    df = df.withColumn("doc_id", F.coalesce(F.col("doc_id"), derived)
+                       if mixed else derived)
+    return df.drop("part_id", "local_idx")
 
 
 def _collect_topk(index, topk: DataFrame):
@@ -884,13 +880,27 @@ def _collect_topk(index, topk: DataFrame):
     + a broadcast-ready DataFrame carrying the top-k's OWN columns plus
     its row order as ``_rank`` — materialization preserves the search's
     ranking whatever its columns are (score, n_phrase, qid+score, ...;
-    ADVICE r3: the old score-only select crashed on phrase results)."""
-    from pyspark.sql import types as T
+    ADVICE r3: the old score-only select crashed on phrase results).
+
+    The small side is built as a LITERAL expression tree (explode of an
+    array of struct literals) rather than ``createDataFrame(rows)``: a
+    Python-rows DataFrame plans as Scan ExistingRDD, whose broadcast
+    build pays a Python-worker round trip on EVERY downstream execution
+    (~0.4 s/query measured); the literal form is a jobless JVM-side
+    LocalRelation-equivalent. Top-k columns are scalars by contract
+    (doc_id/score/n_phrase/qid), so ``F.lit`` covers them."""
     rows = topk.collect()
-    schema = T.StructType(list(topk.schema.fields)
-                          + [T.StructField("_rank", T.IntegerType(), False)])
-    small = index.spark.createDataFrame(
-        [tuple(r) + (i,) for i, r in enumerate(rows)], schema)
+    if not rows:
+        return rows, None
+    fields = topk.schema.fields
+    structs = [
+        F.struct(*[F.lit(r[f.name]).cast(f.dataType).alias(f.name)
+                   for f in fields],
+                 F.lit(i).cast("int").alias("_rank"))
+        for i, r in enumerate(rows)]
+    small = (index.spark.range(1)
+             .select(F.explode(F.array(*structs)).alias("_s"))
+             .select("_s.*"))
     return rows, small
 
 
