@@ -252,10 +252,11 @@ def main():
         # E8 in isolation (r4): search_snippets above re-executes the
         # underlying SEARCH job when the top-k is collected driver-side,
         # so it can never drop below a search row. Pin the top-k as a
-        # LocalRelation (collect is free) and time only the pruned
-        # corpus read + snippet expression — the path VERDICT r3 #2
-        # pruned to stored-column predicates.
-        _topl = spark.createDataFrame(_top.collect(), _top.schema)
+        # literal-form relation (Q.pin_topk — jobless collect, no
+        # ExistingRDD Python round trip) and time only the pruned corpus
+        # read + snippet expression — the path VERDICT r3 #2 pruned to
+        # stored-column predicates.
+        _topl = Q.pin_topk(idx, _top)
         dt, _ = tbest(lambda: Q.materialize_snippets(
             idx, _topl, "hot0 hot1", window=3).collect())
         queries["snippet_materialize_only"] = round(dt, 4)

@@ -851,28 +851,59 @@ def _corpus_pruned(index, doc_ids: list[int]) -> DataFrame:
     spark = index.spark
     offsets, mixed = index._corpus_layout()
     ids = sorted({int(d) for d in doc_ids})
+    id_list = ",".join(f"{d}L" for d in ids)
     if offsets is None:  # streaming-only layout: doc_id stored directly
-        return index.corpus_raw().filter(F.col("doc_id").isin(ids))
+        return index.corpus_raw().filter(F.expr(f"doc_id IN ({id_list})"))
     by_part: dict[int, list[int]] = {}
     for d in ids:
         p = bisect.bisect_right(offsets, d) - 1
         by_part.setdefault(p, []).append(d - offsets[p])
-    pred = None
-    for p, locs in sorted(by_part.items()):
-        c = (F.col("part_id") == p) & F.col("local_idx").isin(locs)
-        pred = c if pred is None else (pred | c)
-    df = index.corpus_raw(mixed).filter(
-        (pred | F.col("doc_id").isin(ids)) if mixed else pred)
-    # doc_id re-derivation as a literal map expression — a broadcast
-    # join against a createDataFrame offsets table planned as Scan
-    # ExistingRDD, whose broadcast build paid a Python-worker round
-    # trip per query (~0.4 s measured); the map literal is JVM-only
-    base = F.create_map(*[F.lit(x) for p in sorted(by_part)
-                          for x in (int(p), int(offsets[p]))])
-    derived = base[F.col("part_id")] + F.col("local_idx")
-    df = df.withColumn("doc_id", F.coalesce(F.col("doc_id"), derived)
-                       if mixed else derived)
+    # predicate / map / coalesce as SINGLE SQL strings parsed by one
+    # F.expr each: column-op composition (|, &, isin, create_map of 2k
+    # lits) costs one py4j round trip PER NODE, and plan construction —
+    # not execution (0.04 s measured) — dominated this path (~0.5 s per
+    # materialization at k=10); string building is driver-side Python,
+    # one parse call total
+    pred_sql = " OR ".join(
+        f"(part_id = {p} AND local_idx IN "
+        f"({','.join(f'{v}L' for v in locs)}))"
+        for p, locs in sorted(by_part.items()))
+    map_sql = "map(" + ",".join(
+        f"{p},{int(offsets[p])}L" for p in sorted(by_part)) + ")"
+    derived_sql = f"element_at({map_sql}, part_id) + local_idx"
+    if mixed:
+        df = index.corpus_raw(True).filter(
+            F.expr(f"({pred_sql}) OR doc_id IN ({id_list})"))
+        df = df.withColumn("doc_id",
+                           F.expr(f"coalesce(doc_id, {derived_sql})"))
+    else:
+        df = index.corpus_raw().filter(F.expr(pred_sql))
+        df = df.withColumn("doc_id", F.expr(derived_sql))
     return df.drop("part_id", "local_idx")
+
+
+def _sql_scalar(v, dt) -> str:
+    """A value as a Spark SQL literal of the given type (plan-construction
+    fast path — see _collect_topk). Covers the scalar types a top-k can
+    carry; returns None for anything else so callers can fall back."""
+    s = dt.simpleString()
+    if v is None:
+        return f"CAST(NULL AS {s})" if s in (
+            "bigint", "int", "double", "float", "string") else None
+    if s == "bigint":
+        return f"{int(v)}L"
+    if s == "int":
+        return str(int(v))
+    if s in ("double", "float"):
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            return f"CAST('{f}' AS {s})"
+        r = repr(f)  # shortest exact round-trip
+        return f"{r}D" if s == "double" else f"CAST('{r}' AS FLOAT)"
+    if s == "string":
+        q = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{q}'"
+    return None
 
 
 def _collect_topk(index, topk: DataFrame):
@@ -882,17 +913,33 @@ def _collect_topk(index, topk: DataFrame):
     ranking whatever its columns are (score, n_phrase, qid+score, ...;
     ADVICE r3: the old score-only select crashed on phrase results).
 
-    The small side is built as a LITERAL expression tree (explode of an
-    array of struct literals) rather than ``createDataFrame(rows)``: a
-    Python-rows DataFrame plans as Scan ExistingRDD, whose broadcast
-    build pays a Python-worker round trip on EVERY downstream execution
-    (~0.4 s/query measured); the literal form is a jobless JVM-side
-    LocalRelation-equivalent. Top-k columns are scalars by contract
-    (doc_id/score/n_phrase/qid), so ``F.lit`` covers them."""
+    The small side is built as a LITERAL expression rather than
+    ``createDataFrame(rows)``: a Python-rows DataFrame plans as Scan
+    ExistingRDD, whose broadcast build pays a Python-worker round trip
+    on EVERY downstream execution (~0.4 s/query measured); the literal
+    form is a jobless JVM-side LocalRelation-equivalent. The whole
+    ``explode(array(named_struct(...)))`` is ONE SQL string parsed by
+    one ``F.expr`` — per-node column composition (k rows x |cols|
+    ``F.lit().cast()`` + struct/array calls) paid one py4j round trip
+    per AST node, and plan CONSTRUCTION (not execution, 0.04 s) was
+    ~0.5 s of every materialization. Non-scalar top-k columns (none
+    exist today) fall back to the per-node form."""
     rows = topk.collect()
     if not rows:
         return rows, None
     fields = topk.schema.fields
+    lits = [[_sql_scalar(r[f.name], f.dataType) for f in fields]
+            for r in rows]
+    if all(x is not None for row in lits for x in row):
+        structs = ",".join(
+            "named_struct(" + ",".join(
+                x for f, v in zip(fields, row)
+                for x in (f"'{f.name}'", v)) + f",'_rank',{i})"
+            for i, row in enumerate(lits))
+        small = (index.spark.range(1)
+                 .select(F.expr(f"explode(array({structs}))").alias("_s"))
+                 .select("_s.*"))
+        return rows, small
     structs = [
         F.struct(*[F.lit(r[f.name]).cast(f.dataType).alias(f.name)
                    for f in fields],
@@ -902,6 +949,30 @@ def _collect_topk(index, topk: DataFrame):
              .select(F.explode(F.array(*structs)).alias("_s"))
              .select("_s.*"))
     return rows, small
+
+
+def pin_topk(index, topk: DataFrame) -> DataFrame:
+    """Execute a top-k query ONCE and pin its (metadata-sized) result as
+    a literal-form DataFrame with the same schema — downstream plans
+    (repeated materialization, joins, diagnostics) embed the rows as a
+    jobless JVM-side relation instead of re-running the search per
+    execution. Falls back to ``createDataFrame`` for non-scalar columns
+    (none exist in any top-k today)."""
+    rows = topk.collect()
+    fields = topk.schema.fields
+    if rows:
+        lits = [[_sql_scalar(r[f.name], f.dataType) for f in fields]
+                for r in rows]
+        if all(x is not None for row in lits for x in row):
+            structs = ",".join(
+                "named_struct(" + ",".join(
+                    x for f, v in zip(fields, row)
+                    for x in (f"'{f.name}'", v)) + ")"
+                for row in lits)
+            return (index.spark.range(1)
+                    .select(F.expr(f"explode(array({structs}))").alias("_s"))
+                    .select("_s.*"))
+    return index.spark.createDataFrame(rows, topk.schema)
 
 
 def materialize_packed(index, topk: DataFrame) -> DataFrame:
