@@ -193,21 +193,27 @@ def main():
             from engine.fixtures import spark_wand_corpus, wand_query
             from engine.query import _score_shard_exhaustive, wand_routes
             from engine.wand import score_shard_wand
-            n_w = int(os.environ.get("SPARK_GRAFT_WAND_DOCS", "650000"))
-            wcorp = spark_wand_corpus(spark, n_w,
+            # geometry: 1.3M docs x 10 hot terms -> ~7.2M-posting shard,
+            # exhaustive kernel ~0.5 s vs WAND ~0.05 s — the end-to-end
+            # gap (~0.45 s) must dominate this box's ±0.15 s co-tenant
+            # noise band, or the row pair flips sign run-to-run (r4: at
+            # 650k/6-hot the 0.12 s kernel gap was inside the noise)
+            n_w = int(os.environ.get("SPARK_GRAFT_WAND_DOCS", "1300000"))
+            n_hot = int(os.environ.get("SPARK_GRAFT_WAND_HOT", "10"))
+            wcorp = spark_wand_corpus(spark, n_w, n_hot=n_hot,
                                       n_parts=max(8, int(cpus))).persist()
             wcorp.count()
             t_wb, widx = tdur(build_index, spark, wcorp, f"{work}/wand",
                               _ICW(n_slices=1, block_size=32))
             wcorp.unpersist()
             queries["wand_corpus_build"] = round(t_wb, 4)
-            wq = wand_query()
+            wq = wand_query(n_hot)
             assert wand_routes(widx, wq), "cost gate must route WAND here"
             Q.search(widx, wq, k=10).collect()  # warm
             t_w, r_w = tbest(lambda: Q.search(
-                widx, wq, 10, "OR", use_wand="auto").collect())
+                widx, wq, 10, "OR", use_wand="auto").collect(), 3)
             t_e, r_e = tbest(lambda: Q.search(
-                widx, wq, 10, "OR", use_wand=False).collect())
+                widx, wq, 10, "OR", use_wand=False).collect(), 3)
             assert ([(r.doc_id, round(r.score, 9)) for r in r_w]
                     == [(r.doc_id, round(r.score, 9)) for r in r_e]), \
                 "WAND/exhaustive rank identity"

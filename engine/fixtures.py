@@ -108,6 +108,78 @@ def spark_transcripts(spark, n_convs: int = 200, seed: int = SEED,
     return df.repartition(n_parts) if n_parts else df
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-spec bijective mixer) —
+    the per-doc hash that makes the WAND corpus CHUNK-DETERMINISTIC:
+    every row depends only on its global doc index + salt, never on a
+    sequential RNG stream, so any [lo, hi) slice can be generated
+    independently (distributed gen == driver gen, byte-identical)."""
+    x = x.astype(np.uint64, copy=True)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _u01(key: np.ndarray, salt: int, seed: int) -> np.ndarray:
+    """Deterministic uniforms in [0,1) per (key, salt, seed)."""
+    mask = (1 << 64) - 1  # Python-int modular mult (no scalar overflow)
+    c = ((salt * 0x9E3779B97F4A7C15) + (seed * 0xD1B54A32D192ED03)) & mask
+    h = _mix64(key.astype(np.uint64) + np.uint64(c))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _wand_rows(lo: int, hi: int, n_docs: int, seed: int, n_hot: int,
+               n_gold: int, seed_df: int) -> pd.DataFrame:
+    """Rows [lo, hi) of the WAND-regime corpus — the single source of
+    truth shared by the pandas twin (make_wand_corpus) and the
+    distributed Spark generator (spark_wand_corpus)."""
+    idx = np.arange(lo, hi, dtype=np.int64)
+    n = idx.size
+    filler = np.array([f"f{i:03d}" for i in range(400)], dtype=object)
+    fracs = np.linspace(0.40, 0.70, n_hot)
+    member = np.stack([_u01(idx, 1000 + t, seed) < fracs[t]
+                       for t in range(n_hot)], axis=1)
+    in_seed = _u01(idx, 2000, seed) < (seed_df / n_docs)
+    gold_all = np.unique(
+        (np.arange(n_gold, dtype=np.int64) * 9973 + 137) % n_docs)
+    is_gold = np.isin(idx, gold_all)
+    member[is_gold] = False  # gold rows are constructed explicitly below
+    in_seed[is_gold] = False
+    # token counts: query-term tokens per doc, filler pads to 64
+    n_q = member.sum(axis=1) + in_seed.astype(np.int64)
+    n_fill = 64 - n_q
+    reps = np.repeat(idx, n_fill)
+    slot = (np.arange(reps.size, dtype=np.int64)
+            - np.repeat(np.cumsum(n_fill) - n_fill, n_fill))
+    f_idx = (_mix64((reps * np.int64(64) + slot).astype(np.uint64)
+                    + np.uint64(seed) * np.uint64(3000))
+             % np.uint64(400)).astype(np.int64)
+    fill_series = pd.Series(filler[f_idx]).groupby(
+        np.repeat(np.arange(n), n_fill)).agg(" ".join)
+    texts = fill_series.reindex(np.arange(n)).fillna("").to_numpy(object)
+    for t in range(n_hot):
+        rows = np.flatnonzero(member[:, t])
+        texts[rows] = np.char.add(texts[rows].astype(str), f" h{t}")
+    srows = np.flatnonzero(in_seed)
+    texts[srows] = np.char.add(texts[srows].astype(str), " wq0")
+    gold_hot_tf = max(1, (64 - 4) // n_hot)
+    n_pad = 64 - 4 - gold_hot_tf * n_hot
+    gold_text = ("wq0 " * 4 + " ".join(
+        f"h{t}" for t in range(n_hot) for _ in range(gold_hot_tf))
+        + ((" " + " ".join(filler[:n_pad])) if n_pad > 0 else ""))
+    texts[is_gold] = gold_text
+    conv_id = np.char.add("conv-", np.char.zfill(idx.astype(str), 10))
+    return pd.DataFrame({
+        "conv_id": conv_id.astype(object),
+        "turn_idx": np.zeros(n, dtype=np.int32),
+        "role": np.where(idx % 2 == 0, "user", "assistant").astype(object),
+        "text": [str(t) for t in texts],
+        "tool": [""] * n,
+        "ts": (np.datetime64("2026-01-01T00:00:00")
+               + idx.astype("timedelta64[s]")),
+    })
+
+
 def make_wand_corpus(n_docs: int = 650_000, seed: int = SEED,
                      n_hot: int = 6, n_gold: int = 32,
                      seed_df: int = 5000) -> pd.DataFrame:
@@ -123,59 +195,28 @@ def make_wand_corpus(n_docs: int = 650_000, seed: int = SEED,
       (max_tf, min_dl) bounds are EXACT for the block's best posting);
     * hot terms ``h0..h{n_hot-1}``: df ~ (0.40..0.70) * n, tf = 1
       everywhere except gold docs;
-    * seed term ``wq0``: df = seed_df + n_gold, tf = 1 except gold docs
-      (the selective list WAND seeds θ from);
+    * seed term ``wq0``: df ~ seed_df (+ gold), tf = 1 except gold docs
+      (the selective list WAND seeds θ from; membership is per-doc
+      hashed, so df is binomial around seed_df — the cost gate reads
+      the ACTUAL df from the lexicon, nothing depends on exactness);
     * ``n_gold`` scattered gold docs contain wq0 x4 and every hot term
-      x8 (plus filler to 64) — the true top-k, concentrated impact;
+      x floor(60 / n_hot) (plus filler to exactly 64) — the true top-k,
+      concentrated impact;
     * filler vocab ``f000..f399`` pads every doc to 64 tokens.
 
-    Query ``wq0 h0 .. h5``: posting mass ~2.2M/shard at the default
-    size, seed list ~5k -> the driver-side cost gate routes WAND, and
-    with θ refinement + min_dl bounds phases 3-4 decode only the
-    gold-bearing blocks instead of the full 2.2M postings.
+    Query ``wq0 h0 .. h{n_hot-1}``: posting mass ~= n_docs x
+    mean(hot fracs) x n_hot per shard, seed list ~seed_df -> the
+    driver-side cost gate routes WAND, and with θ refinement + min_dl
+    bounds phases 3-4 decode only the gold-bearing blocks instead of
+    the full posting mass. ``n_hot`` scales the exhaustive scorer's
+    per-shard work WITHOUT growing the corpus (docs stay 64 tokens), so
+    the bench can make the kernel gap dominate single-box noise.
+
+    Every row is a pure function of (doc index, seed) — _wand_rows —
+    so the Spark generator builds partitions in parallel and this
+    pandas twin is byte-identical to it at any scale.
     """
-    rng = np.random.default_rng(seed)
-    filler = np.array([f"f{i:03d}" for i in range(400)], dtype=object)
-    hot = [f"h{i}" for i in range(n_hot)]
-    # hot-term membership: independent per (doc, term), tf=1
-    fracs = np.linspace(0.40, 0.70, n_hot)
-    member = rng.random((n_docs, n_hot)) < fracs[None, :]
-    # seed-term docs (tf=1) and gold docs, disjoint, deterministic
-    gold = (np.arange(n_gold, dtype=np.int64) * 9973 + 137) % n_docs
-    gold = np.unique(gold)
-    non_gold = np.setdiff1d(np.arange(n_docs, dtype=np.int64), gold)
-    seed_docs = rng.choice(non_gold, size=seed_df, replace=False)
-    member[gold] = False  # gold rows are constructed explicitly below
-    in_seed = np.zeros(n_docs, dtype=bool)
-    in_seed[seed_docs] = True
-    # token counts: query-term tokens per doc, filler pads to 64
-    n_q = member.sum(axis=1) + in_seed.astype(np.int64)
-    n_fill = 64 - n_q
-    flat_fill = filler[rng.integers(0, filler.size, size=int(n_fill.sum()))]
-    fill_series = pd.Series(flat_fill).groupby(
-        np.repeat(np.arange(n_docs), n_fill)).agg(" ".join)
-    texts = fill_series.reindex(np.arange(n_docs)).fillna("").to_numpy(object)
-    hot_arr = np.array(hot, dtype=object)
-    for t in range(n_hot):
-        rows = np.flatnonzero(member[:, t])
-        texts[rows] = np.char.add(texts[rows].astype(str), f" {hot[t]}")
-    texts[seed_docs] = np.char.add(texts[seed_docs].astype(str), " wq0")
-    gold_text = ("wq0 " * 4 + " ".join(
-        h for h in hot_arr for _ in range(8))
-        + " " + " ".join(filler[:64 - 4 - 8 * n_hot]))
-    texts[gold] = gold_text
-    conv_id = np.char.add("conv-", np.char.zfill(
-        np.arange(n_docs).astype(str), 10))
-    return pd.DataFrame({
-        "conv_id": conv_id.astype(object),
-        "turn_idx": np.zeros(n_docs, dtype=np.int32),
-        "role": np.where(np.arange(n_docs) % 2 == 0, "user",
-                         "assistant").astype(object),
-        "text": [str(t) for t in texts],
-        "tool": [""] * n_docs,
-        "ts": (np.datetime64("2026-01-01T00:00:00")
-               + np.arange(n_docs, dtype="timedelta64[s]")),
-    })
+    return _wand_rows(0, n_docs, n_docs, seed, n_hot, n_gold, seed_df)
 
 
 def wand_query(n_hot: int = 6) -> str:
@@ -183,7 +224,14 @@ def wand_query(n_hot: int = 6) -> str:
 
 
 def spark_wand_corpus(spark, n_docs: int = 650_000, seed: int = SEED,
-                      n_parts: int | None = None, **kw):
+                      n_parts: int | None = None, n_hot: int = 6,
+                      n_gold: int = 32, seed_df: int = 5000):
+    """WAND-regime corpus as a Spark DataFrame, generated DISTRIBUTED:
+    one _wand_rows chunk per partition via mapInPandas over the chunk
+    bounds (nothing corpus-sized ever exists on the driver — the same
+    no-driver-materialization rule the engine holds itself to). Rows are
+    hash-per-doc deterministic, so the result is byte-identical to
+    make_wand_corpus at any partition count."""
     from pyspark.sql import types as T
     schema = T.StructType([
         T.StructField("conv_id", T.StringType(), False),
@@ -193,9 +241,20 @@ def spark_wand_corpus(spark, n_docs: int = 650_000, seed: int = SEED,
         T.StructField("tool", T.StringType(), False),
         T.StructField("ts", T.TimestampType(), False),
     ])
-    pdf = make_wand_corpus(n_docs, seed, **kw)
-    df = spark.createDataFrame(pdf, schema=schema)
-    return df.repartition(n_parts) if n_parts else df
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds = np.linspace(0, n_docs, n_parts + 1).astype(np.int64)
+
+    def gen(pdfs):
+        for pdf0 in pdfs:
+            for i in pdf0["id"]:
+                lo, hi = int(bounds[int(i)]), int(bounds[int(i) + 1])
+                if hi > lo:
+                    yield _wand_rows(lo, hi, n_docs, seed, n_hot,
+                                     n_gold, seed_df)
+
+    chunks = spark.range(0, n_parts, 1, n_parts)
+    return chunks.mapInPandas(gen, schema)
 
 
 # Frozen query set (FIXTURES.md §3): 20 queries, k=10.

@@ -133,3 +133,19 @@ def test_min_dl_blocks_on_transcripts(spark, corpus_df):
             assert int(seg.min()) == bl["min_dl"]
             seen.add(int(bl["min_dl"]))
     assert len(seen) > 1  # variable-length corpus -> varying min_dl
+
+
+def test_distributed_gen_matches_pandas_twin(spark):
+    """spark_wand_corpus (per-partition _wand_rows chunks) must be
+    byte-identical to make_wand_corpus at ANY partition count — the
+    hash-per-doc construction's whole contract (r4: the bench corpus is
+    generated distributed; the oracle reads the pandas twin)."""
+    n = 3001  # awkward size: uneven chunk bounds
+    pdf = make_wand_corpus(n, n_hot=10).sort_values("conv_id")
+    for parts in (5, 11):
+        sdf = (spark_wand_corpus(spark, n, n_parts=parts, n_hot=10)
+               .toPandas().sort_values("conv_id"))
+        assert sdf["text"].tolist() == pdf["text"].tolist()
+        assert sdf["role"].tolist() == pdf["role"].tolist()
+        assert sdf["ts"].tolist() == pdf["ts"].tolist()
+    assert all(len(t.split()) == 64 for t in pdf["text"])
