@@ -39,11 +39,20 @@ def _loadavg() -> float:
         return 0.0
 
 
-def _wait_quiet(thresh: float = 2.0, max_wait_s: int = 600) -> float:
+def _wait_quiet(thresh: float | None = None,
+                max_wait_s: int | None = None) -> float:
     """Co-tenancy guard: the grading harness shares this box and runs
     bursty jobs; starting a timed level under ambient load corrupts the
-    ratio. Wait (bounded) for the 1-min loadavg to settle."""
+    ratio. Wait (bounded) for the 1-min loadavg to settle. Bounds are
+    env-tunable (SPARK_GRAFT_QUIET_THRESH / SPARK_GRAFT_QUIET_WAIT_S):
+    when ambient load is persistently high the guard cannot help —
+    best-of-N with min-wins is then the only defense — so a caller can
+    cap the wasted wait instead of stalling 10 min per repeat."""
     import time
+    if thresh is None:
+        thresh = float(os.environ.get("SPARK_GRAFT_QUIET_THRESH", "2.0"))
+    if max_wait_s is None:
+        max_wait_s = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "600"))
     t0 = time.time()
     load = _loadavg()
     while load >= thresh and time.time() - t0 < max_wait_s:
