@@ -81,6 +81,15 @@ def _delta_vs_prev_round(queries: dict) -> dict:
 
 
 def main():
+    # Measure FIRST-run query cost: the engine's prepared-plan cache
+    # returns the same DataFrame for identical args, and Spark then
+    # skips completed shuffle map stages on re-collect — a repeated
+    # identical query collapses to its final stage (batch set measured
+    # 0.067 s vs 0.78 s fresh). Legit for production repeats, but it
+    # would contaminate every best-of-N row here, so the bench bypasses
+    # the cache globally and reports the cached-repeat fast path as its
+    # own clearly-labeled rows (repeat_*_cached).
+    os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
@@ -251,10 +260,14 @@ def main():
         dt, _ = tbest(lambda: Q.search(
             idx, "hot0 hot1", k=10, doc_filter="role = 'user'").collect())
         queries["search_filtered"] = round(dt, 4)
-        _top = Q.search(idx, "hot0 hot1", k=10)
+        # fresh search DF per repeat: reusing one _top object across
+        # repeats would let Spark skip the search's shuffle stage on
+        # re-collect (same-RDD map-output reuse) and undercount
         dt, _ = tbest(lambda: Q.materialize_snippets(
-            idx, _top, "hot0 hot1", window=3).collect())
+            idx, Q.search(idx, "hot0 hot1", k=10),
+            "hot0 hot1", window=3).collect())
         queries["search_snippets"] = round(dt, 4)
+        _top = Q.search(idx, "hot0 hot1", k=10)
         # E8 in isolation (r4): search_snippets above re-executes the
         # underlying SEARCH job when the top-k is collected driver-side,
         # so it can never drop below a search row. Pin the top-k as a
@@ -291,6 +304,22 @@ def main():
         queries["batch_query_set"] = round(t_batch, 4)
         queries["batch_queries_per_sec"] = round(len(QUERY_SET) / t_batch, 2)
 
+        # prepared-plan cache rows (the repeated-identical-query fast
+        # path, measured honestly AS a repeat and excluded from the
+        # headline total): same args -> same DataFrame -> analyzed-plan
+        # reuse + Spark shuffle-stage skipping; only the final stage
+        # runs. This is what a production dashboard/pagination repeat
+        # pays — NOT comparable to the fresh-plan search_q rows above.
+        os.environ["SPARK_GRAFT_PLAN_CACHE"] = "1"
+        Q.search(idx, "hot0 hot1", k=10).collect()  # prime
+        dt, _ = tbest(lambda: Q.search(idx, "hot0 hot1", k=10).collect())
+        queries["repeat_query_cached"] = round(dt, 4)
+        Q.search_batch(idx, QUERY_SET, k=10).collect()  # prime
+        dt, _ = tbest(lambda: Q.search_batch(
+            idx, QUERY_SET, k=10).collect())
+        queries["repeat_batch_cached"] = round(dt, 4)
+        os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
+
         # headline total = index_build + warm query rows ONLY; the extra
         # build-stage rows (docs_index_build / ann_layout_build /
         # index_build_merged) are reported but excluded so the total stays
@@ -310,7 +339,9 @@ def main():
                                  "wand_corpus_build", "wand_big_shard",
                                  "exhaustive_big_shard", "wand_speedup",
                                  "wand_kernel_ms", "exhaustive_kernel_ms",
-                                 "wand_kernel_speedup"))
+                                 "wand_kernel_speedup",
+                                 "repeat_query_cached",
+                                 "repeat_batch_cached"))
         out = {
             "metric": "engine_bench_total",
             "value": round(total, 4),

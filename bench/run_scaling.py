@@ -61,11 +61,14 @@ def _wait_quiet(thresh: float | None = None,
     return load
 
 
-def run(cpus: int, n_convs: int, sf_dir: str, repeats: int = 2) -> dict:
+def run(cpus: int, n_convs: int, sf_dir: str,
+        repeats: int | None = None) -> dict:
     """Best-of-N per level (standard noisy-box practice): each repeat
     waits for ambient quiet, and the fastest build wins — interference
     only ever slows a run, so min is the least-contaminated sample.
     Ambient load before each repeat is recorded in the result."""
+    if repeats is None:
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_BENCH_CONVS=str(n_convs),

@@ -535,6 +535,7 @@ class PackedIndex:
         self._corpus_mixed = any(
             s.segment_id.startswith("inc_") for s in man.segments)
         self._term_cache = {}
+        self._plan_cache = {}  # prepared plans embed idf/avgdl closures
         self._post_df = None
         self._lex_df = None
         self._corpus_df = None

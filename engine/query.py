@@ -217,10 +217,58 @@ def _allowed_shards(index, doc_filter: str, width: int) -> DataFrame:
                     .alias("shard")))
 
 
+def _plan_cache(index) -> dict:
+    c = getattr(index, "_plan_cache", None)
+    if c is None:
+        c = index._plan_cache = {}
+    return c
+
+
+_PLAN_CACHE_CAP = 256
+
+
+def _plan_cached(index, key, build):
+    """Prepared-plan cache (r4): repeated identical queries return the
+    SAME DataFrame object — the prepared-statement pattern. Spark then
+    (a) reuses the analyzed/optimized plan (~0.1 s of per-call Catalyst
+    analysis + py4j construction measured) and (b) SKIPS completed
+    shuffle map stages on re-execution (same RDD lineage -> map outputs
+    still registered), so a repeated identical query pays only the final
+    stage. (b) is why honest benchmarks of FIRST-run latency must bypass
+    this cache (env SPARK_GRAFT_PLAN_CACHE=0, as bench.py does for its
+    per-query rows — the cached repeat is reported as its own row, never
+    blended into search_q/batch timings). Bounded FIFO;
+    ``PackedIndex.refresh()`` clears it (post-append stats would
+    otherwise serve stale idf/avgdl closures)."""
+    import os
+    if os.environ.get("SPARK_GRAFT_PLAN_CACHE", "1") == "0":
+        return build()
+    c = _plan_cache(index)
+    df = c.get(key)
+    if df is None:
+        df = build()
+        if len(c) >= _PLAN_CACHE_CAP:
+            c.pop(next(iter(c)))
+        c[key] = df
+    return df
+
+
 def search(index, query: str, k: int = 10, mode: str = "OR",
            use_wand: "bool | str" = "auto",
            exclude: str | None = None,
            doc_filter: str | None = None) -> DataFrame:
+    """BM25 top-k over the packed index (see _search_impl for the full
+    plan notes). Plans are memoized per argument tuple (_plan_cached)."""
+    _warn_if_stale(index)
+    key = ("s", query, k, mode.upper(), repr(use_wand), exclude, doc_filter)
+    return _plan_cached(index, key, lambda: _search_impl(
+        index, query, k, mode, use_wand, exclude, doc_filter))
+
+
+def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
+                 use_wand: "bool | str" = "auto",
+                 exclude: str | None = None,
+                 doc_filter: str | None = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -256,7 +304,6 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
     orderBy(score desc, doc_id).limit(k) (TakeOrderedAndProject).
     """
     from .build import PackedIndex  # noqa: F401 (typing)
-    _warn_if_stale(index)
     spark = index.spark
     mode = mode.upper()
     acfg = index.cfg.analyzer
@@ -536,6 +583,19 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
 def search_batch(index, queries: list[dict], k: int = 10,
                  use_wand: "bool | str" = "auto",
                  doc_filter: str | None = None) -> DataFrame:
+    """E9 batch search (see _search_batch_impl for the full plan notes).
+    Plans are memoized per (query set, k, flags) — _plan_cached."""
+    import json as _json
+    _warn_if_stale(index)
+    key = ("b", _json.dumps(queries, sort_keys=True), k,
+           repr(use_wand), doc_filter)
+    return _plan_cached(index, key, lambda: _search_batch_impl(
+        index, queries, k, use_wand, doc_filter))
+
+
+def _search_batch_impl(index, queries: list[dict], k: int = 10,
+                       use_wand: "bool | str" = "auto",
+                       doc_filter: str | None = None) -> DataFrame:
     """E9: execute a whole query set in ONE Spark job.
 
     ``queries``: [{"id", "query", "mode"}]. One pruned postings scan
@@ -570,7 +630,6 @@ def search_batch(index, queries: list[dict], k: int = 10,
     """
     import pandas as pd
     from pyspark.sql import Window
-    _warn_if_stale(index)
     spark = index.spark
     acfg = index.cfg.analyzer
     per_q = {q["id"]: query_terms(q["query"], acfg) for q in queries}
@@ -717,6 +776,17 @@ def _phrase_hits(seq: list, dec: dict, k: int, width: int,
 def search_phrase(index, phrase: str, k: int = 10,
                   doc_filter: str | None = None,
                   exclude: str | None = None) -> DataFrame:
+    """Phrase search (see _search_phrase_impl for the full contract and
+    plan notes). Plans are memoized per argument tuple (_plan_cached)."""
+    _warn_if_stale(index)
+    key = ("p", phrase, k, doc_filter, exclude)
+    return _plan_cached(index, key, lambda: _search_phrase_impl(
+        index, phrase, k, doc_filter, exclude))
+
+
+def _search_phrase_impl(index, phrase: str, k: int = 10,
+                        doc_filter: str | None = None,
+                        exclude: str | None = None) -> DataFrame:
     """Exact phrase query over a positions-enabled packed index
     (IndexConfig.index_positions=True) — beyond-spec extension (VERDICT r2
     'What's missing #4': the most common next ask of a search engine).
@@ -746,7 +816,6 @@ def search_phrase(index, phrase: str, k: int = 10,
     (doc, pos - offset) key sets — vectorized ``np.intersect1d``, never
     per-document Python (``_phrase_hits``, shared with the batch path).
     """
-    _warn_if_stale(index)
     spark = index.spark
     if not index.cfg.index_positions:
         raise ValueError("index was built without positions "

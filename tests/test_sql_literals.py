@@ -121,3 +121,31 @@ def test_collect_topk_fast_path_matches_fallback(packed_index, monkeypatch):
     fast = [r.asDict() for r in small_fast.collect()]
     slow = [r.asDict() for r in small_slow.collect()]
     assert fast == slow
+
+
+# --------------------------- plan cache -------------------------------
+
+def test_plan_cache_reuses_and_invalidates(packed_index):
+    """Identical search args return the SAME DataFrame object (prepared
+    plan reuse); different args miss; refresh() clears the cache."""
+    from engine import query as Q
+    a = Q.search(packed_index, "hot0 rare3", k=10)
+    b = Q.search(packed_index, "hot0 rare3", k=10)
+    assert a is b
+    c = Q.search(packed_index, "hot0 rare3", k=5)
+    assert c is not a
+    packed_index.refresh()
+    d = Q.search(packed_index, "hot0 rare3", k=10)
+    assert d is not a
+    # cached plan still computes the right answer
+    assert [r.asDict() for r in d.collect()] \
+        == [r.asDict() for r in b.collect()]
+
+
+def test_plan_cache_batch_keys_on_query_set(packed_index):
+    from engine import query as Q
+    qs1 = [{"id": "a", "query": "hot0 hot1", "mode": "OR"}]
+    qs2 = [{"id": "a", "query": "hot0 hot1", "mode": "AND"}]
+    a = Q.search_batch(packed_index, qs1, k=10)
+    assert Q.search_batch(packed_index, qs1, k=10) is a
+    assert Q.search_batch(packed_index, qs2, k=10) is not a
