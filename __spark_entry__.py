@@ -215,6 +215,16 @@ _BATCH_MIXED_SET = [
 ]
 
 
+# the batch-snippets gate set (batch_snippets): OR / AND / NOT entries,
+# snippets for the whole set in ONE extra pruned-scan job, each row
+# anchored on its own query's terms (materialize_snippets_batch)
+_BATCH_SNIP_SET = [
+    {"id": "s1", "query": "spark join fast", "mode": "OR"},
+    {"id": "s2", "query": "hash join merge", "mode": "AND"},
+    {"id": "s3", "query": "spark join", "mode": "OR", "exclude": "hash"},
+]
+
+
 def _batch_mixed_sql(k: int = 10) -> str:
     parts = []
     for q in _BATCH_MIXED_SET:
@@ -539,6 +549,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("qid", "doc_id",
                           F.round("score", 6).alias("score"))
 
+    def batch_snippets(spark, sf):
+        # E8 x E9 (r4): snippets for a WHOLE search_batch result in one
+        # pruned corpus scan — per-qid anchor terms via one CASE
+        # expression over the shared tokenized column
+        # (materialize_snippets_batch); oracle = UNION ALL of per-query
+        # snippet twins
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        out = Q.search_batch(idx, _BATCH_SNIP_SET, k=10)
+        snip = Q.materialize_snippets_batch(idx, out, _BATCH_SNIP_SET,
+                                            window=3)
+        return snip.select("qid", "doc_id",
+                           F.round("score", 6).alias("score"), "snippet")
+
     def bm25_incremental(spark, sf):
         # the streaming build pipeline (append_batch x2 -> compact) under
         # the same BM25 oracle as the batch-built index: post-compact, the
@@ -614,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": bm25_filtered,
         "search_snippets": search_snippets,
         "batch_mixed": batch_mixed,
+        "batch_snippets": batch_snippets,
     }
 
 
@@ -676,12 +701,12 @@ SELECT doc_id, n_phrase FROM m WHERE n_phrase > 0{not_clause}
 ORDER BY n_phrase DESC, doc_id ASC LIMIT {k}"""
 
 
-def _snippet_sql(query_terms: list[str], k: int = 10,
-                 window: int = 3) -> str:
-    """DuckDB twin of materialize_snippets over the bm25 top-k: snippet =
-    ``window`` analyzer tokens either side of the FIRST occurrence of any
-    query term. list_position == Spark array_position (1-based, 0 when
-    absent -> nullif/least/coalesce mirror the Column expression); DuckDB
+def _snippet_over(topk_sql: str, query_terms: list[str],
+                  window: int = 3) -> str:
+    """Snippet expression over an arbitrary (doc_id, score) top-k
+    subquery — the shared body of _snippet_sql and _batch_snippets_sql.
+    list_position == Spark array_position (1-based, 0 when absent ->
+    nullif/least/coalesce mirror the Column expression); DuckDB
     ``toks[a:b]`` slicing is 1-based inclusive with a clamped end, the
     same frame as Spark ``slice(toks, a, b - a + 1)``."""
     terms = sorted(set(query_terms))
@@ -690,7 +715,7 @@ def _snippet_sql(query_terms: list[str], k: int = 10,
     first = (f"least({nullifs})" if len(terms) > 1
              else nullifs) if terms else "NULL"
     return f"""
-WITH topk AS ({_bm25_sql(query_terms, "OR", k)}),
+WITH topk AS ({topk_sql}),
 t AS (
   SELECT d.doc_id, tk.score, {_TOK_SQL} AS toks
   FROM documents d JOIN topk tk USING (doc_id)
@@ -702,6 +727,30 @@ SELECT doc_id, score,
        array_to_string(toks[greatest(1, p - {window}) : p + {window}],
                        ' ') AS snippet
 FROM p ORDER BY score DESC, doc_id ASC"""
+
+
+def _snippet_sql(query_terms: list[str], k: int = 10,
+                 window: int = 3) -> str:
+    """DuckDB twin of materialize_snippets over the bm25 top-k: snippet =
+    ``window`` analyzer tokens either side of the FIRST occurrence of any
+    query term."""
+    return _snippet_over(_bm25_sql(query_terms, "OR", k), query_terms,
+                         window)
+
+
+def _batch_snippets_sql(k: int = 10, window: int = 3) -> str:
+    """DuckDB twin of materialize_snippets_batch over _BATCH_SNIP_SET:
+    UNION ALL of each query's snippet twin, every row anchored on ITS
+    OWN query's terms (the per-qid CASE in the engine expression)."""
+    parts = []
+    for q in _BATCH_SNIP_SET:
+        terms = q["query"].split()
+        excl = q["exclude"].split() if q.get("exclude") else None
+        sub = _bm25_sql(terms, q["mode"], k, exclude=excl)
+        snip = _snippet_over(sub, terms, window)
+        parts.append(f"SELECT '{q['id']}' AS qid, doc_id, score, snippet "
+                     f"FROM ({snip})")
+    return "\nUNION ALL\n".join(parts)
 
 
 def _media_features_sql() -> str:
@@ -970,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
                                    where="lang = 'en'"),
         "search_snippets": _snippet_sql(["spark", "join", "fast"], 10, 3),
         "batch_mixed": _batch_mixed_sql(10),
+        "batch_snippets": _batch_snippets_sql(10, 3),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(min(value), 6) AS min_value,

@@ -82,6 +82,9 @@ def cmd_search_batch(args) -> int:
     with open(args.queries_file) as f:
         qset = json.load(f)
     out = Q.search_batch(idx, qset, k=args.k, doc_filter=args.filter)
+    if args.snippets:
+        out = Q.materialize_snippets_batch(idx, out, qset,
+                                           window=args.snippet_window)
     for r in out.collect():
         print(json.dumps(r.asDict(), default=str))
     return 0
@@ -135,6 +138,11 @@ def main(argv=None) -> int:
     sb.add_argument("--k", type=int, default=10)
     sb.add_argument("--filter", default=None,
                     help="doc_filter SQL predicate applied to every query")
+    sb.add_argument("--snippets", action="store_true",
+                    help="contextual snippets per result row (each row "
+                         "anchored on ITS query's terms; one extra "
+                         "pruned-scan job for the whole set)")
+    sb.add_argument("--snippet-window", type=int, default=3)
     sb.set_defaults(fn=cmd_search_batch)
     be = sub.add_parser("bench", help="run bench.py")
     be.add_argument("--convs", type=int, default=20000)

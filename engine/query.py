@@ -1118,6 +1118,62 @@ def materialize_snippets(index, topk: DataFrame, query: str,
             .orderBy("_rank").drop("_rank"))
 
 
+def materialize_snippets_batch(index, topk: DataFrame,
+                               queries: list[dict],
+                               window: int = 3) -> DataFrame:
+    """E8 x E9: snippets for a WHOLE ``search_batch`` result in one
+    pruned scan. ``topk`` is (qid, doc_id, score, ...) rows;
+    ``queries`` is the same list of dicts given to ``search_batch``
+    (qid -> query text — each row's snippet anchors on ITS OWN query's
+    terms, same frozen earliest-position contract as
+    ``materialize_snippets``).
+
+    Plan: ids for ALL queries are collected once (metadata-sized:
+    <= k x |set|), the corpus read is pruned to their union via
+    stored-column predicates, and the per-qid anchor position is ONE
+    CASE expression over the shared tokenized column — built as a
+    single parsed SQL string (the per-node form would pay a py4j round
+    trip per term per query). One job for the whole set, mirroring
+    search_batch's one-job contract."""
+    from pyspark.sql import types as T
+
+    from .analyzer import tokenize_expr
+    acfg = index.cfg.analyzer
+    qterms = {q["id"]: sorted(set(tokenize_py(q["query"], acfg)))
+              for q in queries}
+    rows, small = _collect_topk(index, topk)
+    rank_cols = [c for c in topk.columns if c != "doc_id"]
+    if not rows:
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType())]
+            + [f for f in topk.schema.fields if f.name != "doc_id"]
+            + [T.StructField("snippet", T.StringType())])
+        return index.spark.createDataFrame([], schema)
+    str_t = T.StringType()
+    branches = []
+    for qid, terms in qterms.items():
+        if not terms:
+            continue
+        pos = [f"nullif(array_position(_toks, {_sql_scalar(t, str_t)}), 0)"
+               for t in terms]
+        inner = f"least({','.join(pos)})" if len(pos) > 1 else pos[0]
+        branches.append(f"WHEN qid = {_sql_scalar(qid, str_t)} "
+                        f"THEN coalesce({inner}, 1)")
+    p_sql = ("CASE " + " ".join(branches) + " ELSE 1 END") if branches \
+        else "1"
+    p = F.expr(p_sql)
+    start = F.greatest(F.lit(1), p - F.lit(window))
+    length = p + F.lit(window) - start + F.lit(1)  # slice clamps the end
+    corpus = _corpus_pruned(index, sorted({r["doc_id"] for r in rows}))
+    toks = tokenize_expr(F.col("text"), acfg)
+    return (corpus.join(F.broadcast(small), "doc_id")
+            .withColumn("_toks", toks)
+            .select("doc_id", *rank_cols,
+                    F.array_join(F.slice(F.col("_toks"), start, length), " ")
+                    .alias("snippet"), "_rank")
+            .orderBy("_rank").drop("_rank"))
+
+
 def materialize(idx: FlatIndex, topk: DataFrame) -> DataFrame:
     """E8: top-k (doc_id, score) -> (doc_id, conv_id, turn_idx, text, score).
 

@@ -240,3 +240,25 @@ def test_cli_filter_and_snippets(spark, corpus_df, tmp_path, capsys):
              capsys.readouterr().out.strip().splitlines()]
     assert 0 < len(lines) <= 3
     assert all({"doc_id", "score", "snippet"} <= set(r) for r in lines)
+
+
+def test_batch_snippets_match_per_query(packed_index):
+    """materialize_snippets_batch == per-query materialize_snippets for
+    every qid (same anchor terms, same frozen contract), one job."""
+    from engine import query as Q
+    qs = [{"id": "a", "query": "hot0 hot1", "mode": "OR"},
+          {"id": "b", "query": "rare3", "mode": "OR"},
+          {"id": "c", "query": "hot1 w003", "mode": "AND"},
+          {"id": "d", "query": "ghost0", "mode": "OR"}]  # empty result
+    batch = Q.search_batch(packed_index, qs, k=5)
+    got = Q.materialize_snippets_batch(packed_index, batch, qs,
+                                       window=2).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.doc_id, r.score, r.snippet))
+    for q in qs:
+        top = Q.search(packed_index, q["query"], k=5, mode=q["mode"])
+        want = [(r.doc_id, r.score, r.snippet)
+                for r in Q.materialize_snippets(
+                    packed_index, top, q["query"], window=2).collect()]
+        assert by_q.get(q["id"], []) == want, q["id"]
