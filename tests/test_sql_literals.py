@@ -149,3 +149,18 @@ def test_plan_cache_batch_keys_on_query_set(packed_index):
     a = Q.search_batch(packed_index, qs1, k=10)
     assert Q.search_batch(packed_index, qs1, k=10) is a
     assert Q.search_batch(packed_index, qs2, k=10) is not a
+
+
+def test_plan_cache_env_bypass(packed_index, monkeypatch):
+    """SPARK_GRAFT_PLAN_CACHE=0 (bench.py's first-run-honesty switch)
+    must construct a FRESH DataFrame per call — identical args included —
+    or best-of-N bench rows silently measure Spark's same-RDD
+    shuffle-stage reuse instead of query cost."""
+    from engine import query as Q
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "0")
+    a = Q.search(packed_index, "hot0 rare3", k=10)
+    b = Q.search(packed_index, "hot0 rare3", k=10)
+    assert a is not b
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_CACHE")
+    c = Q.search(packed_index, "hot0 rare3", k=10)
+    assert Q.search(packed_index, "hot0 rare3", k=10) is c
