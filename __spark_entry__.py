@@ -536,6 +536,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return snip.select("doc_id", F.round("score", 6).alias("score"),
                            "snippet")
 
+    def search_facets(spark, sf):
+        # faceted search (r4): per-facet-value doc counts over the FULL
+        # match set of the boolean query — both the lang and source
+        # dimensions from ONE GROUPING SETS pass over the pruned posting
+        # scan's match set (engine/query.py facets). Integer counts, so
+        # the oracle compare is exact.
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        return Q.facets(idx, "spark join fast", ["lang", "source"],
+                        mode="OR")
+
+    def facets_filtered(spark, sf):
+        # AND-mode faceting under a doc_filter: counts restricted to docs
+        # matching ALL query terms AND the corpus-metadata predicate
+        # (filter pushed into the facet-column scan)
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        return Q.facets(idx, "hash join", ["source"], mode="AND",
+                        doc_filter="lang = 'en'")
+
     def batch_mixed(spark, sf):
         # E9 with PHRASE entries as full citizens (r4): one job runs
         # BM25 OR/AND, BM25-NOT, phrase, and phrase-NOT entries over the
@@ -637,6 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": phrase_search,
         "bm25_filtered": bm25_filtered,
         "search_snippets": search_snippets,
+        "search_facets": search_facets,
+        "facets_filtered": facets_filtered,
         "batch_mixed": batch_mixed,
         "batch_snippets": batch_snippets,
     }
@@ -736,6 +758,38 @@ def _snippet_sql(query_terms: list[str], k: int = 10,
     query term."""
     return _snippet_over(_bm25_sql(query_terms, "OR", k), query_terms,
                          window)
+
+
+def _facets_sql(query_terms: list[str], mode: str, fields: list[str],
+                where: str | None = None) -> str:
+    """DuckDB twin of engine.query.facets: facet-value counts over the
+    FULL match set (OR: any term; AND: all distinct terms), one GROUPING
+    SETS pass for every facet dimension — the same aggregation shape the
+    Spark plan compiles to (Expand + single-exchange hash aggregate).
+    ``where`` mirrors the doc_filter (restricts counted docs only)."""
+    terms = sorted(set(query_terms))
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    having = (f"HAVING count(DISTINCT term) = {len(terms)}"
+              if mode == "AND" else "")
+    where_clause = f"WHERE {where}" if where else ""
+    sets = ", ".join(f"(d.{f})" for f in fields)
+    ff = "CASE " + " ".join(f"WHEN GROUPING(d.{f}) = 0 THEN '{f}'"
+                            for f in fields) + " END"
+    fv = "CASE " + " ".join(f"WHEN GROUPING(d.{f}) = 0 THEN d.{f}"
+                            for f in fields) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+matched AS (
+  SELECT doc_id FROM toks WHERE term IN ({terms_in})
+  GROUP BY doc_id {having}
+)
+SELECT {ff} AS facet_field, {fv} AS facet_value, count(*) AS n_docs
+FROM documents d JOIN matched USING (doc_id)
+{where_clause}
+GROUP BY GROUPING SETS ({sets})
+ORDER BY n_docs DESC, facet_field ASC, facet_value ASC"""
 
 
 def _batch_snippets_sql(k: int = 10, window: int = 3) -> str:
@@ -1018,6 +1072,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered": _bm25_sql(["spark", "join", "fast"], "OR",
                                    where="lang = 'en'"),
         "search_snippets": _snippet_sql(["spark", "join", "fast"], 10, 3),
+        "search_facets": _facets_sql(["spark", "join", "fast"], "OR",
+                                     ["lang", "source"]),
+        "facets_filtered": _facets_sql(["hash", "join"], "AND",
+                                       ["source"], where="lang = 'en'"),
         "batch_mixed": _batch_mixed_sql(10),
         "batch_snippets": _batch_snippets_sql(10, 3),
         "events_hourly": """

@@ -90,6 +90,18 @@ def cmd_search_batch(args) -> int:
     return 0
 
 
+def cmd_facets(args) -> int:
+    from . import query as Q
+    from .build import load_index
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    out = Q.facets(idx, args.query, args.fields.split(","),
+                   mode=args.mode, doc_filter=args.filter)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import os
     import subprocess
@@ -144,6 +156,19 @@ def main(argv=None) -> int:
                          "pruned-scan job for the whole set)")
     sb.add_argument("--snippet-window", type=int, default=3)
     sb.set_defaults(fn=cmd_search_batch)
+    fc = sub.add_parser("facets",
+                        help="facet-value counts over a query's FULL "
+                             "match set (one GROUPING SETS pass for all "
+                             "dimensions)")
+    fc.add_argument("--index-dir", required=True)
+    fc.add_argument("--query", required=True)
+    fc.add_argument("--fields", required=True,
+                    help="comma-separated stored-corpus metadata columns, "
+                         "e.g. role,tool")
+    fc.add_argument("--mode", default="OR", choices=["OR", "AND", "or", "and"])
+    fc.add_argument("--filter", default=None,
+                    help="doc_filter SQL predicate (filtered facets)")
+    fc.set_defaults(fn=cmd_facets)
     be = sub.add_parser("bench", help="run bench.py")
     be.add_argument("--convs", type=int, default=20000)
     be.set_defaults(fn=cmd_bench)

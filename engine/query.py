@@ -1183,3 +1183,121 @@ def materialize(idx: FlatIndex, topk: DataFrame) -> DataFrame:
     return (idx.docs.join(F.broadcast(topk), "doc_id")
             .select("doc_id", "conv_id", "turn_idx", "text", "score")
             .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+FACET_SCHEMA = "facet_field string, facet_value string, n_docs long"
+
+
+def facets(index, query: str, fields, mode: str = "OR",
+           doc_filter: str | None = None) -> DataFrame:
+    """Faceted search over the packed index (see _facets_impl). Plans are
+    memoized per argument tuple (_plan_cached)."""
+    _warn_if_stale(index)
+    fields = tuple(fields)
+    key = ("fc", query, fields, mode.upper(), doc_filter)
+    return _plan_cached(index, key, lambda: _facets_impl(
+        index, query, list(fields), mode, doc_filter))
+
+
+def _facets_impl(index, query: str, fields: list, mode: str = "OR",
+                 doc_filter: str | None = None) -> DataFrame:
+    """Faceted search: per-facet-value doc counts over the FULL match set
+    of a boolean query — the classic faceted-navigation sidebar next to a
+    top-k result page. Returns (facet_field, facet_value, n_docs), one
+    row per distinct value of each requested corpus metadata column among
+    the documents matching the query (OR: any term; AND: all terms —
+    identical match semantics to search()'s scorer, minus scoring).
+
+    Plan (one job, two shuffles, corpus-size-bounded state nowhere):
+      1. the SAME pruned posting scan as search() (partition-pruned to
+         the query terms' buckets, term-pushed, only the doc_ids/tfs
+         streams read — no WAND columns, no dls) -> a per-shard Arrow
+         kernel decodes each term's VByte stream once and emits matched
+         GLOBAL doc_ids as bare int64s (OR: union bitmap; AND: per-doc
+         distinct-term counts == |terms|). Per-task memory is one
+         width-sized array — the scorer's own invariant.
+      2. the match set joins the corpus on doc_id reading ONLY the facet
+         columns (+ the id-derivation columns) — column pruning keeps
+         the text stream out of the scan entirely, unlike E8 which needs
+         it. An optional doc_filter predicate is pushed into that same
+         corpus scan (filtered facets, frozen filter semantics shared
+         with search()).
+      3. ONE GROUPING SETS aggregation computes EVERY requested facet
+         dimension in a single map-side-partial + one-exchange pass
+         (physical: Expand -> partial HashAggregate -> single hash
+         exchange on (fields..., grouping_id) -> final HashAggregate) —
+         N facet dimensions never cost N shuffles over the match set.
+    Output order is (n_docs desc, facet_field, facet_value) — the
+    conventional facet-sidebar presentation, deterministic under count
+    ties. NULL facet values aggregate into a NULL-valued row of their
+    dimension (SQL GROUP BY semantics, mirrored by the DuckDB twin).
+    """
+    spark = index.spark
+    mode = mode.upper()
+    qtf = query_terms(query, index.cfg.analyzer)
+    empty = spark.createDataFrame([], FACET_SCHEMA)
+    if not qtf or not fields:
+        return empty
+    terms = sorted(qtf)
+    lex = index.lookup_terms(terms)
+    known = [t for t in terms if t in lex]
+    if not known or (mode == "AND" and len(known) < len(terms)):
+        return empty  # unanalyzable / AND with a corpus-absent term
+    n_required = len(terms)
+    buckets = sorted({lex[t]["bucket"] for t in known})
+    post = (index.postings()
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(known))
+            .select("term", "shard", "doc_ids", "tfs"))
+    width = index.shard_width
+    is_and = mode == "AND"
+
+    def fn(key_, pdf):
+        import numpy as np
+        import pandas as pd
+        from . import codec as C
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64)})
+        shard = int(pdf["shard"].iloc[0])
+        start = shard * width
+        if is_and:
+            cnt = np.zeros(width, dtype=np.int32)
+            for i in range(len(pdf)):
+                ids, _ = C.decode_postings(pdf["doc_ids"].iloc[i],
+                                           pdf["tfs"].iloc[i])
+                cnt[ids - start] += 1  # ids unique per (term, shard) row
+            hit = np.flatnonzero(cnt == n_required)
+        else:
+            seen = np.zeros(width, dtype=bool)
+            for i in range(len(pdf)):
+                ids, _ = C.decode_postings(pdf["doc_ids"].iloc[i],
+                                           pdf["tfs"].iloc[i])
+                seen[ids - start] = True
+            hit = np.flatnonzero(seen)
+        return pd.DataFrame({"doc_id": (hit + start).astype(np.int64)})
+
+    matched = post.groupBy("shard").applyInPandas(fn, "doc_id long")
+    corpus = index.corpus()
+    if doc_filter is not None:
+        corpus = corpus.filter(doc_filter)
+    base = matched.join(corpus.select("doc_id", *fields), "doc_id")
+    g = base.groupingSets([[f] for f in fields],
+                          *[F.col(f) for f in fields])
+    agg = g.agg(F.count(F.lit(1)).alias("n_docs"),
+                F.grouping_id().alias("_gid"))
+    # grouping_id -> dimension name: bit i (MSB-first over `fields`) is 1
+    # when that column is EXCLUDED from the set; our sets each keep
+    # exactly one column, so gid identifies the dimension
+    n = len(fields)
+    full = (1 << n) - 1
+    ff = F.lit(None).cast("string")
+    fv = F.lit(None).cast("string")
+    for i, f in enumerate(fields):
+        gid = full ^ (1 << (n - 1 - i))
+        ff = F.when(F.col("_gid") == gid, F.lit(f)).otherwise(ff)
+        fv = F.when(F.col("_gid") == gid,
+                    F.col(f).cast("string")).otherwise(fv)
+    return (agg.select(ff.alias("facet_field"), fv.alias("facet_value"),
+                       "n_docs")
+            .orderBy(F.desc("n_docs"), F.asc("facet_field"),
+                     F.asc("facet_value")))
