@@ -267,6 +267,13 @@ def main():
             idx, Q.search(idx, "hot0 hot1", k=10),
             "hot0 hot1", window=3).collect())
         queries["search_snippets"] = round(dt, 4)
+        # r4 feature: faceted search — FULL match-set facet counts for
+        # two dimensions in ONE GROUPING SETS pass (warm, excluded from
+        # the headline total like the other feature rows)
+        Q.facets(idx, "hot0 hot1", ["role", "tool"]).collect()  # warm
+        dt, _ = tbest(lambda: Q.facets(
+            idx, "hot0 hot1", ["role", "tool"]).collect())
+        queries["search_facets"] = round(dt, 4)
         _top = Q.search(idx, "hot0 hot1", k=10)
         # E8 in isolation (r4): search_snippets above re-executes the
         # underlying SEARCH job when the top-k is collected driver-side,
@@ -335,6 +342,7 @@ def main():
                                  "positions_index_build",
                                  "phrase_2term", "phrase_3term",
                                  "search_filtered", "search_snippets",
+                                 "search_facets",
                                  "snippet_materialize_only",
                                  "wand_corpus_build", "wand_big_shard",
                                  "exhaustive_big_shard", "wand_speedup",
