@@ -135,3 +135,24 @@ def test_materialize_mixed_layout(spark, tmp_path_factory):
     assert got_low and got_high  # both layouts represented
     for r in rows:
         assert r["text"] == pdf.text.iloc[r["doc_id"]]
+
+
+def test_facets_plan_pruned_single_pass(plan_idx):
+    """Faceted search (r4): the match-set posting scan must keep the
+    pruned-scan properties (bucket partition filter, term pushdown, NO
+    WAND/dls columns read), the corpus side must read only the facet +
+    id-derivation columns (text pruned out), and ALL facet dimensions
+    must aggregate through ONE Expand (grouping sets) — never one
+    shuffle per dimension."""
+    out = Q.facets(plan_idx, "hot0 rare3", ["role", "tool"], mode="OR")
+    plan = _formatted(out)
+    assert re.search(r"PartitionFilters: \[.*bucket.*IN", plan), plan
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(term", plan), plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    post_schema = next(s for s in schemas if "doc_ids" in s)
+    assert "blocks" not in post_schema and "dls" not in post_schema
+    corpus_schema = next(s for s in schemas if "role" in s)
+    assert "text" not in corpus_schema  # facet read skips the text stream
+    # one grouping-sets pass for N dims (formatted explain prints each
+    # node twice: tree line + "(n) Expand" detail header — count headers)
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
