@@ -556,6 +556,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return Q.facets(idx, "hash join", ["source"], mode="AND",
                         doc_filter="lang = 'en'")
 
+    def facets_top(spark, sf):
+        # sidebar cap: only the 5 most frequent values per dimension
+        # survive (row_number over the aggregated rows; ties broken by
+        # facet_value asc — deterministic, mirrored by QUALIFY in the
+        # DuckDB twin)
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        return Q.facets(idx, "spark", ["lang", "source"], mode="OR",
+                        top_values=5)
+
     def batch_mixed(spark, sf):
         # E9 with PHRASE entries as full citizens (r4): one job runs
         # BM25 OR/AND, BM25-NOT, phrase, and phrase-NOT entries over the
@@ -659,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": search_snippets,
         "search_facets": search_facets,
         "facets_filtered": facets_filtered,
+        "facets_top": facets_top,
         "batch_mixed": batch_mixed,
         "batch_snippets": batch_snippets,
     }
@@ -761,12 +772,15 @@ def _snippet_sql(query_terms: list[str], k: int = 10,
 
 
 def _facets_sql(query_terms: list[str], mode: str, fields: list[str],
-                where: str | None = None) -> str:
+                where: str | None = None,
+                top_values: int | None = None) -> str:
     """DuckDB twin of engine.query.facets: facet-value counts over the
     FULL match set (OR: any term; AND: all distinct terms), one GROUPING
     SETS pass for every facet dimension — the same aggregation shape the
     Spark plan compiles to (Expand + single-exchange hash aggregate).
-    ``where`` mirrors the doc_filter (restricts counted docs only)."""
+    ``where`` mirrors the doc_filter (restricts counted docs only);
+    ``top_values`` mirrors the per-dimension sidebar cap (QUALIFY
+    row_number == Spark's rank-over-window, same tie order)."""
     terms = sorted(set(query_terms))
     terms_in = ", ".join(f"'{t}'" for t in terms)
     having = (f"HAVING count(DISTINCT term) = {len(terms)}"
@@ -777,6 +791,9 @@ def _facets_sql(query_terms: list[str], mode: str, fields: list[str],
                             for f in fields) + " END"
     fv = "CASE " + " ".join(f"WHEN GROUPING(d.{f}) = 0 THEN d.{f}"
                             for f in fields) + " END"
+    qualify = ("QUALIFY row_number() OVER (PARTITION BY facet_field "
+               f"ORDER BY n_docs DESC, facet_value ASC) <= {top_values}"
+               if top_values is not None else "")
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
@@ -789,6 +806,7 @@ SELECT {ff} AS facet_field, {fv} AS facet_value, count(*) AS n_docs
 FROM documents d JOIN matched USING (doc_id)
 {where_clause}
 GROUP BY GROUPING SETS ({sets})
+{qualify}
 ORDER BY n_docs DESC, facet_field ASC, facet_value ASC"""
 
 
@@ -1076,6 +1094,8 @@ def oracle_sql() -> dict[str, str]:
                                      ["lang", "source"]),
         "facets_filtered": _facets_sql(["hash", "join"], "AND",
                                        ["source"], where="lang = 'en'"),
+        "facets_top": _facets_sql(["spark"], "OR", ["lang", "source"],
+                                  top_values=5),
         "batch_mixed": _batch_mixed_sql(10),
         "batch_snippets": _batch_snippets_sql(10, 3),
         "events_hourly": """

@@ -96,7 +96,8 @@ def cmd_facets(args) -> int:
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
     out = Q.facets(idx, args.query, args.fields.split(","),
-                   mode=args.mode, doc_filter=args.filter)
+                   mode=args.mode, doc_filter=args.filter,
+                   top_values=args.top_values)
     for r in out.collect():
         print(json.dumps(r.asDict(), default=str))
     return 0
@@ -168,6 +169,9 @@ def main(argv=None) -> int:
     fc.add_argument("--mode", default="OR", choices=["OR", "AND", "or", "and"])
     fc.add_argument("--filter", default=None,
                     help="doc_filter SQL predicate (filtered facets)")
+    fc.add_argument("--top-values", type=int, default=None,
+                    help="keep only the N most frequent values per "
+                         "dimension (sidebar cap)")
     fc.set_defaults(fn=cmd_facets)
     be = sub.add_parser("bench", help="run bench.py")
     be.add_argument("--convs", type=int, default=20000)

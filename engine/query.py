@@ -1189,18 +1189,20 @@ FACET_SCHEMA = "facet_field string, facet_value string, n_docs long"
 
 
 def facets(index, query: str, fields, mode: str = "OR",
-           doc_filter: str | None = None) -> DataFrame:
+           doc_filter: str | None = None,
+           top_values: int | None = None) -> DataFrame:
     """Faceted search over the packed index (see _facets_impl). Plans are
     memoized per argument tuple (_plan_cached)."""
     _warn_if_stale(index)
     fields = tuple(fields)
-    key = ("fc", query, fields, mode.upper(), doc_filter)
+    key = ("fc", query, fields, mode.upper(), doc_filter, top_values)
     return _plan_cached(index, key, lambda: _facets_impl(
-        index, query, list(fields), mode, doc_filter))
+        index, query, list(fields), mode, doc_filter, top_values))
 
 
 def _facets_impl(index, query: str, fields: list, mode: str = "OR",
-                 doc_filter: str | None = None) -> DataFrame:
+                 doc_filter: str | None = None,
+                 top_values: int | None = None) -> DataFrame:
     """Faceted search: per-facet-value doc counts over the FULL match set
     of a boolean query — the classic faceted-navigation sidebar next to a
     top-k result page. Returns (facet_field, facet_value, n_docs), one
@@ -1231,6 +1233,14 @@ def _facets_impl(index, query: str, fields: list, mode: str = "OR",
     conventional facet-sidebar presentation, deterministic under count
     ties. NULL facet values aggregate into a NULL-valued row of their
     dimension (SQL GROUP BY semantics, mirrored by the DuckDB twin).
+
+    ``top_values``: keep only the N most frequent values PER dimension
+    (ties broken by facet_value asc — deterministic). A sidebar never
+    shows a high-cardinality dimension exhaustively; the cap is a
+    rank-over-window on the already-aggregated rows (volume = distinct
+    facet values, not docs), so the bound costs one narrow shuffle over
+    facet-cardinality data and the driver never receives an unbounded
+    result.
     """
     spark = index.spark
     mode = mode.upper()
@@ -1297,7 +1307,13 @@ def _facets_impl(index, query: str, fields: list, mode: str = "OR",
         ff = F.when(F.col("_gid") == gid, F.lit(f)).otherwise(ff)
         fv = F.when(F.col("_gid") == gid,
                     F.col(f).cast("string")).otherwise(fv)
-    return (agg.select(ff.alias("facet_field"), fv.alias("facet_value"),
-                       "n_docs")
-            .orderBy(F.desc("n_docs"), F.asc("facet_field"),
-                     F.asc("facet_value")))
+    out = agg.select(ff.alias("facet_field"), fv.alias("facet_value"),
+                     "n_docs")
+    if top_values is not None:
+        from pyspark.sql import Window
+        w = (Window.partitionBy("facet_field")
+             .orderBy(F.desc("n_docs"), F.asc("facet_value")))
+        out = (out.withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") <= top_values).drop("_rk"))
+    return out.orderBy(F.desc("n_docs"), F.asc("facet_field"),
+                       F.asc("facet_value"))

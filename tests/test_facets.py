@@ -80,6 +80,24 @@ def test_facets_output_order_and_schema(packed_index):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_facets_top_values(packed_index):
+    full = Q.facets(packed_index, "hot0 hot1", ["role", "tool"])
+    capped = Q.facets(packed_index, "hot0 hot1", ["role", "tool"],
+                      top_values=2)
+    # expected cap: per dimension, the 2 most frequent values
+    # (n_docs desc, facet_value asc) of the UNCAPPED result
+    want = []
+    rows = sorted(((r.facet_field, -r.n_docs, r.facet_value)
+                   for r in full.collect()))
+    seen = {}
+    for f, neg_n, v in rows:
+        if seen.setdefault(f, 0) < 2:
+            seen[f] += 1
+            want.append((f, v, -neg_n))
+    assert sorted(_got(capped)) == sorted(want)
+    assert all(n == 2 for n in seen.values())  # cap actually binds
+
+
 def test_facets_plan_cached(packed_index):
     a = Q.facets(packed_index, "hot0 hot1", ["role", "tool"], mode="OR")
     b = Q.facets(packed_index, "hot0 hot1", ["role", "tool"], mode="OR")
