@@ -249,6 +249,58 @@ def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str,
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _bm25_prefix_engine(spark: SparkSession, sf_dir: str, prefix: str,
+                        max_expansions: int = 64) -> DataFrame:
+    from engine import query as Q
+    idx = _packed_index(spark, sf_dir)
+    top = Q.search_prefix(idx, prefix, k=10, max_expansions=max_expansions)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_prefix_sql(prefix: str, k: int = 10,
+                     max_expansions: int = 64) -> str:
+    """DuckDB twin of ``engine.query.search_prefix``: the wildcard
+    ``prefix*`` expands to the <= max_expansions matching vocabulary
+    terms — highest df first, term ascending on ties (the engine's
+    frozen deterministic cap rule, replicated here as ORDER BY df DESC,
+    term LIMIT n) — and the expansion scores as BM25 OR with query-term
+    weight 1 per matched term, each term keeping its own global idf."""
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term LIKE '{prefix}%' GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+exp AS (
+  SELECT term, df FROM dfreq ORDER BY df DESC, term ASC
+  LIMIT {max_expansions}
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n - exp.df + 0.5) / (exp.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN exp USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               exclude: list[str] | None = None,
               where: str | None = None) -> str:
@@ -373,6 +425,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_not(spark, sf):
         # boolean NOT: rank for "spark join", excluding docs with "hash"
         return _bm25_engine(spark, sf, "spark join", "OR", exclude="hash")
+
+    def bm25_prefix(spark, sf):
+        # wildcard s* -> {scan, slow, small, sort, spark, stream} via the
+        # pushed-down lexicon range scan; scores as OR, qtf=1 per term
+        return _bm25_prefix_engine(spark, sf, "s*")
+
+    def bm25_prefix_capped(spark, sf):
+        # the expansion cap BINDING: only the 3 highest-df s-terms
+        # survive (df desc, term asc — the frozen deterministic cap rule
+        # the DuckDB twin replicates with ORDER BY ... LIMIT 3)
+        return _bm25_prefix_engine(spark, sf, "s*", max_expansions=3)
 
     def term_stats_hooked(spark, sf):
         # C3 analyzer hooks under the hard gate: stopword removal + the
@@ -643,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and": bm25_and,
         "bm25_qtf": bm25_qtf,
         "bm25_not": bm25_not,
+        "bm25_prefix": bm25_prefix,
+        "bm25_prefix_capped": bm25_prefix_capped,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -979,6 +1044,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and": _bm25_sql(["hash", "join", "merge"], "AND"),
         "bm25_qtf": _bm25_sql(["spark", "spark", "vector"], "OR"),
         "bm25_not": _bm25_sql(["join", "spark"], "OR", exclude=["hash"]),
+        "bm25_prefix": _bm25_prefix_sql("s"),
+        "bm25_prefix_capped": _bm25_prefix_sql("s", max_expansions=3),
         "term_stats_hooked": _term_stats_hooked_sql(),
         "fingerprint": f"""
             SELECT doc_id,

@@ -274,6 +274,15 @@ def main():
         dt, _ = tbest(lambda: Q.facets(
             idx, "hot0 hot1", ["role", "tool"]).collect())
         queries["search_facets"] = round(dt, 4)
+        # r4 feature: wildcard prefix search — memoized lexicon-range
+        # expansion (w1* -> up to 64 terms) + the standard OR scorer;
+        # the FIRST call pays the expansion job, so time it separately
+        idx.refresh()  # drop memos: measure a cold expansion honestly
+        t0 = time.perf_counter()
+        Q.search_prefix(idx, "w1*", k=10).collect()
+        queries["search_prefix_cold"] = round(time.perf_counter() - t0, 4)
+        dt, _ = tbest(lambda: Q.search_prefix(idx, "w1*", k=10).collect())
+        queries["search_prefix"] = round(dt, 4)
         _top = Q.search(idx, "hot0 hot1", k=10)
         # E8 in isolation (r4): search_snippets above re-executes the
         # underlying SEARCH job when the top-k is collected driver-side,
@@ -343,6 +352,7 @@ def main():
                                  "phrase_2term", "phrase_3term",
                                  "search_filtered", "search_snippets",
                                  "search_facets",
+                                 "search_prefix", "search_prefix_cold",
                                  "snippet_materialize_only",
                                  "wand_corpus_build", "wand_big_shard",
                                  "exhaustive_big_shard", "wand_speedup",

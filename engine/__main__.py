@@ -55,15 +55,25 @@ def cmd_search(args) -> int:
     from .build import load_index
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
+    snippet_query = args.query
     if args.mode.upper() == "PHRASE":
         top = Q.search_phrase(idx, args.query, k=args.k,
                               doc_filter=args.filter, exclude=args.exclude)
+    elif args.mode.upper() == "PREFIX":
+        top = Q.search_prefix(idx, args.query, k=args.k,
+                              max_expansions=args.max_expansions,
+                              use_wand=False if args.no_wand else "auto",
+                              exclude=args.exclude, doc_filter=args.filter)
+        # snippets highlight the EXPANDED terms (a prefix is not a token)
+        snippet_query = " ".join(
+            r["term"] for r in idx.expand_prefix(
+                Q.normalize_prefix(args.query), args.max_expansions))
     else:
         top = Q.search(idx, args.query, k=args.k, mode=args.mode,
                        use_wand=False if args.no_wand else "auto",
                        exclude=args.exclude, doc_filter=args.filter)
     if args.snippets:
-        out = Q.materialize_snippets(idx, top, args.query,
+        out = Q.materialize_snippets(idx, top, snippet_query,
                                      window=args.snippet_window)
     elif args.text:
         out = Q.materialize_packed(idx, top)
@@ -129,7 +139,11 @@ def main(argv=None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", default="OR",
-                   choices=["OR", "AND", "PHRASE", "or", "and", "phrase"])
+                   choices=["OR", "AND", "PHRASE", "PREFIX",
+                            "or", "and", "phrase", "prefix"])
+    s.add_argument("--max-expansions", type=int, default=64,
+                   help="PREFIX mode: wildcard expansion cap (highest-df "
+                        "terms kept)")
     s.add_argument("--no-wand", action="store_true")
     s.add_argument("--text", action="store_true", help="materialize text")
     s.add_argument("--exclude", default=None,

@@ -379,7 +379,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                         F.max("max_tf").alias("max_tf"))
                    .withColumn("idf", idf_col(F.col("df"), n_docs,
                                               cfg.bm25.idf_variant)))
-            lex.write.mode("overwrite").parquet(lex_path)
+            # range-sorted by term: each parquet file/row-group covers a
+            # contiguous vocab slice, so term-equality lookups AND prefix
+            # range scans (expand_prefix) prune on min/max stats instead
+            # of touching the whole vocab — at web scale the lexicon is
+            # itself large, and every query starts here
+            lex.sort("term").write.mode("overwrite").parquet(lex_path)
 
     if not man.avgdl:
         # exact corpus stats WITHOUT a dedicated tokenize pass: the
@@ -506,6 +511,47 @@ class PackedIndex:
                 cache.setdefault(t, None)  # absent from corpus
         return {t: cache[t] for t in terms if cache.get(t) is not None}
 
+    def expand_prefix(self, prefix: str,
+                      max_expansions: int = 64) -> list[dict]:
+        """Wildcard expansion ``prefix*`` -> lexicon rows of the matching
+        terms, capped at ``max_expansions`` — highest df first, term
+        ascending on ties (a deterministic cap rule, so the engine and
+        the SQL oracle twin agree on WHICH terms survive when it binds).
+        Returns [{"term", "df", "idf", "bucket", "max_tf"}, ...] in the
+        cap order.
+
+        Plan: ONE lexicon scan with the StartsWith predicate pushed into
+        the parquet reader (the lexicon is written term-sorted, so
+        row-group min/max stats confine the scan to the prefix's vocab
+        slice) + TakeOrderedAndProject for the cap — a metadata-sized
+        collect (<= max_expansions rows). Memoized per (prefix, cap)
+        like lookup_terms; refresh() drops it. Matched rows also seed
+        the term memo, so the downstream scoring query launches zero
+        lexicon jobs of its own."""
+        if max_expansions < 1:
+            raise ValueError("max_expansions must be >= 1")
+        cache = getattr(self, "_prefix_cache", None)
+        if cache is None:
+            cache = self._prefix_cache = {}
+        key = (prefix, int(max_expansions))
+        if key not in cache:
+            rows = (self.lexicon()
+                    .filter(F.col("term").startswith(prefix))
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(int(max_expansions))
+                    .collect())
+            tc = getattr(self, "_term_cache", None)
+            if tc is None:
+                tc = self._term_cache = {}
+            out = []
+            for r in rows:
+                d = {"df": r["df"], "idf": r["idf"],
+                     "bucket": r["bucket"], "max_tf": r["max_tf"]}
+                tc[r["term"]] = d
+                out.append({"term": r["term"], **d})
+            cache[key] = out
+        return cache[key]
+
     def refresh(self) -> None:
         """Revalidate a handle held across ``streaming.append_batch()`` /
         ``compact()``: drop memoized lexicon rows + DataFrame handles AND
@@ -535,6 +581,7 @@ class PackedIndex:
         self._corpus_mixed = any(
             s.segment_id.startswith("inc_") for s in man.segments)
         self._term_cache = {}
+        self._prefix_cache = {}  # expansions change when vocab grows
         self._plan_cache = {}  # prepared plans embed idf/avgdl closures
         self._post_df = None
         self._lex_df = None

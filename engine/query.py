@@ -265,10 +265,68 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
         index, query, k, mode, use_wand, exclude, doc_filter))
 
 
+def normalize_prefix(prefix: str) -> str:
+    """Frozen wildcard-prefix normalization: lowercase, strip the
+    trailing ``*`` if given, and REQUIRE the remainder to be a single
+    well-formed token ([a-z0-9]+). Analyzer hooks (stopwords, stemmer)
+    deliberately do NOT rewrite it — a prefix is not a word, so stemming
+    it would corrupt the match set (the standard multi-term-query rule:
+    wildcard terms match the STORED vocabulary verbatim)."""
+    import re
+    from .config import TOKEN_PATTERN
+    p = (prefix or "").strip().lower()
+    if p.endswith("*"):
+        p = p[:-1]
+    if not p or not re.fullmatch(TOKEN_PATTERN, p):
+        raise ValueError(
+            f"invalid wildcard prefix {prefix!r}: need a single "
+            f"[a-z0-9]+ token, optionally followed by '*'")
+    return p
+
+
+def search_prefix(index, prefix: str, k: int = 10,
+                  max_expansions: int = 64,
+                  use_wand: "bool | str" = "auto",
+                  exclude: str | None = None,
+                  doc_filter: str | None = None) -> DataFrame:
+    """BM25 top-k for the wildcard query ``prefix*``.
+
+    Frozen semantics: the prefix expands to the <= ``max_expansions``
+    matching lexicon terms (highest df first, term ascending on ties —
+    PackedIndex.expand_prefix, the deterministic cap the SQL oracle twin
+    replicates) and the expanded set scores as a standard OR query with
+    query-term weight 1 per matched term (document tf still counts; a
+    repeated wildcard adds nothing). Each matched term keeps its OWN
+    corpus-global idf — rare long variants are worth more than the
+    head word, exactly as if the user had typed the expansion out.
+
+    Plan: expansion is ONE pushed-down lexicon range scan (memoized per
+    (prefix, cap) driver-side; the lexicon is term-sorted on disk so
+    row-group stats confine the scan to the prefix's vocab slice), then
+    the identical single-job scoring plan as ``search`` — pruned
+    postings scan, per-shard Arrow scorer, TakeOrderedAndProject. WAND
+    routing, ``exclude`` and ``doc_filter`` compose unchanged."""
+    _warn_if_stale(index)
+    p = normalize_prefix(prefix)
+    key = ("px", p, k, int(max_expansions), repr(use_wand), exclude,
+           doc_filter)
+
+    def build():
+        rows = index.expand_prefix(p, max_expansions)
+        if not rows:
+            return _empty_topk(index.spark)
+        qtf = {r["term"]: 1 for r in rows}
+        return _search_impl(index, "", k, "OR", use_wand, exclude,
+                            doc_filter, qtf_override=qtf)
+
+    return _plan_cached(index, key, build)
+
+
 def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  use_wand: "bool | str" = "auto",
                  exclude: str | None = None,
-                 doc_filter: str | None = None) -> DataFrame:
+                 doc_filter: str | None = None,
+                 qtf_override: dict | None = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -307,7 +365,10 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     spark = index.spark
     mode = mode.upper()
     acfg = index.cfg.analyzer
-    qtf = query_terms(query, acfg)
+    # qtf_override: pre-resolved {term: weight} (search_prefix expansion)
+    # — terms are stored-vocabulary entries, not analyzer input
+    qtf = dict(qtf_override) if qtf_override is not None \
+        else query_terms(query, acfg)
     empty = _empty_topk(spark)
     if not qtf:
         return empty
@@ -627,13 +688,31 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     score column is its n_phrase count as a double (exact — integer
     counts below 2^53), ranked (score desc, doc_id asc) like the rest
     of the set; ``exclude`` composes with phrase entries too.
+
+    ``{"mode": "PREFIX"}`` entries (wildcard ``prefix*``; optional
+    ``"max_expansions"``, default 64) expand driver-side via the
+    memoized lexicon range scan and score as OR queries with qtf=1 per
+    matched term — same frozen semantics as ``search_prefix``.
     """
     import pandas as pd
     from pyspark.sql import Window
     spark = index.spark
     acfg = index.cfg.analyzer
-    per_q = {q["id"]: query_terms(q["query"], acfg) for q in queries}
-    modes = {q["id"]: q["mode"].upper() for q in queries}
+    # {"mode": "PREFIX"} entries expand driver-side (memoized lexicon
+    # range scan, same frozen cap rule as search_prefix) and then ride
+    # the shared scan/scorer as ordinary OR queries with qtf=1 per
+    # matched term — the expansion never touches the postings job
+    per_q, modes = {}, {}
+    for q in queries:
+        m = q["mode"].upper()
+        if m == "PREFIX":
+            rows = index.expand_prefix(normalize_prefix(q["query"]),
+                                       int(q.get("max_expansions", 64)))
+            per_q[q["id"]] = {r["term"]: 1 for r in rows}
+            m = "OR"
+        else:
+            per_q[q["id"]] = query_terms(q["query"], acfg)
+        modes[q["id"]] = m
     phrases = {q["id"]: tokenize_py(q["query"], acfg) for q in queries
                if q["mode"].upper() == "PHRASE"}
     if phrases and not index.cfg.index_positions:

@@ -147,7 +147,10 @@ def compact(spark: SparkSession, index_dir: str,
            .withColumn("idf", idf_col(F.col("df"), man.n_docs,
                                       (man.bm25 or {}).get("idf_variant",
                                                            "lucene"))))
-    lex.write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+    # term-sorted like the batch build (build_index): equality lookups
+    # and expand_prefix range scans prune on parquet min/max stats
+    lex.sort("term").write.mode("overwrite").parquet(
+        os.path.join(index_dir, "lexicon"))
     man.segments.append(Segment(out_id, max(
         (s.pass_no for s in man.segments), default=0) + 1, out_path,
         src_segments=[s.segment_id for s in srcs], status="complete"))
