@@ -303,7 +303,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 
 def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               exclude: list[str] | None = None,
-              where: str | None = None) -> str:
+              where: str | None = None, offset: int = 0) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
@@ -354,7 +354,7 @@ scored AS (
 )
 SELECT doc_id, round(score, 6) AS score FROM scored
 {_not_in_clause(exclude)}
-ORDER BY score DESC, doc_id ASC LIMIT {k}
+ORDER BY score DESC, doc_id ASC LIMIT {k}{f' OFFSET {offset}' if offset else ''}
 """
 
 
@@ -425,6 +425,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_not(spark, sf):
         # boolean NOT: rank for "spark join", excluding docs with "hash"
         return _bm25_engine(spark, sf, "spark join", "OR", exclude="hash")
+
+    def bm25_page2(spark, sf):
+        # cursor pagination: page 1's last (score, doc_id) verbatim ->
+        # search_after returns ranks 11..20 (oracle: LIMIT 10 OFFSET 10).
+        # The cursor compare is raw-float EXACT inside the engine (frozen
+        # summation order); the oracle twin recomputes the same ranking.
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        p1 = Q.search(idx, "spark join fast", k=10).collect()
+        last = p1[-1]
+        top = Q.search_after(idx, "spark join fast", k=10,
+                             after=(last["score"], last["doc_id"]))
+        return top.select("doc_id", F.round("score", 6).alias("score"))
 
     def bm25_prefix(spark, sf):
         # wildcard s* -> {scan, slow, small, sort, spark, stream} via the
@@ -629,6 +642,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return Q.facets(idx, "spark", ["lang", "source"], mode="OR",
                         top_values=5)
 
+    def facets_prefix(spark, sf):
+        # wildcard faceting: the s* expansion (capped, frozen df-desc
+        # rule) matches as OR; facet counts over that match set
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        return Q.facets(idx, "s*", ["lang", "source"], mode="PREFIX")
+
     def batch_mixed(spark, sf):
         # E9 with PHRASE entries as full citizens (r4): one job runs
         # BM25 OR/AND, BM25-NOT, phrase, and phrase-NOT entries over the
@@ -706,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and": bm25_and,
         "bm25_qtf": bm25_qtf,
         "bm25_not": bm25_not,
+        "bm25_page2": bm25_page2,
         "bm25_prefix": bm25_prefix,
         "bm25_prefix_capped": bm25_prefix_capped,
         "fingerprint": fingerprint,
@@ -735,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": search_facets,
         "facets_filtered": facets_filtered,
         "facets_top": facets_top,
+        "facets_prefix": facets_prefix,
         "batch_mixed": batch_mixed,
         "batch_snippets": batch_snippets,
     }
@@ -838,14 +860,46 @@ def _snippet_sql(query_terms: list[str], k: int = 10,
 
 def _facets_sql(query_terms: list[str], mode: str, fields: list[str],
                 where: str | None = None,
-                top_values: int | None = None) -> str:
+                top_values: int | None = None,
+                prefix: str | None = None,
+                max_expansions: int = 64) -> str:
     """DuckDB twin of engine.query.facets: facet-value counts over the
     FULL match set (OR: any term; AND: all distinct terms), one GROUPING
     SETS pass for every facet dimension — the same aggregation shape the
     Spark plan compiles to (Expand + single-exchange hash aggregate).
     ``where`` mirrors the doc_filter (restricts counted docs only);
     ``top_values`` mirrors the per-dimension sidebar cap (QUALIFY
-    row_number == Spark's rank-over-window, same tie order)."""
+    row_number == Spark's rank-over-window, same tie order).
+    ``prefix`` mirrors facets(mode="PREFIX"): the match set is docs
+    containing ANY of the <= max_expansions highest-df terms matching
+    the prefix (the frozen search_prefix expansion rule)."""
+    if prefix is not None:
+        sets_ = ", ".join(f"(d.{f})" for f in fields)
+        ff_ = "CASE " + " ".join(f"WHEN GROUPING(d.{f}) = 0 THEN '{f}'"
+                                 for f in fields) + " END"
+        fv_ = "CASE " + " ".join(f"WHEN GROUPING(d.{f}) = 0 THEN d.{f}"
+                                 for f in fields) + " END"
+        return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tfq AS (
+  SELECT DISTINCT doc_id, term FROM toks WHERE term LIKE '{prefix}%'
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tfq GROUP BY term
+),
+exp AS (
+  SELECT term FROM dfreq ORDER BY df DESC, term ASC
+  LIMIT {max_expansions}
+),
+matched AS (
+  SELECT DISTINCT doc_id FROM tfq JOIN exp USING (term)
+)
+SELECT {ff_} AS facet_field, {fv_} AS facet_value, count(*) AS n_docs
+FROM documents d JOIN matched USING (doc_id)
+GROUP BY GROUPING SETS ({sets_})
+ORDER BY n_docs DESC, facet_field ASC, facet_value ASC"""
     terms = sorted(set(query_terms))
     terms_in = ", ".join(f"'{t}'" for t in terms)
     having = (f"HAVING count(DISTINCT term) = {len(terms)}"
@@ -1044,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and": _bm25_sql(["hash", "join", "merge"], "AND"),
         "bm25_qtf": _bm25_sql(["spark", "spark", "vector"], "OR"),
         "bm25_not": _bm25_sql(["join", "spark"], "OR", exclude=["hash"]),
+        "bm25_page2": _bm25_sql(["spark", "join", "fast"], "OR", offset=10),
         "bm25_prefix": _bm25_prefix_sql("s"),
         "bm25_prefix_capped": _bm25_prefix_sql("s", max_expansions=3),
         "term_stats_hooked": _term_stats_hooked_sql(),
@@ -1163,6 +1218,8 @@ def oracle_sql() -> dict[str, str]:
                                        ["source"], where="lang = 'en'"),
         "facets_top": _facets_sql(["spark"], "OR", ["lang", "source"],
                                   top_values=5),
+        "facets_prefix": _facets_sql([], "OR", ["lang", "source"],
+                                     prefix="s"),
         "batch_mixed": _batch_mixed_sql(10),
         "batch_snippets": _batch_snippets_sql(10, 3),
         "events_hourly": """

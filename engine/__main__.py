@@ -56,18 +56,31 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
     snippet_query = args.query
+    after = None
+    if args.after:
+        s, _, d = args.after.rpartition(",")
+        after = (float(s), int(d))
     if args.mode.upper() == "PHRASE":
+        if after is not None:
+            print("--after is not supported with --mode PHRASE",
+                  file=sys.stderr)
+            return 2
         top = Q.search_phrase(idx, args.query, k=args.k,
                               doc_filter=args.filter, exclude=args.exclude)
     elif args.mode.upper() == "PREFIX":
         top = Q.search_prefix(idx, args.query, k=args.k,
                               max_expansions=args.max_expansions,
                               use_wand=False if args.no_wand else "auto",
-                              exclude=args.exclude, doc_filter=args.filter)
+                              exclude=args.exclude, doc_filter=args.filter,
+                              after=after)
         # snippets highlight the EXPANDED terms (a prefix is not a token)
         snippet_query = " ".join(
             r["term"] for r in idx.expand_prefix(
                 Q.normalize_prefix(args.query), args.max_expansions))
+    elif after is not None:
+        top = Q.search_after(idx, args.query, k=args.k, mode=args.mode,
+                             after=after, exclude=args.exclude,
+                             doc_filter=args.filter)
     else:
         top = Q.search(idx, args.query, k=args.k, mode=args.mode,
                        use_wand=False if args.no_wand else "auto",
@@ -107,7 +120,8 @@ def cmd_facets(args) -> int:
     idx = load_index(spark, args.index_dir)
     out = Q.facets(idx, args.query, args.fields.split(","),
                    mode=args.mode, doc_filter=args.filter,
-                   top_values=args.top_values)
+                   top_values=args.top_values,
+                   max_expansions=args.max_expansions)
     for r in out.collect():
         print(json.dumps(r.asDict(), default=str))
     return 0
@@ -145,6 +159,9 @@ def main(argv=None) -> int:
                    help="PREFIX mode: wildcard expansion cap (highest-df "
                         "terms kept)")
     s.add_argument("--no-wand", action="store_true")
+    s.add_argument("--after", default=None,
+                   help="cursor pagination: 'score,doc_id' of the last "
+                        "row of the previous page (verbatim)")
     s.add_argument("--text", action="store_true", help="materialize text")
     s.add_argument("--exclude", default=None,
                    help="NOT terms (drop docs containing any of these)")
@@ -180,7 +197,10 @@ def main(argv=None) -> int:
     fc.add_argument("--fields", required=True,
                     help="comma-separated stored-corpus metadata columns, "
                          "e.g. role,tool")
-    fc.add_argument("--mode", default="OR", choices=["OR", "AND", "or", "and"])
+    fc.add_argument("--mode", default="OR",
+                    choices=["OR", "AND", "PREFIX", "or", "and", "prefix"])
+    fc.add_argument("--max-expansions", type=int, default=64,
+                    help="PREFIX mode: wildcard expansion cap")
     fc.add_argument("--filter", default=None,
                     help="doc_filter SQL predicate (filtered facets)")
     fc.add_argument("--top-values", type=int, default=None,

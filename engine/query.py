@@ -135,7 +135,7 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
 
 def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                             n_required, neg_terms=frozenset(),
-                            allowed_loc=None):
+                            allowed_loc=None, cursor=None):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
     Per-posting document lengths come from the inlined ``dls`` stream and
@@ -196,6 +196,20 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
         hit = np.flatnonzero(cnt > 0)
     if hit.size == 0:
         return None
+    if cursor is not None:
+        # search_after pagination: keep only docs STRICTLY after the
+        # cursor in the frozen (score desc, doc_id asc) total order.
+        # Raw float compare is exact because scores are bit-reproducible
+        # (frozen summation order): the caller passes back the previous
+        # page's last (score, doc_id) verbatim. Applied per shard BEFORE
+        # the top-k cut, so each shard re-emits its next k candidates —
+        # per-shard top-k stays globally sufficient on every page.
+        cs, cd = cursor
+        s = acc[hit]
+        ds = hit + start
+        hit = hit[(s < cs) | ((s == cs) & (ds > cd))]
+        if hit.size == 0:
+            return None
     # tie-SAFE per-shard top-k (r4): argpartition alone kept an arbitrary
     # subset of k-boundary score ties — codec.topk_tiebreak widens to the
     # tying ids and applies the frozen (score desc, doc_id asc) order
@@ -265,6 +279,38 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
         index, query, k, mode, use_wand, exclude, doc_filter))
 
 
+def search_after(index, query: str, k: int = 10, mode: str = "OR",
+                 after: "tuple[float, int] | None" = None,
+                 exclude: str | None = None,
+                 doc_filter: str | None = None) -> DataFrame:
+    """Deep pagination: the next ``k`` results STRICTLY after the cursor
+    ``after = (score, doc_id)`` in the frozen (score desc, doc_id asc)
+    total order — pass the previous page's LAST row back verbatim.
+
+    Cursor pagination, not OFFSET: each page costs one ordinary query
+    job (the cursor predicate is evaluated inside the shard scorer
+    before its top-k cut, so every shard re-emits its next k candidates
+    and per-shard top-k stays globally sufficient on every page — page N
+    never rescans or rebuffers pages 1..N-1 the way LIMIT/OFFSET does).
+    The raw-float cursor compare is exact because scores are
+    bit-reproducible (frozen per-term summation order — the same
+    invariant the rank-identity suite pins), so pages are disjoint and
+    complete: walking pages until empty reproduces the full ranking.
+
+    ``after=None`` is page 1 and delegates to ``search`` unchanged
+    (including WAND routing); cursor pages route exhaustive — Block-Max
+    pruning targets the current top-k only. ``exclude``/``doc_filter``
+    compose; use identical arguments on every page of a walk.
+    """
+    if after is None:
+        return search(index, query, k, mode, "auto", exclude, doc_filter)
+    _warn_if_stale(index)
+    cur = (float(after[0]), int(after[1]))
+    key = ("sa", query, k, mode.upper(), cur, exclude, doc_filter)
+    return _plan_cached(index, key, lambda: _search_impl(
+        index, query, k, mode, False, exclude, doc_filter, cursor=cur))
+
+
 def normalize_prefix(prefix: str) -> str:
     """Frozen wildcard-prefix normalization: lowercase, strip the
     trailing ``*`` if given, and REQUIRE the remainder to be a single
@@ -288,7 +334,8 @@ def search_prefix(index, prefix: str, k: int = 10,
                   max_expansions: int = 64,
                   use_wand: "bool | str" = "auto",
                   exclude: str | None = None,
-                  doc_filter: str | None = None) -> DataFrame:
+                  doc_filter: str | None = None,
+                  after: "tuple[float, int] | None" = None) -> DataFrame:
     """BM25 top-k for the wildcard query ``prefix*``.
 
     Frozen semantics: the prefix expands to the <= ``max_expansions``
@@ -305,19 +352,27 @@ def search_prefix(index, prefix: str, k: int = 10,
     row-group stats confine the scan to the prefix's vocab slice), then
     the identical single-job scoring plan as ``search`` — pruned
     postings scan, per-shard Arrow scorer, TakeOrderedAndProject. WAND
-    routing, ``exclude`` and ``doc_filter`` compose unchanged."""
+    routing, ``exclude`` and ``doc_filter`` compose unchanged.
+
+    ``after``: cursor pagination, same contract as ``search_after``
+    (previous page's last (score, doc_id) verbatim; cursor pages route
+    exhaustive). Use the SAME prefix/cap on every page of a walk.
+    """
     _warn_if_stale(index)
     p = normalize_prefix(prefix)
+    cur = (float(after[0]), int(after[1])) if after is not None else None
     key = ("px", p, k, int(max_expansions), repr(use_wand), exclude,
-           doc_filter)
+           doc_filter, cur)
 
     def build():
         rows = index.expand_prefix(p, max_expansions)
         if not rows:
             return _empty_topk(index.spark)
         qtf = {r["term"]: 1 for r in rows}
-        return _search_impl(index, "", k, "OR", use_wand, exclude,
-                            doc_filter, qtf_override=qtf)
+        return _search_impl(index, "", k, "OR",
+                            False if cur is not None else use_wand,
+                            exclude, doc_filter, qtf_override=qtf,
+                            cursor=cur)
 
     return _plan_cached(index, key, build)
 
@@ -326,7 +381,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  use_wand: "bool | str" = "auto",
                  exclude: str | None = None,
                  doc_filter: str | None = None,
-                 qtf_override: dict | None = None) -> DataFrame:
+                 qtf_override: dict | None = None,
+                 cursor: "tuple[float, int] | None" = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -388,6 +444,11 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     buckets = sorted({lex[t]["bucket"] for t in scan_terms})
     if neg:
         use_wand = False  # NOT queries score via the exhaustive path
+    if cursor is not None:
+        # pagination needs docs BELOW page 1's threshold — Block-Max
+        # pruning targets the current top-k only, so cursor pages route
+        # exhaustive (they are as cheap as any other exhaustive query)
+        use_wand = False
     # (doc_filter queries route through the same cost gate: masked WAND
     # is rank-safe — wand.score_shard_wand(allowed_loc=...) — and a
     # selective filter shrinks its candidate set further)
@@ -442,7 +503,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
             else:
                 r = _score_shard_exhaustive(post_pdf, qtfs, idfs, cfgd, k,
                                             mode, width, n_required,
-                                            neg_set, allowed_loc=loc)
+                                            neg_set, allowed_loc=loc,
+                                            cursor=cursor)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -462,7 +524,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
         def fn(key, post_pdf):
             import pandas as pd
             r = _score_shard_exhaustive(post_pdf, qtfs, idfs, cfgd, k, mode,
-                                        width, n_required, neg_set)
+                                        width, n_required, neg_set,
+                                        cursor=cursor)
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
 
@@ -1269,19 +1332,25 @@ FACET_SCHEMA = "facet_field string, facet_value string, n_docs long"
 
 def facets(index, query: str, fields, mode: str = "OR",
            doc_filter: str | None = None,
-           top_values: int | None = None) -> DataFrame:
+           top_values: int | None = None,
+           max_expansions: int = 64) -> DataFrame:
     """Faceted search over the packed index (see _facets_impl). Plans are
-    memoized per argument tuple (_plan_cached)."""
+    memoized per argument tuple (_plan_cached). ``mode="PREFIX"`` facets
+    a wildcard query: the expansion (same frozen cap rule as
+    search_prefix; ``max_expansions``) matches as OR."""
     _warn_if_stale(index)
     fields = tuple(fields)
-    key = ("fc", query, fields, mode.upper(), doc_filter, top_values)
+    key = ("fc", query, fields, mode.upper(), doc_filter, top_values,
+           int(max_expansions))
     return _plan_cached(index, key, lambda: _facets_impl(
-        index, query, list(fields), mode, doc_filter, top_values))
+        index, query, list(fields), mode, doc_filter, top_values,
+        max_expansions))
 
 
 def _facets_impl(index, query: str, fields: list, mode: str = "OR",
                  doc_filter: str | None = None,
-                 top_values: int | None = None) -> DataFrame:
+                 top_values: int | None = None,
+                 max_expansions: int = 64) -> DataFrame:
     """Faceted search: per-facet-value doc counts over the FULL match set
     of a boolean query — the classic faceted-navigation sidebar next to a
     top-k result page. Returns (facet_field, facet_value, n_docs), one
@@ -1323,7 +1392,14 @@ def _facets_impl(index, query: str, fields: list, mode: str = "OR",
     """
     spark = index.spark
     mode = mode.upper()
-    qtf = query_terms(query, index.cfg.analyzer)
+    if mode == "PREFIX":
+        # wildcard facets: the capped expansion (frozen search_prefix
+        # rule, memoized lexicon range scan) matches as OR
+        rows = index.expand_prefix(normalize_prefix(query), max_expansions)
+        qtf = {r["term"]: 1 for r in rows}
+        mode = "OR"
+    else:
+        qtf = query_terms(query, index.cfg.analyzer)
     empty = spark.createDataFrame([], FACET_SCHEMA)
     if not qtf or not fields:
         return empty

@@ -104,3 +104,13 @@ def test_facets_plan_cached(packed_index):
     assert a is b  # prepared-plan cache: identical args -> same plan
     c = Q.facets(packed_index, "hot0 hot1", ["role"], mode="OR")
     assert c is not a
+
+
+def test_facets_prefix_equals_expanded_or(packed_index):
+    """mode=PREFIX == mode=OR over the explicit expansion (the frozen
+    equivalence the DuckDB facets_prefix gate row checks externally)."""
+    terms = [r["term"] for r in packed_index.expand_prefix("rare", 64)]
+    assert len(terms) > 1
+    a = Q.facets(packed_index, "rare*", ["role", "tool"], mode="PREFIX")
+    b = Q.facets(packed_index, " ".join(terms), ["role", "tool"], mode="OR")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
