@@ -40,6 +40,15 @@ _TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 # (portable), so even the mapInPandas media pipeline is hash-gated.
 NO_ORACLE: set[str] = set()
 
+# synthetic corpus recency epoch: 2026-01-01T00:00:00 UTC (see
+# _corpus_from_documents; the DuckDB twins recompute ts arithmetically)
+_TS_EPOCH0 = 1767225600
+# recency-boost gate constants: now = 2026-07-01T00:00:00 UTC (181 days
+# after epoch0 -> every doc has positive age), half-life 30 days
+_BOOST_NOW_ISO = "2026-07-01T00:00:00"
+_BOOST_NOW_S = _TS_EPOCH0 + 181 * 86400
+_BOOST_HL_DAYS = 30.0
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -56,14 +65,21 @@ def _corpus_from_documents(docs: DataFrame) -> DataFrame:
     order -> engine-assigned dense doc_ids equal the table's doc_ids.
     lang/source ride along as extra metadata columns: the engine's stored
     corpus preserves any columns beyond the contract six, which is what
-    query-time doc_filter predicates (bm25_filtered) filter on."""
+    query-time doc_filter predicates (bm25_filtered) filter on.
+
+    ts is a deterministic synthetic recency: epoch(2026-01-01 UTC) +
+    (doc_id % 180) days — a VARYING stored timestamp so the recency-boost
+    and sort-by-field gates rank on real spread, recomputed arithmetically
+    by the DuckDB twins (the driver's documents table has no ts column)."""
     return docs.select(
         F.format_string("conv-%012d", F.col("doc_id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         F.col("text"),
         F.lit("").alias("tool"),
-        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        F.timestamp_seconds(F.lit(_TS_EPOCH0)
+                            + (F.col("doc_id") % 180) * F.lit(86400))
+        .alias("ts"),
         F.col("lang"),
         F.col("source"),
     )
@@ -99,17 +115,20 @@ def _packed_index(spark: SparkSession, sf_dir: str, positions: bool = False):
     bm25_* queries share one build (mirrors real usage: build once, query
     many). ``positions=True`` builds the phrase-capable layout (poss
     stream) — a separate physical index, like a real deployment choosing
-    its schema."""
+    its schema. Both layouts store (lang, source, ts) docvalue columns
+    (engine/docvalues.py) so the dv_filter / recency-boost /
+    sort-by-field gates run against the same shared build."""
     import tempfile
     from engine.build import build_index
     from engine.config import IndexConfig
     key = (spark.sparkContext.applicationId, sf_dir, positions)
     if key not in _PACKED_IDX_CACHE:
         d = tempfile.mkdtemp(prefix="entry_idx_")
-        cfg = IndexConfig(index_positions=True) if positions else None
+        cfg = IndexConfig(index_positions=positions,
+                          doc_values=("lang", "source", "ts"))
         _PACKED_IDX_CACHE[key] = build_index(
             spark, _corpus_from_documents(_docs(spark, sf_dir)), d,
-            **({"cfg": cfg} if cfg else {}))
+            cfg=cfg)
     return _PACKED_IDX_CACHE[key]
 
 
@@ -303,7 +322,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 
 def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               exclude: list[str] | None = None,
-              where: str | None = None, offset: int = 0) -> str:
+              where: str | None = None, offset: int = 0,
+              boost_mult: str | None = None) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
@@ -312,7 +332,12 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
 
     ``where``: doc_filter twin — restricts CANDIDATE docs only; N, avgdl
     and df/idf stay corpus-global (the engine's frozen filter semantics),
-    which is why the restriction sits in the scored CTE, after dfreq."""
+    which is why the restriction sits in the scored CTE, after dfreq.
+
+    ``boost_mult``: recency-boost twin — a SQL expression over doc_id
+    multiplying the frozen BM25 sum AFTER summation (the engine's exact
+    operation order, engine/query.py _score_shard_exhaustive); ranking
+    and rounding both apply to the boosted score."""
     from collections import Counter
     qtf = Counter(query_terms)
     if exclude:
@@ -352,7 +377,9 @@ scored AS (
   {where_clause}
   GROUP BY tf.doc_id {and_filter}
 )
-SELECT doc_id, round(score, 6) AS score FROM scored
+SELECT doc_id,
+       round(score{f' * ({boost_mult})' if boost_mult else ''}, 6) AS score
+FROM scored
 {_not_in_clause(exclude)}
 ORDER BY score DESC, doc_id ASC LIMIT {k}{f' OFFSET {offset}' if offset else ''}
 """
@@ -601,6 +628,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        doc_filter="lang = 'en'")
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def bm25_dv_filtered(spark, sf):
+        # dv_filter: the same frozen candidate-restriction semantics as
+        # doc_filter, served from the index's OWN per-shard docvalue
+        # store (engine/docvalues.py) — zero corpus scan, zero extra
+        # shuffle; the predicate runs in-task via embedded DuckDB over
+        # the cached Arrow slice
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search(idx, "spark join fast", k=10, mode="OR",
+                       dv_filter="lang = 'en' AND source IN "
+                                 "('src1','src2','src3')")
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_recency_boost(spark, sf):
+        # recency boost: score = (frozen BM25 sum) * 0.5 ** (age / hl)
+        # over the stored ts docvalue — multiplier applied AFTER the
+        # frozen summation, inside the scorer task (engine/query.py
+        # _score_shard_exhaustive boost_vec)
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search(idx, "spark join fast", k=10, mode="OR",
+                       boost={"field": "ts",
+                              "half_life_days": _BOOST_HL_DAYS,
+                              "now": _BOOST_NOW_ISO})
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def search_recent(spark, sf):
+        # sort-by-field (Lucene pattern): docs matching ALL query terms
+        # ranked by (ts desc, doc_id asc) from the docvalue store — BM25
+        # never runs; postings resolve membership, the shard's columnar
+        # slice supplies the sort keys (engine/query.py search_sorted)
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search_sorted(idx, "spark join", "ts", k=10, mode="AND")
+        return top.select("doc_id",
+                          F.round("sort_val", 6).alias("sort_val"))
+
     def search_snippets(spark, sf):
         # E8 snippet materialization: top-10 BM25 hits with a +-3-token
         # context window around the first query-term occurrence, computed
@@ -752,6 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_hybrid": bm25_hybrid,
         "phrase_search": phrase_search,
         "bm25_filtered": bm25_filtered,
+        "bm25_dv_filtered": bm25_dv_filtered,
+        "bm25_recency_boost": bm25_recency_boost,
+        "search_recent": search_recent,
         "search_snippets": search_snippets,
         "search_facets": search_facets,
         "facets_filtered": facets_filtered,
@@ -1211,6 +1278,24 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _phrase_sql(["table", "hash"], 10),
         "bm25_filtered": _bm25_sql(["spark", "join", "fast"], "OR",
                                    where="lang = 'en'"),
+        "bm25_dv_filtered": _bm25_sql(
+            ["spark", "join", "fast"], "OR",
+            where="lang = 'en' AND source IN ('src1','src2','src3')"),
+        "bm25_recency_boost": _bm25_sql(
+            ["spark", "join", "fast"], "OR",
+            # ts recomputed arithmetically (documents has no ts column):
+            # epoch0 + (doc_id % 180) days; frozen decay formula
+            boost_mult=(
+                f"power(0.5, greatest(0, {_BOOST_NOW_S} - "
+                f"({_TS_EPOCH0} + (doc_id % 180) * 86400))::DOUBLE "
+                f"/ {_BOOST_HL_DAYS * 86400.0})")),
+        "search_recent": f"""
+SELECT doc_id,
+       round(({_TS_EPOCH0} + (doc_id % 180) * 86400)::DOUBLE, 6) AS sort_val
+FROM documents
+WHERE list_has_all({_TOK_SQL}, ['spark', 'join'])
+ORDER BY sort_val DESC, doc_id ASC LIMIT 10
+""",
         "search_snippets": _snippet_sql(["spark", "join", "fast"], 10, 3),
         "search_facets": _facets_sql(["spark", "join", "fast"], "OR",
                                      ["lang", "source"]),

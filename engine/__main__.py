@@ -38,9 +38,12 @@ def cmd_build(args) -> int:
     else:
         corpus = spark.read.parquet(args.input)
     cfg = DEFAULT
-    if args.positions:
+    if args.positions or args.doc_values:
         from dataclasses import replace
-        cfg = replace(cfg, index_positions=True)
+        cfg = replace(
+            cfg, index_positions=args.positions or cfg.index_positions,
+            doc_values=(tuple(args.doc_values.split(","))
+                        if args.doc_values else cfg.doc_values))
     t0 = time.perf_counter()
     idx = build_index(spark, corpus, args.index_dir, cfg)
     wall = time.perf_counter() - t0
@@ -60,7 +63,33 @@ def cmd_search(args) -> int:
     if args.after:
         s, _, d = args.after.rpartition(",")
         after = (float(s), int(d))
-    if args.mode.upper() == "PHRASE":
+    boost = None
+    if args.boost_field:
+        if not args.boost_now:
+            print("--boost-field requires --boost-now (a frozen ISO-8601 "
+                  "UTC instant keeps runs reproducible)", file=sys.stderr)
+            return 2
+        boost = {"field": args.boost_field,
+                 "half_life_days": args.boost_half_life_days,
+                 "now": args.boost_now}
+    mode_up = args.mode.upper()
+    if (args.dv_filter or boost or args.sort_by) \
+            and mode_up in ("PHRASE", "PREFIX"):
+        print("--dv-filter/--boost-*/--sort-by need --mode OR|AND "
+              "(docvalue paths; phrase/prefix queries take --filter)",
+              file=sys.stderr)
+        return 2
+    if args.sort_by and (boost or after is not None):
+        print("--sort-by replaces the score ranking: it composes with "
+              "--dv-filter/--exclude but not --boost-*/--after",
+              file=sys.stderr)
+        return 2
+    if args.sort_by:
+        top = Q.search_sorted(idx, args.query, args.sort_by, k=args.k,
+                              mode=args.mode, ascending=args.asc,
+                              exclude=args.exclude,
+                              dv_filter=args.dv_filter)
+    elif args.mode.upper() == "PHRASE":
         if after is not None:
             print("--after is not supported with --mode PHRASE",
                   file=sys.stderr)
@@ -80,11 +109,13 @@ def cmd_search(args) -> int:
     elif after is not None:
         top = Q.search_after(idx, args.query, k=args.k, mode=args.mode,
                              after=after, exclude=args.exclude,
-                             doc_filter=args.filter)
+                             doc_filter=args.filter,
+                             dv_filter=args.dv_filter, boost=boost)
     else:
         top = Q.search(idx, args.query, k=args.k, mode=args.mode,
                        use_wand=False if args.no_wand else "auto",
-                       exclude=args.exclude, doc_filter=args.filter)
+                       exclude=args.exclude, doc_filter=args.filter,
+                       dv_filter=args.dv_filter, boost=boost)
     if args.snippets:
         out = Q.materialize_snippets(idx, top, snippet_query,
                                      window=args.snippet_window)
@@ -147,6 +178,10 @@ def main(argv=None) -> int:
                    help="synthetic corpus size (conversations)")
     b.add_argument("--positions", action="store_true",
                    help="store the positions stream (phrase queries)")
+    b.add_argument("--doc-values", default=None,
+                   help="comma-separated corpus columns to store as "
+                        "per-shard docvalues (query-time --dv-filter / "
+                        "--boost-field / --sort-by), e.g. role,ts")
     b.set_defaults(fn=cmd_build)
     s = sub.add_parser("search", help="BM25 top-k search")
     s.add_argument("--index-dir", required=True)
@@ -168,6 +203,23 @@ def main(argv=None) -> int:
     s.add_argument("--filter", default=None,
                    help="doc_filter SQL predicate over stored-corpus "
                         "columns, e.g. \"role = 'user'\"")
+    s.add_argument("--dv-filter", default=None,
+                   help="SQL predicate over the index's STORED docvalue "
+                        "columns — served inside the scorer task (zero "
+                        "corpus scan; index must be built with "
+                        "--doc-values)")
+    s.add_argument("--boost-field", default=None,
+                   help="recency boost: docvalue timestamp column; "
+                        "score *= 0.5 ** (age / half-life)")
+    s.add_argument("--boost-half-life-days", type=float, default=30.0)
+    s.add_argument("--boost-now", default=None,
+                   help="ISO-8601 UTC reference instant (required with "
+                        "--boost-field; frozen so runs are reproducible)")
+    s.add_argument("--sort-by", default=None,
+                   help="rank the match set by this docvalue column "
+                        "instead of BM25 (NULL values excluded)")
+    s.add_argument("--asc", action="store_true",
+                   help="--sort-by ascending (default: descending)")
     s.add_argument("--snippets", action="store_true",
                    help="materialize contextual snippets")
     s.add_argument("--snippet-window", type=int, default=3)

@@ -245,7 +245,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 ("analyzer", man.analyzer or {}, _acfg_dict(cfg)),
                 ("block_size", man.block_size, cfg.block_size),
                 ("n_buckets", man.n_buckets, cfg.n_buckets),
-                ("positions", man.positions, cfg.index_positions)]:
+                ("positions", man.positions, cfg.index_positions),
+                ("doc_values", list(man.doc_values or []),
+                 list(cfg.doc_values))]:
             if old != new:
                 raise ValueError(
                     f"resume plan mismatch at {index_dir}: index built "
@@ -260,6 +262,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                        merge_fanin=cfg.merge_fanin,
                        block_size=cfg.block_size,
                        positions=cfg.index_positions,
+                       doc_values=list(cfg.doc_values),
                        bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
                              "idf_variant": cfg.bm25.idf_variant},
                        analyzer=_acfg_dict(cfg))
@@ -313,6 +316,21 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
 
     w_fine = pack_mod.shard_width(n_docs, fine_slices)
     man.shard_width = w_fine * cfg.merge_fanin ** passes
+
+    # ---- docvalue store (optional; engine/docvalues.py) ----
+    # written at the FINAL scoring-shard grain so every scorer task can
+    # read its own shard's column slice directly. The input is doc-range
+    # sorted, so the partitioned write is shuffle-free; resumable like
+    # any other pass (_SUCCESS-gated, replayed plan refuses drift above).
+    if cfg.doc_values:
+        from .docvalues import dv_path, write_doc_values
+        dvp = dv_path(index_dir)
+        if not _success_marker(dvp):
+            with timer.time("docvalues"):
+                write_doc_values(docs, index_dir, list(cfg.doc_values),
+                                 man.shard_width, mode="overwrite")
+        man.doc_values = list(cfg.doc_values)
+        man.save(index_dir)
 
     # ---- pass 0: pack at fine-slice grain ----
     seg0_id = "seg_p0"
@@ -425,6 +443,9 @@ class PackedIndex:
     # r3 #7: increments are invisible until compact(), and a silent stale
     # read is worse than a warned one). refresh() reloads it.
     completed: bool = True
+    # docvalue columns stored per scoring shard (engine/docvalues.py);
+    # () when the index was built without a docvalue store
+    doc_values: tuple = ()
 
     @property
     def postings_path(self) -> str:
@@ -577,6 +598,7 @@ class PackedIndex:
         self.avgdl = man.avgdl
         self.shard_width = man.shard_width
         self.completed = bool(man.completed)
+        self.doc_values = tuple(man.doc_values or ())
         self._corpus_offsets = man.corpus_offsets
         self._corpus_mixed = any(
             s.segment_id.startswith("inc_") for s in man.segments)
@@ -603,9 +625,11 @@ def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
                       n_buckets=man.n_buckets or DEFAULT.n_buckets,
                       n_slices=man.n_slices or DEFAULT.n_slices,
                       index_positions=bool(man.positions),
+                      doc_values=tuple(man.doc_values or ()),
                       bm25=BM25Config(**bm) if bm else DEFAULT.bm25,
                       analyzer=acfg)
     return PackedIndex(spark=spark, index_dir=index_dir, n_docs=man.n_docs,
                        avgdl=man.avgdl, shard_width=man.shard_width,
                        n_buckets=cfg.n_buckets, cfg=cfg,
-                       completed=bool(man.completed))
+                       completed=bool(man.completed),
+                       doc_values=tuple(man.doc_values or ()))

@@ -126,6 +126,12 @@ class IndexConfig:
     # size, zero query-time cost for non-phrase queries (the poss column
     # is simply not selected by their pruned scan)
     index_positions: bool = False
+    # docvalue columns: corpus attribute columns stored per scoring shard
+    # at build time (engine/docvalues.py — the Lucene "doc values"
+    # pattern). Enables query-time dv_filter / recency boost / sort-by-
+    # field served INSIDE the scorer task: zero corpus scan, zero extra
+    # shuffle. A few bytes/doc/column of index size; empty = off.
+    doc_values: tuple = ()
     # skew: terms whose estimated df exceeds this fraction of N get salted
     # across `skew_splits` sub-groups during the pack stage (D8)
     skew_df_frac: float = 0.10

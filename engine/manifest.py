@@ -57,6 +57,9 @@ class Manifest:
     corpus_offsets: list | None = None
     # index stores the positions stream (phrase queries)
     positions: bool = False
+    # docvalue columns stored per scoring shard (engine/docvalues.py);
+    # part of the resolved plan — resume/append must honor it
+    doc_values: list = field(default_factory=list)
 
     # ---- persistence ----
     @staticmethod

@@ -45,7 +45,8 @@ def _warn_if_stale(index) -> None:
             stacklevel=3)
 
 
-def _empty_topk(spark, with_qid: bool = False) -> DataFrame:
+def _empty_topk(spark, with_qid: bool = False,
+                score_col: str = "score") -> DataFrame:
     """Empty (doc_id, score) result as a LocalRelation.
 
     ``createDataFrame([], schema)`` plans an RDD-backed relation whose
@@ -55,7 +56,7 @@ def _empty_topk(spark, with_qid: bool = False) -> DataFrame:
     collapses to an empty LocalRelation: collect is driver-only."""
     cols = ([F.lit("").alias("qid")] if with_qid else []) + [
         F.col("id").alias("doc_id"),
-        F.lit(0.0).cast("double").alias("score")]
+        F.lit(0.0).cast("double").alias(score_col)]
     return spark.range(0).select(*cols)
 
 
@@ -135,7 +136,7 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
 
 def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                             n_required, neg_terms=frozenset(),
-                            allowed_loc=None, cursor=None):
+                            allowed_loc=None, cursor=None, boost_vec=None):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
     Per-posting document lengths come from the inlined ``dls`` stream and
@@ -196,6 +197,13 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
         hit = np.flatnonzero(cnt > 0)
     if hit.size == 0:
         return None
+    if boost_vec is not None:
+        # score = (BM25 sum) * multiplier — multiplication AFTER the
+        # frozen per-term summation, mirroring the oracle twins exactly
+        # (docvalues.recency_multiplier documents the formula). Applied
+        # at hit positions only; cursor compare and top-k use the
+        # boosted score (the ranking the caller pages through).
+        acc[hit] *= boost_vec[hit]
     if cursor is not None:
         # search_after pagination: keep only docs STRICTLY after the
         # cursor in the frozen (score desc, doc_id asc) total order.
@@ -267,22 +275,68 @@ def _plan_cached(index, key, build):
     return df
 
 
+def _norm_boost(index, boost: "dict | None"):
+    """Driver-side normalization of a recency-boost spec ->
+    (field, now_epoch_s, half_life_s), validated against the index's
+    docvalue schema. ``boost = {"field": <docvalue column>,
+    "half_life_days": float, "now": epoch-seconds number | ISO-8601
+    string (UTC)}``. Frozen formula (docvalues.recency_multiplier):
+    score *= 0.5 ** (max(0, now - ts) / half_life)."""
+    if boost is None:
+        return None
+    field = boost["field"]
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"boost field {field!r} is not a docvalue column of this "
+            f"index (stored: {list(index.doc_values or ())}; build with "
+            f"IndexConfig(doc_values=...))")
+    hl = float(boost["half_life_days"]) * 86400.0
+    if hl <= 0:
+        raise ValueError("half_life_days must be > 0")
+    now = boost["now"]
+    if isinstance(now, str):
+        from datetime import datetime, timezone
+        now_s = datetime.fromisoformat(now).replace(
+            tzinfo=timezone.utc).timestamp()
+    else:
+        now_s = float(now)
+    return (field, now_s, hl)
+
+
+def _require_dv(index, dv_filter: "str | None") -> None:
+    if dv_filter is not None and not (index.doc_values or ()):
+        raise ValueError(
+            "dv_filter requires an index built with a docvalue store "
+            "(IndexConfig(doc_values=...)); for arbitrary corpus "
+            "predicates use doc_filter instead")
+
+
+def _boost_key(boost: "dict | None"):
+    return tuple(sorted(boost.items())) if boost else None
+
+
 def search(index, query: str, k: int = 10, mode: str = "OR",
            use_wand: "bool | str" = "auto",
            exclude: str | None = None,
-           doc_filter: str | None = None) -> DataFrame:
+           doc_filter: str | None = None,
+           dv_filter: str | None = None,
+           boost: dict | None = None) -> DataFrame:
     """BM25 top-k over the packed index (see _search_impl for the full
     plan notes). Plans are memoized per argument tuple (_plan_cached)."""
     _warn_if_stale(index)
-    key = ("s", query, k, mode.upper(), repr(use_wand), exclude, doc_filter)
+    key = ("s", query, k, mode.upper(), repr(use_wand), exclude, doc_filter,
+           dv_filter, _boost_key(boost))
     return _plan_cached(index, key, lambda: _search_impl(
-        index, query, k, mode, use_wand, exclude, doc_filter))
+        index, query, k, mode, use_wand, exclude, doc_filter,
+        dv_filter=dv_filter, boost=boost))
 
 
 def search_after(index, query: str, k: int = 10, mode: str = "OR",
                  after: "tuple[float, int] | None" = None,
                  exclude: str | None = None,
-                 doc_filter: str | None = None) -> DataFrame:
+                 doc_filter: str | None = None,
+                 dv_filter: str | None = None,
+                 boost: dict | None = None) -> DataFrame:
     """Deep pagination: the next ``k`` results STRICTLY after the cursor
     ``after = (score, doc_id)`` in the frozen (score desc, doc_id asc)
     total order — pass the previous page's LAST row back verbatim.
@@ -303,12 +357,130 @@ def search_after(index, query: str, k: int = 10, mode: str = "OR",
     compose; use identical arguments on every page of a walk.
     """
     if after is None:
-        return search(index, query, k, mode, "auto", exclude, doc_filter)
+        return search(index, query, k, mode, "auto", exclude, doc_filter,
+                      dv_filter=dv_filter, boost=boost)
     _warn_if_stale(index)
     cur = (float(after[0]), int(after[1]))
-    key = ("sa", query, k, mode.upper(), cur, exclude, doc_filter)
+    key = ("sa", query, k, mode.upper(), cur, exclude, doc_filter,
+           dv_filter, _boost_key(boost))
     return _plan_cached(index, key, lambda: _search_impl(
-        index, query, k, mode, False, exclude, doc_filter, cursor=cur))
+        index, query, k, mode, False, exclude, doc_filter, cursor=cur,
+        dv_filter=dv_filter, boost=boost))
+
+
+def search_sorted(index, query: str, field: str, k: int = 10,
+                  mode: str = "AND", ascending: bool = False,
+                  exclude: str | None = None,
+                  dv_filter: str | None = None) -> DataFrame:
+    """Match-set top-k ranked by a STORED docvalue field (the Lucene
+    sort-by-field pattern — e.g. "most recent docs mentioning X"):
+    docs matching ``query`` under ``mode`` semantics, ranked by
+    ``(field asc/desc, doc_id asc)``. Returns (doc_id, sort_val) where
+    ``sort_val`` is the field value as float64 (timestamps -> epoch
+    seconds; sub-second precision preserved).
+
+    Frozen contract: docs whose field value is NULL (or that predate the
+    docvalue store) are EXCLUDED — "sort by X" over unknown X is
+    undefined, and silently ranking them first/last would poison page 1.
+    The oracle twin adds ``AND <field> IS NOT NULL``. ``exclude`` (NOT
+    terms) and ``dv_filter`` compose exactly as in ``search``.
+
+    Plan shape (the 100 TB argument): the ONLY scan is the pruned
+    postings read — no corpus scan, no score computation. Each scorer
+    task resolves its match set from the postings, gathers the <= |hits|
+    sort keys from its own shard's cached docvalue slice
+    (docvalues.sort_values — a sequential columnar read), and emits its
+    local top-k; TakeOrderedAndProject finishes globally. BM25 never
+    runs: tf streams decode only to resolve membership.
+    """
+    _warn_if_stale(index)
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"sort field {field!r} is not a docvalue column of this "
+            f"index (stored: {list(index.doc_values or ())}; build with "
+            f"IndexConfig(doc_values=...))")
+    _require_dv(index, dv_filter)
+    key = ("ss", query, field, k, mode.upper(), ascending, exclude,
+           dv_filter)
+    return _plan_cached(index, key, lambda: _search_sorted_impl(
+        index, query, field, k, mode, ascending, exclude, dv_filter))
+
+
+def _search_sorted_impl(index, query: str, field: str, k: int,
+                        mode: str, ascending: bool,
+                        exclude: str | None,
+                        dv_filter: str | None) -> DataFrame:
+    import numpy as np
+    spark = index.spark
+    mode = mode.upper()
+    acfg = index.cfg.analyzer
+    qtf = query_terms(query, acfg)
+    empty = _empty_topk(spark, score_col="sort_val")
+    if not qtf:
+        return empty
+    neg = sorted(set(tokenize_py(exclude, acfg)) - set(qtf)) if exclude else []
+    terms = sorted(qtf)
+    lex = index.lookup_terms(sorted(set(terms) | set(neg)))
+    known = [t for t in terms if t in lex]
+    if (mode == "AND" and len(known) < len(terms)) or not known:
+        return empty
+    neg = [t for t in neg if t in lex]
+    n_required = len(terms)
+    scan_terms = sorted(set(known) | set(neg))
+    buckets = sorted({lex[t]["bucket"] for t in scan_terms})
+    post = (index.postings()
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(scan_terms))
+            .select("term", "shard", "doc_ids", "tfs"))
+    width = index.shard_width
+    neg_set = frozenset(neg)
+    dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+    def fn(key_, post_pdf):
+        import pandas as pd
+        from . import codec as C
+        from .docvalues import eval_filter, sort_values
+        empty_r = pd.DataFrame({"doc_id": [], "sort_val": []})
+        if len(post_pdf) == 0:
+            return empty_r
+        shard = int(post_pdf["shard"].iloc[0])
+        start = shard * width
+        cnt = np.zeros(width, dtype=np.int32)
+        negmask = np.zeros(width, dtype=bool) if neg_set else None
+        for i in range(len(post_pdf)):
+            ids, _ = C.decode_postings(post_pdf["doc_ids"].iloc[i],
+                                       post_pdf["tfs"].iloc[i])
+            loc = ids - start
+            if post_pdf["term"].iloc[i] in neg_set:
+                negmask[loc] = True
+            else:
+                cnt[loc] += 1
+        if negmask is not None:
+            cnt[negmask] = -1
+        if dv_filter is not None:
+            allow = np.zeros(width, dtype=bool)
+            allow[eval_filter(dv_dir, shard, dv_gen, dv_filter)] = True
+            cnt[~allow] = -1
+        hit = np.flatnonzero(cnt == n_required) if mode == "AND" \
+            else np.flatnonzero(cnt > 0)
+        if hit.size == 0:
+            return empty_r
+        vals = sort_values(dv_dir, shard, dv_gen, field, hit)
+        ok = ~np.isnan(vals)   # frozen: NULL sort keys are excluded
+        hit, vals = hit[ok], vals[ok]
+        if hit.size == 0:
+            return empty_r
+        # per-shard top-k in the frozen (field asc/desc, doc_id asc)
+        # order — lexsort's LAST key is primary
+        order = np.lexsort((hit, vals if ascending else -vals))[:k]
+        return pd.DataFrame(
+            {"doc_id": (hit[order] + start).astype(np.int64),
+             "sort_val": vals[order]})
+
+    ranked = (post.groupBy("shard")
+              .applyInPandas(fn, "doc_id long, sort_val double"))
+    key_order = F.asc("sort_val") if ascending else F.desc("sort_val")
+    return ranked.orderBy(key_order, F.asc("doc_id")).limit(k)
 
 
 def normalize_prefix(prefix: str) -> str:
@@ -382,7 +554,9 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  exclude: str | None = None,
                  doc_filter: str | None = None,
                  qtf_override: dict | None = None,
-                 cursor: "tuple[float, int] | None" = None) -> DataFrame:
+                 cursor: "tuple[float, int] | None" = None,
+                 dv_filter: str | None = None,
+                 boost: dict | None = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -420,6 +594,17 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     from .build import PackedIndex  # noqa: F401 (typing)
     spark = index.spark
     mode = mode.upper()
+    # docvalue-served restriction/boost (engine/docvalues.py): dv_filter
+    # is an ANSI-SQL predicate over the index's STORED docvalue columns,
+    # evaluated inside each scorer task over its own shard's column
+    # slice — zero corpus scan, zero extra shuffle (the scale-path
+    # alternative to doc_filter for indexed attributes; both compose:
+    # the masks intersect). ``boost`` multiplies each doc's BM25 score
+    # by the frozen recency decay (docvalues.recency_multiplier) —
+    # boosted queries route exhaustive (block-max bounds don't carry a
+    # per-doc multiplier).
+    bst = _norm_boost(index, boost)
+    _require_dv(index, dv_filter)
     acfg = index.cfg.analyzer
     # qtf_override: pre-resolved {term: weight} (search_prefix expansion)
     # — terms are stored-vocabulary entries, not analyzer input
@@ -444,6 +629,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     buckets = sorted({lex[t]["bucket"] for t in scan_terms})
     if neg:
         use_wand = False  # NOT queries score via the exhaustive path
+    if bst is not None:
+        use_wand = False  # per-doc multiplier invalidates block bounds
     if cursor is not None:
         # pagination needs docs BELOW page 1's threshold — Block-Max
         # pruning targets the current top-k only, so cursor pages route
@@ -481,6 +668,23 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     width = index.shard_width
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b, "avgdl": index.avgdl}
     neg_set = frozenset(neg)
+    # docvalue closures: evaluated INSIDE the scorer task over its own
+    # shard's cached column slice. dv_gen (index generation) keys the
+    # worker cache so a refreshed handle never serves a stale slice.
+    dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+    def _dv_allowed(shard: int):
+        if dv_filter is None:
+            return None
+        from .docvalues import eval_filter
+        return eval_filter(dv_dir, shard, dv_gen, dv_filter)
+
+    def _boost_vec(shard: int):
+        if bst is None:
+            return None
+        from .docvalues import recency_multiplier
+        return recency_multiplier(dv_dir, shard, dv_gen, width,
+                                  bst[0], bst[1], bst[2])
 
     if doc_filter is not None:
         allowed = _allowed_shards(index, doc_filter, width)
@@ -497,6 +701,9 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
             shard = int(post_pdf["shard"].iloc[0])
             loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
                    - shard * width)
+            dvl = _dv_allowed(shard)
+            if dvl is not None:  # doc_filter AND dv_filter: intersect
+                loc = np.intersect1d(loc, dvl)
             if wand_on:
                 r = score_shard_wand(post_pdf, qtfs, idfs, cfgd, k, width,
                                      allowed_loc=loc)
@@ -504,7 +711,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                 r = _score_shard_exhaustive(post_pdf, qtfs, idfs, cfgd, k,
                                             mode, width, n_required,
                                             neg_set, allowed_loc=loc,
-                                            cursor=cursor)
+                                            cursor=cursor,
+                                            boost_vec=_boost_vec(shard))
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -517,15 +725,24 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
 
         def fn(key, post_pdf):
             import pandas as pd
-            r = scorer_fn(post_pdf, qtfs, idfs, cfgd, k, width)
+            if len(post_pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            shard = int(post_pdf["shard"].iloc[0])
+            r = scorer_fn(post_pdf, qtfs, idfs, cfgd, k, width,
+                          allowed_loc=_dv_allowed(shard))
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
     else:
         def fn(key, post_pdf):
             import pandas as pd
+            if len(post_pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            shard = int(post_pdf["shard"].iloc[0])
             r = _score_shard_exhaustive(post_pdf, qtfs, idfs, cfgd, k, mode,
                                         width, n_required, neg_set,
-                                        cursor=cursor)
+                                        allowed_loc=_dv_allowed(shard),
+                                        cursor=cursor,
+                                        boost_vec=_boost_vec(shard))
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
 

@@ -48,6 +48,7 @@ def create_streaming_index(spark: SparkSession, index_dir: str,
                    merge_fanin=cfg.merge_fanin,
                    block_size=cfg.block_size, shard_width=width,
                    positions=cfg.index_positions,
+                   doc_values=list(cfg.doc_values),
                    bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
                          "idf_variant": cfg.bm25.idf_variant},
                    analyzer=_acfg_dict(cfg))
@@ -96,6 +97,13 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     docs.write.mode("append").parquet(os.path.join(index_dir, "corpus"))
     docs.select("doc_id", "conv_id", "turn_idx") \
         .write.mode("append").parquet(os.path.join(index_dir, "docmap"))
+    if man.doc_values:
+        # the index's docvalue layout is fixed at creation (like the
+        # positions stream) — every append extends the per-shard column
+        # store so dv_filter/boost/sort stay complete after compaction
+        from .docvalues import write_doc_values
+        write_doc_values(docs, index_dir, list(man.doc_values),
+                         man.shard_width, mode="append")
     docs.unpersist()
     sum_new = spark.read.parquet(seg_path).agg(F.sum("cf")).first()[0] or 0
     man.segments.append(Segment(inc_id, -1, seg_path, rows=-1,

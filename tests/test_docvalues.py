@@ -1,0 +1,281 @@
+"""Docvalue store (engine/docvalues.py): per-shard columnar doc
+attributes serving query-time dv_filter / recency boost / sort-by-field
+INSIDE the scorer task — zero corpus scan, zero extra shuffle (r4;
+SURVEY.md §2.E extensions; the Lucene "doc values" pattern).
+
+Frozen contracts under test:
+* dv_filter over a stored column is RESULT-IDENTICAL to doc_filter with
+  the same predicate (both = candidate restriction under global stats);
+* boost: score = (frozen BM25 sum) * 0.5 ** (max(0, now - ts) / hl),
+  multiplication after the summation — verified against a pure-Python
+  recompute over the unboosted full ranking;
+* search_sorted: match set ranked by (field asc/desc, doc_id asc) with
+  NULL sort keys excluded;
+* appends extend the store (dv_filter stays complete after compact);
+* resume refuses a doc_values plan drift.
+"""
+
+import datetime
+
+import pytest
+
+from engine import query as Q
+from engine.config import IndexConfig
+
+NOW = "2026-02-01T00:00:00"
+HL_DAYS = 7.0
+
+
+def _epoch(ts):
+    return ts.replace(tzinfo=datetime.timezone.utc).timestamp()
+
+
+@pytest.fixture(scope="module")
+def dv_index(spark, corpus_df, tmp_path_factory):
+    from engine.build import build_index
+    d = str(tmp_path_factory.mktemp("dvidx") / "packed")
+    return build_index(spark, corpus_df, d,
+                       cfg=IndexConfig(doc_values=("role", "ts")))
+
+
+@pytest.fixture(scope="module")
+def corpus_rows(dv_index):
+    return {r.doc_id: r for r in
+            dv_index.corpus().select("doc_id", "role", "ts").collect()}
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+@pytest.mark.parametrize("pred", ["role = 'user'",
+                                  "role IN ('user','assistant') AND "
+                                  "ts >= TIMESTAMP '2026-01-01 02:00:00'"])
+def test_dv_filter_equals_doc_filter(dv_index, mode, pred):
+    q = "hot0 mid1" if mode == "OR" else "hot0 hot1"
+    a = [(r.doc_id, r.score) for r in
+         Q.search(dv_index, q, k=10, mode=mode, dv_filter=pred).collect()]
+    b = [(r.doc_id, r.score) for r in
+         Q.search(dv_index, q, k=10, mode=mode, doc_filter=pred).collect()]
+    assert a == b
+    assert a  # non-degenerate
+
+
+def test_dv_filter_composes_with_doc_filter(dv_index):
+    # intersect semantics: dv_filter AND doc_filter == one doc_filter
+    # over the conjunction
+    a = [(r.doc_id, r.score) for r in
+         Q.search(dv_index, "hot0 rare7", k=10, mode="OR",
+                  dv_filter="role = 'user'",
+                  doc_filter="turn_idx >= 1").collect()]
+    b = [(r.doc_id, r.score) for r in
+         Q.search(dv_index, "hot0 rare7", k=10, mode="OR",
+                  doc_filter="role = 'user' AND turn_idx >= 1").collect()]
+    assert a == b
+
+
+def test_dv_filter_wand_rank_identity(dv_index):
+    got = [(r.doc_id, r.score) for r in
+           Q.search(dv_index, "hot0 mid1 mid2", k=10, mode="OR",
+                    use_wand=True, dv_filter="role = 'user'").collect()]
+    want = [(r.doc_id, r.score) for r in
+            Q.search(dv_index, "hot0 mid1 mid2", k=10, mode="OR",
+                     use_wand=False, dv_filter="role = 'user'").collect()]
+    assert got == want
+
+
+def _boosted_oracle(dv_index, corpus_rows, q, k, mode="OR",
+                    role=None):
+    """Unboosted FULL ranking x recomputed multiplier, re-sorted."""
+    now_s = _epoch(datetime.datetime.fromisoformat(NOW))
+    hl_s = HL_DAYS * 86400.0
+    full = Q.search(dv_index, q, k=dv_index.n_docs, mode=mode).collect()
+    out = []
+    for r in full:
+        row = corpus_rows[r.doc_id]
+        if role is not None and row.role != role:
+            continue
+        m = 0.5 ** (max(0.0, now_s - _epoch(row.ts)) / hl_s)
+        out.append((r.doc_id, r.score * m))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_boost_matches_recompute(dv_index, corpus_rows, mode):
+    q = "hot0 mid1"
+    boost = {"field": "ts", "half_life_days": HL_DAYS, "now": NOW}
+    got = [(r.doc_id, r.score) for r in
+           Q.search(dv_index, q, k=10, mode=mode, boost=boost).collect()]
+    want = _boosted_oracle(dv_index, corpus_rows, q, 10, mode)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_boost_composes_with_dv_filter(dv_index, corpus_rows):
+    q = "hot0 mid1"
+    boost = {"field": "ts", "half_life_days": HL_DAYS, "now": NOW}
+    got = [(r.doc_id, r.score) for r in
+           Q.search(dv_index, q, k=10, mode="OR", boost=boost,
+                    dv_filter="role = 'user'").collect()]
+    want = _boosted_oracle(dv_index, corpus_rows, q, 10, "OR", role="user")
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_boost_pagination_walk(dv_index, corpus_rows):
+    """search_after pages through the BOOSTED total order."""
+    q = "hot0 mid1"
+    boost = {"field": "ts", "half_life_days": HL_DAYS, "now": NOW}
+    want = _boosted_oracle(dv_index, corpus_rows, q, 15, "OR")
+    p1 = Q.search(dv_index, q, k=5, boost=boost).collect()
+    p2 = Q.search_after(dv_index, q, k=5, boost=boost,
+                        after=(p1[-1].score, p1[-1].doc_id)).collect()
+    p3 = Q.search_after(dv_index, q, k=5, boost=boost,
+                        after=(p2[-1].score, p2[-1].doc_id)).collect()
+    got = [(r.doc_id, r.score) for r in (*p1, *p2, *p3)]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def _sorted_oracle(dv_index, corpus_pdf, oracle_idx, q, k, mode="OR",
+                   ascending=False, exclude=None, role=None):
+    from engine.analyzer import tokenize_py
+    acfg = dv_index.cfg.analyzer
+    terms = set(tokenize_py(q, acfg))
+    neg = set(tokenize_py(exclude, acfg)) - terms if exclude else set()
+    out = []
+    for doc_id, (text, r, ts) in enumerate(
+            zip(corpus_pdf.text, corpus_pdf.role, corpus_pdf.ts)):
+        toks = set(tokenize_py(text, acfg))
+        hitset = toks & terms
+        hit = (hitset == terms) if mode == "AND" else bool(hitset)
+        if hit and not (toks & neg) and (role is None or r == role):
+            out.append((doc_id, _epoch(ts.to_pydatetime())))
+    out.sort(key=lambda t: (t[1] if ascending else -t[1], t[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("mode,ascending", [("OR", False), ("OR", True),
+                                            ("AND", False)])
+def test_search_sorted(dv_index, corpus_pdf, oracle_idx, mode, ascending):
+    q = "hot0 mid1"
+    got = [(r.doc_id, r.sort_val) for r in
+           Q.search_sorted(dv_index, q, "ts", k=12, mode=mode,
+                           ascending=ascending).collect()]
+    want = _sorted_oracle(dv_index, corpus_pdf, oracle_idx, q, 12, mode,
+                          ascending)
+    assert got == want
+
+
+def test_search_sorted_filter_and_exclude(dv_index, corpus_pdf,
+                                          oracle_idx):
+    got = [(r.doc_id, r.sort_val) for r in
+           Q.search_sorted(dv_index, "hot0", "ts", k=12, mode="AND",
+                           exclude="mid1",
+                           dv_filter="role = 'user'").collect()]
+    want = _sorted_oracle(dv_index, corpus_pdf, oracle_idx, "hot0", 12,
+                          "AND", exclude="mid1", role="user")
+    assert got == want
+
+
+def test_search_sorted_unknown_term(dv_index):
+    assert Q.search_sorted(dv_index, "zzzznotaterm", "ts", k=5,
+                           mode="AND").collect() == []
+
+
+def test_validation_errors(spark, corpus_df, dv_index, tmp_path):
+    from engine.build import build_index
+    with pytest.raises(ValueError, match="not a docvalue column"):
+        Q.search(dv_index, "hot0", boost={"field": "nope",
+                                          "half_life_days": 1, "now": NOW})
+    with pytest.raises(ValueError, match="half_life_days"):
+        Q.search(dv_index, "hot0", boost={"field": "ts",
+                                          "half_life_days": 0, "now": NOW})
+    with pytest.raises(ValueError, match="not a docvalue column"):
+        Q.search_sorted(dv_index, "hot0", "lang")
+    plain = build_index(spark, corpus_df, str(tmp_path / "plain"))
+    with pytest.raises(ValueError, match="docvalue store"):
+        Q.search(plain, "hot0", dv_filter="role = 'user'")
+
+
+def test_resume_refuses_dv_drift(spark, corpus_df, tmp_path):
+    from engine.build import build_index
+    from engine.manifest import Manifest
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus_df, d, cfg=IndexConfig(doc_values=("role",)))
+    # simulate an interrupted build: completed base, pending segments
+    man = Manifest.load(d)
+    man.completed = False
+    man.save(d)
+    with pytest.raises(ValueError, match="doc_values"):
+        build_index(spark, corpus_df, d,
+                    cfg=IndexConfig(doc_values=("role", "ts")))
+
+
+def test_cli_docvalue_flags(tmp_path):
+    """CLI: build --doc-values, then --dv-filter / --boost-* / --sort-by
+    round-trips (engine/__main__.py)."""
+    import json
+    import subprocess
+    import sys
+
+    def run(*argv):
+        return subprocess.run([sys.executable, "-m", "engine", *argv],
+                              capture_output=True, text=True,
+                              cwd="/root/repo", timeout=300)
+
+    d = str(tmp_path / "cli_dv_idx")
+    r = run("build", "--input", "synthetic", "--convs", "120",
+            "--index-dir", d, "--doc-values", "role,ts")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run("search", "--index-dir", d, "--query", "hot0 mid1",
+            "--k", "5", "--dv-filter", "role = 'user'")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(x) for x in r.stdout.splitlines()
+            if x.startswith("{")]
+    assert rows and all("score" in x for x in rows)
+    r = run("search", "--index-dir", d, "--query", "hot0 mid1", "--k", "5",
+            "--boost-field", "ts", "--boost-half-life-days", "7",
+            "--boost-now", "2026-02-01T00:00:00", "--text")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert any(x.startswith("{") for x in r.stdout.splitlines())
+    r = run("search", "--index-dir", d, "--query", "hot0", "--k", "5",
+            "--sort-by", "ts", "--mode", "AND")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(x) for x in r.stdout.splitlines()
+            if x.startswith("{")]
+    assert rows and all("sort_val" in x for x in rows)
+    # guards: boost without now; sort-by under PHRASE
+    assert run("search", "--index-dir", d, "--query", "hot0",
+               "--boost-field", "ts").returncode == 2
+    assert run("search", "--index-dir", d, "--query", "hot0 mid1",
+               "--mode", "PHRASE", "--sort-by", "ts").returncode == 2
+
+
+def test_streaming_appends_extend_store(spark, corpus_df, tmp_path):
+    """dv_filter/search_sorted results over an incremental index equal
+    the batch-built index's after compaction (the store is extended by
+    every append, engine/streaming.py)."""
+    from engine.build import build_index, load_index
+    from engine.streaming import (append_batch, compact,
+                                  create_streaming_index)
+    cfg = IndexConfig(doc_values=("role", "ts"))
+    bd = str(tmp_path / "batch")
+    batch_idx = build_index(spark, corpus_df, bd, cfg=cfg)
+    sd = str(tmp_path / "stream")
+    n = corpus_df.count()
+    create_streaming_index(spark, sd, expected_docs=n, cfg=cfg)
+    half = corpus_df.orderBy("conv_id", "turn_idx").limit(n // 2)
+    rest = (corpus_df.orderBy("conv_id", "turn_idx")
+            .subtract(half))
+    # arrival order == (conv_id, turn_idx) order: append sorted halves
+    append_batch(spark, half.orderBy("conv_id", "turn_idx"), sd, cfg=cfg)
+    append_batch(spark, rest.orderBy("conv_id", "turn_idx"), sd, cfg=cfg)
+    compact(spark, sd)
+    inc = load_index(spark, sd)
+    assert inc.doc_values == ("role", "ts")
+    for fn in (lambda ix: Q.search(ix, "hot0 mid1", k=10,
+                                   dv_filter="role = 'user'"),
+               lambda ix: Q.search_sorted(ix, "hot0", "ts", k=10)):
+        a = [tuple(r) for r in fn(batch_idx).collect()]
+        b = [tuple(r) for r in fn(inc).collect()]
+        assert a == b and a
