@@ -185,6 +185,32 @@ def _hybrid_index(spark: SparkSession, sf_dir: str):
     return _HYBRID_IDX_CACHE[key]
 
 
+_DELETED_IDX_CACHE: dict = {}
+
+
+def _deleted_index(spark: SparkSession, sf_dir: str, purge: bool = False):
+    """Build-once tombstoned index per (session, corpus, purge): packed
+    build + delete-by-query (lang = 'en' — ~44% of the corpus, so the
+    mask provably bites), optionally followed by the physical purge
+    (engine/deletes.py) — the full delete lifecycle built externally so
+    the driver's DuckDB gate exercises it. Two separate dirs: the gates
+    may run in any order, and purge mutates state the tombstone gate
+    needs intact."""
+    import tempfile
+    from engine.build import build_index
+    from engine.deletes import delete_docs, purge_deletes
+    key = (spark.sparkContext.applicationId, sf_dir, purge)
+    if key not in _DELETED_IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="entry_didx_")
+        idx = build_index(spark, _corpus_from_documents(_docs(spark, sf_dir)),
+                          d)
+        delete_docs(idx, "lang = 'en'")
+        if purge:
+            idx = purge_deletes(idx)
+        _DELETED_IDX_CACHE[key] = idx
+    return _DELETED_IDX_CACHE[key]
+
+
 def _adaptive_planes_sf001() -> int:
     """The LSH plane count BOTH sides of the knn/near-dup gate resolve at
     the driver's compare scale (sf0.01): data-scaled via
@@ -323,7 +349,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               exclude: list[str] | None = None,
               where: str | None = None, offset: int = 0,
-              boost_mult: str | None = None) -> str:
+              boost_mult: str | None = None,
+              corpus_where: str | None = None) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
@@ -337,7 +364,13 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
     ``boost_mult``: recency-boost twin — a SQL expression over doc_id
     multiplying the frozen BM25 sum AFTER summation (the engine's exact
     operation order, engine/query.py _score_shard_exhaustive); ranking
-    and rounding both apply to the boosted score."""
+    and rounding both apply to the boosted score.
+
+    ``corpus_where``: the PURGE twin (engine/deletes.py purge_deletes) —
+    unlike ``where`` (tombstone/doc_filter semantics: candidates
+    restricted, stats global), this filters the CORPUS itself, so N,
+    avgdl, df and idf are all recomputed over the surviving docs — the
+    post-purge state. doc_ids are the table's (purge never renumbers)."""
     from collections import Counter
     qtf = Counter(query_terms)
     if exclude:
@@ -348,15 +381,17 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
     and_filter = f"HAVING count(*) = {n_distinct}" if mode == "AND" else ""
     where_clause = (f"WHERE tf.doc_id IN (SELECT doc_id FROM documents "
                     f"WHERE {where})" if where else "")
+    src = (f"(SELECT * FROM documents WHERE {corpus_where})"
+           if corpus_where else "documents")
     return f"""
 WITH dl AS (
-  SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents
+  SELECT doc_id, len({_TOK_SQL}) AS dl FROM {src}
 ),
 stats AS (
   SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
 ),
 toks AS (
-  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM {src}
 ),
 tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
@@ -761,6 +796,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        doc_filter="lang = 'en'")
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def bm25_deleted(spark, sf):
+        # delete-by-query tombstones (engine/deletes.py): ~44% of the
+        # corpus (lang = 'en') is tombstoned; results must exclude every
+        # deleted doc while N/avgdl/idf stay the last build's — the
+        # frozen two-phase contract, whose oracle twin is exactly the
+        # doc_filter SQL with the complement predicate
+        from engine import query as Q
+        idx = _deleted_index(spark, sf)
+        top = Q.search(idx, "vector window merge", k=10, mode="OR")
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_purged(spark, sf):
+        # physical purge: final-segment rewrite minus deleted postings +
+        # lexicon/stats rebuild over the LIVE corpus; ranking must equal
+        # BM25 computed over the surviving docs alone (doc_ids preserved
+        # — purge never renumbers)
+        from engine import query as Q
+        idx = _deleted_index(spark, sf, purge=True)
+        top = Q.search(idx, "spark hash fast", k=10, mode="OR")
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
     def ann_cosine(spark, sf):
         e = _emb(spark, sf)
         qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -826,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets_prefix": facets_prefix,
         "batch_mixed": batch_mixed,
         "batch_snippets": batch_snippets,
+        "bm25_deleted": bm25_deleted,
+        "bm25_purged": bm25_purged,
     }
 
 
@@ -1307,6 +1365,12 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
                                      prefix="s"),
         "batch_mixed": _batch_mixed_sql(10),
         "batch_snippets": _batch_snippets_sql(10, 3),
+        # tombstoned (not yet purged): candidates restricted, stats global
+        "bm25_deleted": _bm25_sql(["vector", "window", "merge"], "OR",
+                                  where="lang <> 'en'"),
+        # purged: stats recomputed over the surviving corpus alone
+        "bm25_purged": _bm25_sql(["spark", "hash", "fast"], "OR",
+                                 corpus_where="lang <> 'en'"),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(min(value), 6) AS min_value,

@@ -296,6 +296,56 @@ def main():
             idx, _topl, "hot0 hot1", window=3).collect())
         queries["snippet_materialize_only"] = round(dt, 4)
 
+        # r4 feature: docvalue store — dv_filter / recency boost /
+        # sort-by-field served from the scorer task's own per-shard
+        # column slice (engine/docvalues.py). Separate build (the store
+        # is an opt-in layout, like positions); search_dv_filtered runs
+        # the SAME query+predicate as search_filtered above, so the pair
+        # measures in-task mask vs corpus-scan+cogroup directly. Rows
+        # excluded from the headline total (new workload).
+        if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
+            from engine.config import IndexConfig as _ICdv
+            t_dv, dvx = tdur(build_index, spark, corpus, f"{work}/dv",
+                             _ICdv(doc_values=("role", "ts")))
+            queries["dv_index_build"] = round(t_dv, 4)
+            Q.search(dvx, "hot0 hot1", k=10,
+                     dv_filter="role = 'user'").collect()  # warm
+            dt, _ = tbest(lambda: Q.search(
+                dvx, "hot0 hot1", k=10,
+                dv_filter="role = 'user'").collect())
+            queries["search_dv_filtered"] = round(dt, 4)
+            dt, _ = tbest(lambda: Q.search(
+                dvx, "hot0 hot1", k=10,
+                boost={"field": "ts", "half_life_days": 7.0,
+                       "now": "2026-02-01T00:00:00"}).collect())
+            queries["search_boosted"] = round(dt, 4)
+            dt, _ = tbest(lambda: Q.search_sorted(
+                dvx, "hot0 hot1", "ts", k=10, mode="AND").collect())
+            queries["search_sorted_recent"] = round(dt, 4)
+            dt, _ = tbest(lambda: Q.search_batch(
+                dvx, QUERY_SET, k=10, dv_filter="role = 'user'").collect())
+            queries["batch_dv_filtered"] = round(dt, 4)
+
+            # r4 feature: delete lifecycle (engine/deletes.py) on the dv
+            # index (nothing later reuses it): tombstone ~1/3 of the
+            # corpus (role='tool'), search with the per-shard tombstone
+            # mask live, then the physical purge (one no-shuffle segment
+            # rewrite + lexicon/stats rebuild) and the post-purge search.
+            # Rows excluded from the headline total (new workload).
+            from engine.deletes import delete_docs, purge_deletes
+            t_mark, _ = tdur(delete_docs, dvx, "role = 'tool'")
+            queries["delete_mark"] = round(t_mark, 4)
+            Q.search(dvx, "hot0 hot1", k=10).collect()  # warm tomb cache
+            dt, _ = tbest(lambda: Q.search(
+                dvx, "hot0 hot1", k=10).collect())
+            queries["search_deleted"] = round(dt, 4)
+            t_purge, pvx = tdur(purge_deletes, dvx)
+            queries["purge_wall"] = round(t_purge, 4)
+            Q.search(pvx, "hot0 hot1", k=10).collect()  # warm
+            dt, _ = tbest(lambda: Q.search(
+                pvx, "hot0 hot1", k=10).collect())
+            queries["search_purged"] = round(dt, 4)
+
         lat = []
         for q in QUERY_SET:
             dt, _ = tbest(lambda: Q.search(idx, q["query"], k=10,
@@ -358,6 +408,11 @@ def main():
                                  "exhaustive_big_shard", "wand_speedup",
                                  "wand_kernel_ms", "exhaustive_kernel_ms",
                                  "wand_kernel_speedup",
+                                 "dv_index_build", "search_dv_filtered",
+                                 "search_boosted", "search_sorted_recent",
+                                 "batch_dv_filtered",
+                                 "delete_mark", "search_deleted",
+                                 "purge_wall", "search_purged",
                                  "repeat_query_cached",
                                  "repeat_batch_cached"))
         out = {

@@ -135,7 +135,8 @@ def cmd_search_batch(args) -> int:
     idx = load_index(spark, args.index_dir)
     with open(args.queries_file) as f:
         qset = json.load(f)
-    out = Q.search_batch(idx, qset, k=args.k, doc_filter=args.filter)
+    out = Q.search_batch(idx, qset, k=args.k, doc_filter=args.filter,
+                         dv_filter=args.dv_filter)
     if args.snippets:
         out = Q.materialize_snippets_batch(idx, out, qset,
                                            window=args.snippet_window)
@@ -155,6 +156,42 @@ def cmd_facets(args) -> int:
                    max_expansions=args.max_expansions)
     for r in out.collect():
         print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Tombstone docs by SQL predicate or explicit id list (two-phase:
+    stats stay frozen until ``purge``)."""
+    from .build import load_index
+    from .deletes import delete_docs, delete_ids
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    if bool(args.filter) == bool(args.ids):
+        print("delete: give exactly one of --filter or --ids",
+              file=sys.stderr)
+        return 2
+    if args.filter:
+        n = delete_docs(idx, args.filter)
+    else:
+        n = delete_ids(idx, [int(x) for x in args.ids.split(",")])
+    print(json.dumps({"newly_deleted": n, "n_deleted": idx.n_deleted,
+                      "n_docs": idx.n_docs}))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    """Physically drop tombstoned docs (segment rewrite + lexicon/stats
+    rebuild over the live corpus); doc_ids are never renumbered."""
+    from .build import load_index
+    from .deletes import purge_deletes
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    before = idx.n_deleted
+    t0 = time.perf_counter()
+    idx2 = purge_deletes(idx)
+    print(json.dumps({"purged": before, "n_docs": idx2.n_docs,
+                      "n_ids": idx2.n_ids, "avgdl": idx2.avgdl,
+                      "wall_s": round(time.perf_counter() - t0, 3)}))
     return 0
 
 
@@ -234,6 +271,9 @@ def main(argv=None) -> int:
     sb.add_argument("--k", type=int, default=10)
     sb.add_argument("--filter", default=None,
                     help="doc_filter SQL predicate applied to every query")
+    sb.add_argument("--dv-filter", default=None,
+                    help="docvalue predicate applied to every query "
+                         "(one in-task mask shared across the set)")
     sb.add_argument("--snippets", action="store_true",
                     help="contextual snippets per result row (each row "
                          "anchored on ITS query's terms; one extra "
@@ -259,6 +299,22 @@ def main(argv=None) -> int:
                     help="keep only the N most frequent values per "
                          "dimension (sidebar cap)")
     fc.set_defaults(fn=cmd_facets)
+    dl = sub.add_parser("delete",
+                        help="tombstone docs (immediately invisible to "
+                             "every query; stats frozen until purge)")
+    dl.add_argument("--index-dir", required=True)
+    dl.add_argument("--filter", default=None,
+                    help="SQL predicate over stored-corpus columns "
+                         "(delete-by-query)")
+    dl.add_argument("--ids", default=None,
+                    help="comma-separated doc_ids to delete")
+    dl.set_defaults(fn=cmd_delete)
+    pg = sub.add_parser("purge",
+                        help="physically drop tombstoned docs (segment "
+                             "rewrite + stats rebuild; ids never "
+                             "renumbered)")
+    pg.add_argument("--index-dir", required=True)
+    pg.set_defaults(fn=cmd_purge)
     be = sub.add_parser("bench", help="run bench.py")
     be.add_argument("--convs", type=int, default=20000)
     be.set_defaults(fn=cmd_bench)

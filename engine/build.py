@@ -446,6 +446,12 @@ class PackedIndex:
     # docvalue columns stored per scoring shard (engine/docvalues.py);
     # () when the index was built without a docvalue store
     doc_values: tuple = ()
+    # delete state (engine/deletes.py): tombstoned-doc count, the delete
+    # epoch keying worker-side tombstone caches, and the doc_id ceiling
+    # (0 == n_docs; diverges only after a purge shrinks n_docs)
+    n_deleted: int = 0
+    del_epoch: int = 0
+    n_ids: int = 0
 
     @property
     def postings_path(self) -> str:
@@ -599,6 +605,9 @@ class PackedIndex:
         self.shard_width = man.shard_width
         self.completed = bool(man.completed)
         self.doc_values = tuple(man.doc_values or ())
+        self.n_deleted = int(man.n_deleted or 0)
+        self.del_epoch = int(man.del_epoch or 0)
+        self.n_ids = int(man.n_ids or 0)
         self._corpus_offsets = man.corpus_offsets
         self._corpus_mixed = any(
             s.segment_id.startswith("inc_") for s in man.segments)
@@ -632,4 +641,7 @@ def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
                        avgdl=man.avgdl, shard_width=man.shard_width,
                        n_buckets=cfg.n_buckets, cfg=cfg,
                        completed=bool(man.completed),
-                       doc_values=tuple(man.doc_values or ()))
+                       doc_values=tuple(man.doc_values or ()),
+                       n_deleted=int(man.n_deleted or 0),
+                       del_epoch=int(man.del_epoch or 0),
+                       n_ids=int(man.n_ids or 0))

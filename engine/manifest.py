@@ -60,6 +60,20 @@ class Manifest:
     # docvalue columns stored per scoring shard (engine/docvalues.py);
     # part of the resolved plan — resume/append must honor it
     doc_values: list = field(default_factory=list)
+    # ---- deletes (engine/deletes.py) ----
+    # tombstoned docs currently pending physical purge (they no longer
+    # match queries, but still count in N/avgdl — the frozen two-phase
+    # Lucene contract)
+    n_deleted: int = 0
+    # monotone delete-state epoch: bumped on every tombstone write and on
+    # purge, keys the worker-side tombstone caches so a new delete batch
+    # never serves a stale set
+    del_epoch: int = 0
+    # doc_id ceiling (ids ever allocated). 0 == n_docs (no purge has
+    # happened); after a purge n_docs shrinks to the live count while
+    # n_ids keeps the allocation base, so streaming appends never reuse a
+    # purged doc's id and shard geometry stays stable
+    n_ids: int = 0
 
     # ---- persistence ----
     @staticmethod

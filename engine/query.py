@@ -136,7 +136,8 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
 
 def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                             n_required, neg_terms=frozenset(),
-                            allowed_loc=None, cursor=None, boost_vec=None):
+                            allowed_loc=None, cursor=None, boost_vec=None,
+                            denied_loc=None):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
     Per-posting document lengths come from the inlined ``dls`` stream and
@@ -183,6 +184,11 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
         cnt[loc] += 1
     if negmask is not None:
         cnt[negmask] = -1     # excluded docs can never hit
+    if denied_loc is not None and denied_loc.size:
+        # tombstoned docs (engine/deletes.py): same mechanism as NOT —
+        # they can never hit, while N/avgdl/idf stay the last build's
+        # (the frozen two-phase delete contract). O(|tombstones|).
+        cnt[denied_loc] = -1
     if allowed_loc is not None:
         # doc_filter restriction: docs OUTSIDE the allowed set can never
         # hit (same mechanism as NOT). Applied after accumulation, so the
@@ -315,6 +321,24 @@ def _boost_key(boost: "dict | None"):
     return tuple(sorted(boost.items())) if boost else None
 
 
+def _del_closure(index):
+    """Per-shard tombstone lookup for the scorer tasks (engine/deletes.py)
+    — ONE definition shared by every query surface. Returns None when the
+    index has no tombstones (the common case: literally zero per-query
+    overhead), else a ``shard -> sorted int64 locs | None`` callable whose
+    closure pins (index_dir, del_epoch) so worker caches can never serve a
+    stale set across delete batches."""
+    if int(getattr(index, "n_deleted", 0) or 0) <= 0:
+        return None
+    d, e = index.index_dir, int(getattr(index, "del_epoch", 0) or 0)
+
+    def locs(shard: int):
+        from .deletes import deleted_locs
+        return deleted_locs(d, int(shard), e)
+
+    return locs
+
+
 def search(index, query: str, k: int = 10, mode: str = "OR",
            use_wand: "bool | str" = "auto",
            exclude: str | None = None,
@@ -435,6 +459,7 @@ def _search_sorted_impl(index, query: str, field: str, k: int,
     width = index.shard_width
     neg_set = frozenset(neg)
     dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+    del_locs = _del_closure(index)  # tombstones (engine/deletes.py)
 
     def fn(key_, post_pdf):
         import pandas as pd
@@ -457,6 +482,10 @@ def _search_sorted_impl(index, query: str, field: str, k: int,
                 cnt[loc] += 1
         if negmask is not None:
             cnt[negmask] = -1
+        if del_locs is not None:
+            dl_ = del_locs(shard)
+            if dl_ is not None:
+                cnt[dl_] = -1  # tombstoned docs never hit
         if dv_filter is not None:
             allow = np.zeros(width, dtype=bool)
             allow[eval_filter(dv_dir, shard, dv_gen, dv_filter)] = True
@@ -686,6 +715,9 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
         return recency_multiplier(dv_dir, shard, dv_gen, width,
                                   bst[0], bst[1], bst[2])
 
+    # tombstones (engine/deletes.py): None when the index has none
+    del_locs = _del_closure(index)
+
     if doc_filter is not None:
         allowed = _allowed_shards(index, doc_filter, width)
         wand_on = bool(use_wand) and mode == "OR"
@@ -704,6 +736,10 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
             dvl = _dv_allowed(shard)
             if dvl is not None:  # doc_filter AND dv_filter: intersect
                 loc = np.intersect1d(loc, dvl)
+            if del_locs is not None:
+                dl_ = del_locs(shard)
+                if dl_ is not None:  # tombstoned docs leave the allowed set
+                    loc = np.setdiff1d(loc, dl_)
             if wand_on:
                 r = score_shard_wand(post_pdf, qtfs, idfs, cfgd, k, width,
                                      allowed_loc=loc)
@@ -724,12 +760,27 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
         from .wand import score_shard_wand as scorer_fn
 
         def fn(key, post_pdf):
+            import numpy as np
             import pandas as pd
             if len(post_pdf) == 0:
                 return pd.DataFrame({"doc_id": [], "score": []})
             shard = int(post_pdf["shard"].iloc[0])
-            r = scorer_fn(post_pdf, qtfs, idfs, cfgd, k, width,
-                          allowed_loc=_dv_allowed(shard))
+            dvl = _dv_allowed(shard)
+            dl_ = del_locs(shard) if del_locs is not None else None
+            if dl_ is None:
+                r = scorer_fn(post_pdf, qtfs, idfs, cfgd, k, width,
+                              allowed_loc=dvl)
+            else:
+                # fold tombstones into an allow mask (masked WAND is
+                # rank-safe; block bounds over supersets stay valid)
+                if dvl is None:
+                    allow = np.ones(width, dtype=bool)
+                else:
+                    allow = np.zeros(width, dtype=bool)
+                    allow[dvl] = True
+                allow[dl_] = False
+                r = scorer_fn(post_pdf, qtfs, idfs, cfgd, k, width,
+                              allow_mask=allow)
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
     else:
@@ -738,11 +789,13 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
             if len(post_pdf) == 0:
                 return pd.DataFrame({"doc_id": [], "score": []})
             shard = int(post_pdf["shard"].iloc[0])
-            r = _score_shard_exhaustive(post_pdf, qtfs, idfs, cfgd, k, mode,
-                                        width, n_required, neg_set,
-                                        allowed_loc=_dv_allowed(shard),
-                                        cursor=cursor,
-                                        boost_vec=_boost_vec(shard))
+            r = _score_shard_exhaustive(
+                post_pdf, qtfs, idfs, cfgd, k, mode,
+                width, n_required, neg_set,
+                allowed_loc=_dv_allowed(shard),
+                cursor=cursor, boost_vec=_boost_vec(shard),
+                denied_loc=(del_locs(shard) if del_locs is not None
+                            else None))
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
 
@@ -789,7 +842,7 @@ def wand_routes(index, query: str) -> bool:
 def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        cfg: dict, k: int, width: int, use_wand: bool,
                        allowed_loc=None, negs: dict | None = None,
-                       phrases: dict | None = None):
+                       phrases: dict | None = None, denied_loc=None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -849,6 +902,13 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
         # shard task; every query of the set is restricted by it)
         allow = np.zeros(width, dtype=bool)
         allow[allowed_loc] = True
+    if denied_loc is not None and len(denied_loc):
+        # tombstones (engine/deletes.py) fold into the same shared mask:
+        # one O(width) build per shard task covers the whole set,
+        # including its WAND-routed and PHRASE entries
+        if allow is None:
+            allow = np.ones(width, dtype=bool)
+        allow[denied_loc] = False
     acc = np.zeros(width, dtype=np.float64)
     cnt = np.zeros(width, dtype=np.int32)
     outs = []
@@ -923,20 +983,22 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
 
 def search_batch(index, queries: list[dict], k: int = 10,
                  use_wand: "bool | str" = "auto",
-                 doc_filter: str | None = None) -> DataFrame:
+                 doc_filter: str | None = None,
+                 dv_filter: str | None = None) -> DataFrame:
     """E9 batch search (see _search_batch_impl for the full plan notes).
     Plans are memoized per (query set, k, flags) — _plan_cached."""
     import json as _json
     _warn_if_stale(index)
     key = ("b", _json.dumps(queries, sort_keys=True), k,
-           repr(use_wand), doc_filter)
+           repr(use_wand), doc_filter, dv_filter)
     return _plan_cached(index, key, lambda: _search_batch_impl(
-        index, queries, k, use_wand, doc_filter))
+        index, queries, k, use_wand, doc_filter, dv_filter))
 
 
 def _search_batch_impl(index, queries: list[dict], k: int = 10,
                        use_wand: "bool | str" = "auto",
-                       doc_filter: str | None = None) -> DataFrame:
+                       doc_filter: str | None = None,
+                       dv_filter: str | None = None) -> DataFrame:
     """E9: execute a whole query set in ONE Spark job.
 
     ``queries``: [{"id", "query", "mode"}]. One pruned postings scan
@@ -1033,18 +1095,41 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     width = index.shard_width
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b,
             "avgdl": index.avgdl}
+    # dv_filter (engine/docvalues.py): ONE in-task predicate evaluation
+    # per shard task, shared across the whole query set (same frozen
+    # candidate-restriction semantics as doc_filter; the masks intersect
+    # when both are given)
+    _require_dv(index, dv_filter)
+    dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+    def _dv_loc(shard: int):
+        if dv_filter is None:
+            return None
+        from .docvalues import eval_filter
+        return eval_filter(dv_dir, shard, dv_gen, dv_filter)
+
+    # tombstones (engine/deletes.py): None when the index has none
+    del_locs = _del_closure(index)
 
     if doc_filter is not None:
         import numpy as np
         allowed = _allowed_shards(index, doc_filter, width)
 
         def fnf(key, post_pdf, allowed_pdf):
+            import numpy as np
             empty_r = pd.DataFrame({"qid": [], "doc_id": [], "score": []})
             if len(post_pdf) == 0 or len(allowed_pdf) == 0:
                 return empty_r
             shard = int(post_pdf["shard"].iloc[0])
             loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
                    - shard * width)
+            dvl = _dv_loc(shard)
+            if dvl is not None:
+                loc = np.intersect1d(loc, dvl)
+            if del_locs is not None:
+                dl_ = del_locs(shard)
+                if dl_ is not None:
+                    loc = np.setdiff1d(loc, dl_)
             r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
                                    width, wand_mode, allowed_loc=loc,
                                    negs=negs, phrases=phrases)
@@ -1056,9 +1141,16 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                  "qid string, doc_id long, score double"))
     else:
         def fn(key, post_pdf):
+            if len(post_pdf) == 0:
+                return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+            shard = int(post_pdf["shard"].iloc[0])
             r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
                                    width, wand_mode, negs=negs,
-                                   phrases=phrases)
+                                   phrases=phrases,
+                                   allowed_loc=_dv_loc(shard),
+                                   denied_loc=(del_locs(shard)
+                                               if del_locs is not None
+                                               else None))
             return r if r is not None else pd.DataFrame(
                 {"qid": [], "doc_id": [], "score": []})
 
@@ -1200,6 +1292,7 @@ def _search_phrase_impl(index, phrase: str, k: int = 10,
     width = index.shard_width
     seq_set = frozenset(seq)
     neg_set = frozenset(neg)
+    del_locs = _del_closure(index)  # tombstones (engine/deletes.py)
 
     def _match(pdf, allowed_loc=None):
         import numpy as np
@@ -1223,6 +1316,10 @@ def _search_phrase_impl(index, phrase: str, k: int = 10,
                 ids, _ = C.decode_postings(pdf["doc_ids"].iloc[i],
                                            pdf["tfs"].iloc[i])
                 neg_locs.append(ids - start)
+        if del_locs is not None:
+            dl_ = del_locs(shard)
+            if dl_ is not None:  # tombstones exclude like NOT terms
+                neg_locs.append(dl_)
         neg_loc = (np.unique(np.concatenate(neg_locs)) if neg_locs
                    else np.empty(0, dtype=np.int64))
         hit = _phrase_hits(seq, dec, k, width,
@@ -1633,6 +1730,7 @@ def _facets_impl(index, query: str, fields: list, mode: str = "OR",
             .select("term", "shard", "doc_ids", "tfs"))
     width = index.shard_width
     is_and = mode == "AND"
+    del_locs = _del_closure(index)  # tombstones (engine/deletes.py)
 
     def fn(key_, pdf):
         import numpy as np
@@ -1648,6 +1746,8 @@ def _facets_impl(index, query: str, fields: list, mode: str = "OR",
                 ids, _ = C.decode_postings(pdf["doc_ids"].iloc[i],
                                            pdf["tfs"].iloc[i])
                 cnt[ids - start] += 1  # ids unique per (term, shard) row
+            if del_locs is not None and del_locs(shard) is not None:
+                cnt[del_locs(shard)] = -1  # tombstoned docs never count
             hit = np.flatnonzero(cnt == n_required)
         else:
             seen = np.zeros(width, dtype=bool)
@@ -1655,6 +1755,8 @@ def _facets_impl(index, query: str, fields: list, mode: str = "OR",
                 ids, _ = C.decode_postings(pdf["doc_ids"].iloc[i],
                                            pdf["tfs"].iloc[i])
                 seen[ids - start] = True
+            if del_locs is not None and del_locs(shard) is not None:
+                seen[del_locs(shard)] = False
             hit = np.flatnonzero(seen)
         return pd.DataFrame({"doc_id": (hit + start).astype(np.int64)})
 

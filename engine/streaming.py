@@ -72,7 +72,11 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
         # even when the caller passes a default cfg
         from dataclasses import replace
         cfg = replace(cfg, index_positions=bool(man.positions))
-    base = man.n_docs
+    # id base: the allocation ceiling, NOT the live count — after a purge
+    # n_docs shrinks but purged ids are never reused (engine/deletes.py
+    # n_ids), so appended docs can't collide with external references or
+    # the docvalue/tombstone stores
+    base = int(man.n_ids) if man.n_ids else man.n_docs
     ids = assign_doc_ids(batch_df)
     docs = ids.withColumn("doc_id", F.col("doc_id") + F.lit(base))
     docs.persist()
@@ -122,6 +126,8 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
         else:
             man.sum_dl = round(man.avgdl * man.n_docs)
     man.n_docs += int(n_new)
+    if man.n_ids:
+        man.n_ids += int(n_new)
     man.sum_dl += int(sum_new)
     man.avgdl = man.sum_dl / man.n_docs
     man.completed = False  # increments pending compaction

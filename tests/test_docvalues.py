@@ -211,6 +211,52 @@ def test_resume_refuses_dv_drift(spark, corpus_df, tmp_path):
                     cfg=IndexConfig(doc_values=("role", "ts")))
 
 
+@pytest.fixture(scope="module")
+def dv_pos_index(spark, corpus_df, tmp_path_factory):
+    from engine.build import build_index
+    d = str(tmp_path_factory.mktemp("dvpidx") / "packed")
+    return build_index(spark, corpus_df, d,
+                       cfg=IndexConfig(doc_values=("role", "ts"),
+                                       index_positions=True))
+
+
+def test_batch_dv_filter_matches_single(dv_pos_index):
+    """search_batch(dv_filter=...) == per-query search/search_phrase with
+    the same dv_filter — ONE in-task mask shared across the set."""
+    idx = dv_pos_index
+    qset = [{"id": "a", "query": "hot0 mid1", "mode": "OR"},
+            {"id": "b", "query": "hot0 hot1", "mode": "AND"},
+            {"id": "c", "query": "hot0", "mode": "OR", "exclude": "mid1"},
+            {"id": "p", "query": "hot0 hot1", "mode": "PHRASE"}]
+    pred = "role = 'user'"
+    got = {}
+    for r in Q.search_batch(idx, qset, k=10, dv_filter=pred).collect():
+        got.setdefault(r.qid, []).append((r.doc_id, r.score))
+    for q in qset[:3]:
+        want = [(r.doc_id, r.score) for r in
+                Q.search(idx, q["query"], k=10, mode=q["mode"],
+                         exclude=q.get("exclude"),
+                         dv_filter=pred).collect()]
+        assert got.get(q["id"], []) == want, q["id"]
+    want_p = [(r.doc_id, float(r.n_phrase)) for r in
+              Q.search_phrase(idx, "hot0 hot1", k=10,
+                              doc_filter=pred).collect()]
+    assert got.get("p", []) == want_p
+
+
+def test_batch_dv_and_doc_filter_intersect(dv_pos_index):
+    idx = dv_pos_index
+    qset = [{"id": "a", "query": "hot0 mid1", "mode": "OR"}]
+    a = [tuple(r) for r in
+         Q.search_batch(idx, qset, k=10, dv_filter="role = 'user'",
+                        doc_filter="turn_idx >= 1").collect()]
+    b = [tuple(r) for r in
+         Q.search_batch(idx, qset, k=10,
+                        doc_filter="role = 'user' AND "
+                                   "turn_idx >= 1").collect()]
+    assert a == b and a
+
+
 def test_cli_docvalue_flags(tmp_path):
     """CLI: build --doc-values, then --dv-filter / --boost-* / --sort-by
     round-trips (engine/__main__.py)."""
