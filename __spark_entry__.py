@@ -796,6 +796,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        doc_filter="lang = 'en'")
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def match_count_q(spark, sf):
+        # exact `_count` over the boolean match set (engine/matchops.py):
+        # same pruned scan + arity kernel as search, one int64 per shard
+        # task out — composes with exclude (NOT) like search does
+        from engine.matchops import match_count
+        idx = _packed_index(spark, sf)
+        return match_count(idx, "spark join", mode="OR", exclude="hash")
+
+    def match_stats_ts(spark, sf):
+        # metric aggregation over the match set: count/min/max/sum/avg of
+        # the stored ts docvalue (whole-second precision, exact int64
+        # reduction) for docs matching ALL query terms — served from each
+        # shard's own cached docvalue slice, zero corpus scan
+        from engine.matchops import match_stats
+        idx = _packed_index(spark, sf)
+        s = match_stats(idx, "spark join", "ts", mode="AND")
+        return s.select("n_docs", "n_with_value",
+                        F.round("min_val", 6).alias("min_val"),
+                        F.round("max_val", 6).alias("max_val"),
+                        F.round("sum_val", 6).alias("sum_val"),
+                        F.round("avg_val", 6).alias("avg_val"))
+
+    def more_like_this_q(spark, sf):
+        # MLT: top-8 tf x idf terms of doc 3 (frozen deterministic cap:
+        # tf*idf desc, term asc) scored as BM25 OR with qtf=1, source doc
+        # excluded — the SQL twin replicates the selection rule verbatim
+        from engine.matchops import more_like_this
+        idx = _packed_index(spark, sf)
+        top = more_like_this(idx, 3, k=10, max_terms=8)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
     def bm25_deleted(spark, sf):
         # delete-by-query tombstones (engine/deletes.py): ~44% of the
         # corpus (lang = 'en') is tombstoned; results must exclude every
@@ -884,6 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_snippets": batch_snippets,
         "bm25_deleted": bm25_deleted,
         "bm25_purged": bm25_purged,
+        "match_count": match_count_q,
+        "match_stats_ts": match_stats_ts,
+        "more_like_this": more_like_this_q,
     }
 
 
@@ -1067,6 +1101,58 @@ def _batch_snippets_sql(k: int = 10, window: int = 3) -> str:
         parts.append(f"SELECT '{q['id']}' AS qid, doc_id, score, snippet "
                      f"FROM ({snip})")
     return "\nUNION ALL\n".join(parts)
+
+
+def _mlt_sql(src: int, max_terms: int, k: int = 10) -> str:
+    """DuckDB twin of matchops.more_like_this: the source doc's terms
+    scored tf x idf (frozen Lucene idf over corpus-global df), top
+    ``max_terms`` under the deterministic cap (tf*idf desc, term asc),
+    then standard BM25 OR with qtf=1 per selected term, source doc
+    excluded — selection and scoring both replicated verbatim."""
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+srctf AS (
+  SELECT term, count(*)::DOUBLE AS tf FROM toks
+  WHERE doc_id = {src} GROUP BY term
+),
+dfall AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+  WHERE term IN (SELECT term FROM srctf) GROUP BY term
+),
+sel AS (
+  SELECT s.term FROM srctf s JOIN dfall d USING (term) CROSS JOIN stats st
+  ORDER BY s.tf * ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+           s.term ASC
+  LIMIT {max_terms}
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+WHERE doc_id <> {src}
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
 def _media_features_sql() -> str:
@@ -1365,6 +1451,27 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
                                      prefix="s"),
         "batch_mixed": _batch_mixed_sql(10),
         "batch_snippets": _batch_snippets_sql(10, 3),
+        "match_count": f"""
+            WITH toks AS ({toks_cte})
+            SELECT count(*)::BIGINT AS n_docs FROM (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ('join', 'spark')
+                AND doc_id NOT IN (SELECT doc_id FROM toks
+                                   WHERE term = 'hash'))""",
+        "match_stats_ts": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS s
+              FROM documents
+              WHERE list_has_all({_TOK_SQL}, ['join', 'spark']))
+            SELECT count(*)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_with_value,
+                   round(min(s)::DOUBLE, 6) AS min_val,
+                   round(max(s)::DOUBLE, 6) AS max_val,
+                   round(sum(s)::DOUBLE, 6) AS sum_val,
+                   round(sum(s)::DOUBLE / count(*), 6) AS avg_val
+            FROM m""",
+        "more_like_this": _mlt_sql(3, 8, 10),
         # tombstoned (not yet purged): candidates restricted, stats global
         "bm25_deleted": _bm25_sql(["vector", "window", "merge"], "OR",
                                   where="lang <> 'en'"),

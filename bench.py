@@ -346,6 +346,17 @@ def main():
                 pvx, "hot0 hot1", k=10).collect())
             queries["search_purged"] = round(dt, 4)
 
+        # r4 feature: match-set operators (engine/matchops.py) — exact
+        # count (one int64 per shard task; no dls/WAND columns read) and
+        # more-like-this (driver-side frozen tf*idf expansion + the
+        # standard OR scoring job). Excluded from the headline total.
+        from engine.matchops import match_count, more_like_this
+        match_count(idx, "hot0 hot1").collect()  # warm
+        dt, _ = tbest(lambda: match_count(idx, "hot0 hot1").collect())
+        queries["match_count"] = round(dt, 4)
+        dt, _ = tbest(lambda: more_like_this(idx, 12345, k=10).collect())
+        queries["more_like_this"] = round(dt, 4)
+
         lat = []
         for q in QUERY_SET:
             dt, _ = tbest(lambda: Q.search(idx, q["query"], k=10,
@@ -413,6 +424,7 @@ def main():
                                  "batch_dv_filtered",
                                  "delete_mark", "search_deleted",
                                  "purge_wall", "search_purged",
+                                 "match_count", "more_like_this",
                                  "repeat_query_cached",
                                  "repeat_batch_cached"))
         out = {

@@ -159,6 +159,47 @@ def cmd_facets(args) -> int:
     return 0
 
 
+def cmd_count(args) -> int:
+    """Exact match count (the `_count` endpoint) — or, with --stats-field,
+    the count/min/max/sum/avg of a stored docvalue column over the match
+    set."""
+    from .build import load_index
+    from .matchops import match_count, match_stats
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    if args.stats_field:
+        out = match_stats(idx, args.query, args.stats_field,
+                          mode=args.mode, exclude=args.exclude,
+                          dv_filter=args.dv_filter)
+    else:
+        out = match_count(idx, args.query, mode=args.mode,
+                          exclude=args.exclude, doc_filter=args.filter,
+                          dv_filter=args.dv_filter)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_mlt(args) -> int:
+    """More-like-this: docs most similar to --doc-id (frozen tf x idf
+    term selection, BM25 OR scoring, source excluded)."""
+    from . import query as Q
+    from .build import load_index
+    from .matchops import mlt_terms, more_like_this
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    if args.show_terms:
+        print(json.dumps({"terms": mlt_terms(idx, args.doc_id,
+                                             args.max_terms)}))
+    top = more_like_this(idx, args.doc_id, k=args.k,
+                         max_terms=args.max_terms, doc_filter=args.filter,
+                         dv_filter=args.dv_filter)
+    out = Q.materialize_packed(idx, top) if args.text else top
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Tombstone docs by SQL predicate or explicit id list (two-phase:
     stats stay frozen until ``purge``)."""
@@ -299,6 +340,35 @@ def main(argv=None) -> int:
                     help="keep only the N most frequent values per "
                          "dimension (sidebar cap)")
     fc.set_defaults(fn=cmd_facets)
+    ct = sub.add_parser("count",
+                        help="exact match count (one int64 per shard "
+                             "task); --stats-field adds docvalue "
+                             "min/max/sum/avg over the match set")
+    ct.add_argument("--index-dir", required=True)
+    ct.add_argument("--query", required=True)
+    ct.add_argument("--mode", default="OR",
+                    choices=["OR", "AND", "or", "and"])
+    ct.add_argument("--exclude", default=None)
+    ct.add_argument("--filter", default=None,
+                    help="doc_filter SQL predicate (count only)")
+    ct.add_argument("--dv-filter", default=None)
+    ct.add_argument("--stats-field", default=None,
+                    help="docvalue timestamp/integer column: emit "
+                         "n_docs/n_with_value/min/max/sum/avg instead "
+                         "of the bare count")
+    ct.set_defaults(fn=cmd_count)
+    ml = sub.add_parser("mlt",
+                        help="more-like-this: docs similar to --doc-id")
+    ml.add_argument("--index-dir", required=True)
+    ml.add_argument("--doc-id", type=int, required=True)
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=16)
+    ml.add_argument("--filter", default=None)
+    ml.add_argument("--dv-filter", default=None)
+    ml.add_argument("--text", action="store_true")
+    ml.add_argument("--show-terms", action="store_true",
+                    help="also print the frozen tf*idf term selection")
+    ml.set_defaults(fn=cmd_mlt)
     dl = sub.add_parser("delete",
                         help="tombstone docs (immediately invisible to "
                              "every query; stats frozen until purge)")

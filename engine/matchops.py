@@ -1,0 +1,364 @@
+"""Match-set operators beyond ranked retrieval: exact hit counting,
+docvalue statistics over the match set, and more-like-this expansion.
+
+These are the Elasticsearch `_count` / metric-aggregation / MLT
+counterparts, built on the SAME pruned-scan + per-shard-kernel plan as
+``engine.query`` (one partition-pruned, term-pushed postings read; a
+vectorized Arrow kernel per doc-range shard; metadata-sized rows out):
+
+* ``match_count``: the total number of documents matching a boolean
+  query — ONE job whose shard tasks emit a single int64 each (the
+  minimum any exact count can move); composes with ``exclude``,
+  ``doc_filter``, ``dv_filter`` and tombstones exactly like ``search``.
+* ``match_stats``: (n_docs, n_with_value, min, max, sum, avg) of a
+  STORED docvalue column over the match set — served from each shard's
+  own cached columnar slice (engine/docvalues.py): zero corpus scan,
+  zero extra shuffle. Restricted to timestamp/integer columns so the
+  cross-shard sum is an exact int64 reduction: float columns would make
+  the total depend on shard reduction order, breaking the engine's
+  bit-reproducibility contract (the oracle twin sums the same int64s).
+  Timestamps aggregate in epoch MICROseconds and convert to seconds
+  only at the end (one identical float division on both sides).
+* ``more_like_this``: rank docs similar to a given document — the
+  source doc's terms are scored tf x idf (corpus-global idf), the top
+  ``max_terms`` survive under a frozen deterministic cap (tf*idf desc,
+  term asc — the same cap-rule pattern as ``search_prefix``), and the
+  selection runs as a standard OR query with qtf=1 per term, the
+  source doc itself excluded. Everything driver-side is metadata-sized
+  (one pruned corpus-row read + one memoized lexicon lookup); the
+  scoring job is ``search``'s unchanged single-job plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .analyzer import tokenize_py
+from .query import (_allowed_shards, _del_closure, _plan_cached,
+                    _require_dv, query_terms)
+
+COUNT_SCHEMA = "n_docs long"
+STATS_SCHEMA = ("n_docs long, n_with_value long, min_val double, "
+                "max_val double, sum_val double, avg_val double")
+
+
+def _match_kernel(index, qtf: dict, mode: str, exclude: str | None,
+                  dv_filter: str | None):
+    """Shared driver-side prep for the count/stats kernels: resolve the
+    pruned scan + a per-shard ``hits(post_pdf, extra_allowed) ->
+    int64 locs`` closure implementing search()'s exact match semantics
+    (AND/OR arity, NOT, dv_filter, tombstones). Returns (post, fn) or
+    None when the match set is provably empty."""
+    acfg = index.cfg.analyzer
+    neg = sorted(set(tokenize_py(exclude, acfg)) - set(qtf)) if exclude else []
+    terms = sorted(qtf)
+    lex = index.lookup_terms(sorted(set(terms) | set(neg)))
+    known = [t for t in terms if t in lex]
+    if not known or (mode == "AND" and len(known) < len(terms)):
+        return None
+    neg = [t for t in neg if t in lex]
+    n_required = len(terms)
+    scan_terms = sorted(set(known) | set(neg))
+    buckets = sorted({lex[t]["bucket"] for t in scan_terms})
+    post = (index.postings()
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(scan_terms))
+            .select("term", "shard", "doc_ids", "tfs"))
+    width = index.shard_width
+    neg_set = frozenset(neg)
+    is_and = mode == "AND"
+    _require_dv(index, dv_filter)
+    dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+    del_locs = _del_closure(index)
+
+    def hits(post_pdf, allowed_loc=None):
+        """int64 shard-local offsets of matching docs (sorted)."""
+        import numpy as np
+        from . import codec as C
+        shard = int(post_pdf["shard"].iloc[0])
+        start = shard * width
+        cnt = np.zeros(width, dtype=np.int32)
+        negmask = np.zeros(width, dtype=bool) if neg_set else None
+        for i in range(len(post_pdf)):
+            ids, _ = C.decode_postings(post_pdf["doc_ids"].iloc[i],
+                                       post_pdf["tfs"].iloc[i])
+            loc = ids - start
+            if post_pdf["term"].iloc[i] in neg_set:
+                negmask[loc] = True
+            else:
+                cnt[loc] += 1
+        if negmask is not None:
+            cnt[negmask] = -1
+        if del_locs is not None:
+            dl_ = del_locs(shard)
+            if dl_ is not None:
+                cnt[dl_] = -1
+        if dv_filter is not None:
+            from .docvalues import eval_filter
+            allow = np.zeros(width, dtype=bool)
+            allow[eval_filter(dv_dir, shard, dv_gen, dv_filter)] = True
+            cnt[~allow] = -1
+        if allowed_loc is not None:
+            allow = np.zeros(width, dtype=bool)
+            allow[allowed_loc] = True
+            cnt[~allow] = -1
+        return np.flatnonzero(cnt == n_required) if is_and \
+            else np.flatnonzero(cnt > 0)
+
+    return post, hits, width
+
+
+def match_count(index, query: str, mode: str = "OR",
+                exclude: str | None = None,
+                doc_filter: str | None = None,
+                dv_filter: str | None = None) -> DataFrame:
+    """Exact match count for a boolean query — the `_count` endpoint.
+
+    Returns a single-row DataFrame ``(n_docs:long)``. Match semantics
+    are IDENTICAL to ``search``'s (AND arity over distinct terms; NOT
+    via ``exclude``; ``doc_filter``/``dv_filter`` candidate
+    restriction; tombstones excluded) — search and count can never
+    disagree, because the arity/mask logic is one shared kernel shape.
+
+    Plan (the 100 TB argument): the same pruned postings scan as
+    ``search`` reading ONLY the doc_ids/tfs streams (no dls, no WAND
+    columns), then each shard task emits ONE int64 — a count moves the
+    least data any exact answer can. No corpus scan unless
+    ``doc_filter`` asks for one (same cogrouped allowed-set plan as
+    search, predicate pushed into the corpus read).
+    """
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    key = ("mc", query, mode, exclude, doc_filter, dv_filter)
+
+    def build():
+        spark = index.spark
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:  # empty match set: a driver-only LocalRelation
+            return spark.range(1).select(
+                F.lit(0).cast("long").alias("n_docs"))
+        post, hits, width = prep
+
+        if doc_filter is not None:
+            allowed = _allowed_shards(index, doc_filter, width)
+
+            def fnf(key_, post_pdf, allowed_pdf):
+                import numpy as np
+                import pandas as pd
+                if len(post_pdf) == 0 or len(allowed_pdf) == 0:
+                    return pd.DataFrame({"n": []})
+                shard = int(post_pdf["shard"].iloc[0])
+                loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
+                       - shard * width)
+                return pd.DataFrame({"n": [int(hits(post_pdf, loc).size)]})
+
+            partial = (post.groupBy("shard")
+                       .cogroup(allowed.groupBy("shard"))
+                       .applyInPandas(fnf, "n long"))
+        else:
+            def fn(key_, post_pdf):
+                import pandas as pd
+                if len(post_pdf) == 0:
+                    return pd.DataFrame({"n": []})
+                return pd.DataFrame({"n": [int(hits(post_pdf).size)]})
+
+            partial = post.groupBy("shard").applyInPandas(fn, "n long")
+        return partial.agg(F.coalesce(F.sum("n"), F.lit(0))
+                           .cast("long").alias("n_docs"))
+
+    return _plan_cached(index, key, build)
+
+
+def match_stats(index, query: str, field: str, mode: str = "OR",
+                exclude: str | None = None,
+                dv_filter: str | None = None) -> DataFrame:
+    """Metric aggregation over the match set: count / min / max / sum /
+    avg of a STORED docvalue column for the docs matching a boolean
+    query (the ES `aggs: {stats: {field: ...}}` pattern — e.g. "date
+    range and volume of turns mentioning X").
+
+    Returns one row: ``(n_docs, n_with_value, min_val, max_val,
+    sum_val, avg_val)``. Timestamp columns aggregate at WHOLE-SECOND
+    precision (epoch micros floor-divided to seconds — the frozen
+    granularity; sub-second fractions would force float partial sums).
+    NULL/absent values are excluded from the value stats but counted in
+    ``n_docs``. Only timestamp/integer docvalue columns are accepted: a
+    float column's cross-shard sum would depend on Spark's reduction
+    order — the engine's results are bit-reproducible everywhere else,
+    and a nondeterministic aggregate would be the one liar in the API.
+    The whole pipeline reduces exact int64s (epoch-seconds x docs stays
+    within int64 up to ~5e9 matched docs); the DuckDB oracle twin
+    reduces the identical integers, and the final avg is one identical
+    int/int double division on both sides.
+
+    Plan: pruned postings scan -> per-shard kernel resolves the match
+    set and gathers values from its OWN shard's cached docvalue slice
+    (no corpus scan, no cogroup, no extra shuffle) -> each task emits
+    ONE partial row (count/min/max/sum as int64) -> a single tiny final
+    aggregation.
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"stats field {field!r} is not a docvalue column of this "
+            f"index (stored: {list(index.doc_values or ())}; build with "
+            f"IndexConfig(doc_values=...))")
+    # type gate from the store's parquet schema (driver-side metadata)
+    from .docvalues import dv_path
+    schema = pads.dataset(dv_path(index.index_dir),
+                          format="parquet", partitioning="hive").schema
+    ftype = schema.field(field).type
+    is_ts = pa.types.is_timestamp(ftype)
+    if not (is_ts or pa.types.is_integer(ftype)):
+        raise ValueError(
+            f"match_stats({field!r}): only timestamp/integer docvalue "
+            f"columns are supported — a float column's cross-shard sum "
+            f"would depend on reduction order (non-reproducible); "
+            f"stored type is {ftype}")
+    key = ("ms", query, field, mode, exclude, dv_filter)
+
+    def build():
+        spark = index.spark
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        empty = spark.range(1).select(
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_with_value"),
+            *[F.lit(None).cast("double").alias(c)
+              for c in ("min_val", "max_val", "sum_val", "avg_val")])
+        if prep is None:
+            return empty
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+            from .docvalues import _load_shard
+            cols = ["n", "nv", "mn", "mx", "sm"]
+            if len(post_pdf) == 0:
+                return pd.DataFrame({c: [] for c in cols})
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return pd.DataFrame({c: [] for c in cols})
+            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+            if slice_tbl is None or slice_tbl.num_rows == 0:
+                return pd.DataFrame({"n": [int(hit.size)], "nv": [0],
+                                     "mn": [0], "mx": [0], "sm": [0]})
+            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+            col = slice_tbl.column(field)
+            nulls = col.is_null().to_numpy(zero_copy_only=False)
+            if is_ts:
+                # fill_null BEFORE to_numpy keeps the array int64 (a
+                # nullable cast would surface as lossy float64); whole
+                # seconds via floor division — exact
+                micros = pc.fill_null(
+                    pc.cast(col, _pa.timestamp("us")).cast(_pa.int64()),
+                    0).to_numpy(zero_copy_only=False)
+                vals = np.floor_divide(micros, 1_000_000)
+            else:
+                vals = pc.fill_null(col, 0).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            # hit loc -> slice row (sloc is written sorted)
+            idx_ = np.searchsorted(sloc, hit)
+            ok = idx_ < sloc.size
+            ok[ok] &= sloc[idx_[ok]] == hit[ok]
+            rows = idx_[ok]
+            rows = rows[~nulls[rows]]
+            if rows.size == 0:
+                return pd.DataFrame({"n": [int(hit.size)], "nv": [0],
+                                     "mn": [0], "mx": [0], "sm": [0]})
+            v = vals[rows]
+            return pd.DataFrame({"n": [int(hit.size)],
+                                 "nv": [int(v.size)],
+                                 "mn": [int(v.min())],
+                                 "mx": [int(v.max())],
+                                 "sm": [int(v.sum())]})
+
+        partial = post.groupBy("shard").applyInPandas(
+            fn, "n long, nv long, mn long, mx long, sm long")
+        agg = partial.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("nv"), F.lit(0)).cast("long").alias("_nv"),
+            F.min(F.when(F.col("nv") > 0, F.col("mn"))).alias("_mn"),
+            F.max(F.when(F.col("nv") > 0, F.col("mx"))).alias("_mx"),
+            F.sum(F.when(F.col("nv") > 0, F.col("sm"))).alias("_sm"))
+        return agg.select(
+            "n_docs", F.col("_nv").alias("n_with_value"),
+            F.col("_mn").cast("double").alias("min_val"),
+            F.col("_mx").cast("double").alias("max_val"),
+            F.col("_sm").cast("double").alias("sum_val"),
+            F.when(F.col("_nv") > 0,
+                   F.col("_sm").cast("double") / F.col("_nv"))
+            .alias("avg_val"))
+
+    return _plan_cached(index, key, build)
+
+
+def mlt_terms(index, doc_id: int, max_terms: int = 16) -> list[str]:
+    """The frozen more-like-this term selection: the source doc's
+    distinct analyzer terms scored tf x idf (corpus-global idf, the
+    index's frozen variant), top ``max_terms`` kept under the
+    deterministic cap (tf*idf desc, term asc on ties — the same
+    cap-rule pattern as search_prefix, replicated by the SQL twin).
+    Driver-side and metadata-sized: ONE pruned corpus-row read + one
+    memoized lexicon lookup."""
+    from collections import Counter
+    from .query import _corpus_pruned
+    rows = _corpus_pruned(index, [int(doc_id)]).select("text").collect()
+    if not rows:
+        raise ValueError(f"more_like_this: no document with doc_id "
+                         f"{doc_id} in {index.index_dir}")
+    tf = Counter(tokenize_py(rows[0]["text"], index.cfg.analyzer))
+    lex = index.lookup_terms(sorted(tf))
+    scored = sorted(((-(tf[t] * float(lex[t]["idf"])), t)
+                     for t in tf if t in lex))
+    return [t for _, t in scored[:max_terms]]
+
+
+def more_like_this(index, doc_id: int, k: int = 10, max_terms: int = 16,
+                   doc_filter: str | None = None,
+                   dv_filter: str | None = None) -> DataFrame:
+    """Documents most similar to ``doc_id`` — the Lucene/ES MLT query.
+
+    The frozen contract: ``mlt_terms`` selects the source doc's top
+    ``max_terms`` terms by tf x idf (deterministic cap), the selection
+    scores as a standard BM25 OR query with qtf=1 per term (each term
+    keeping its corpus-global idf — identical semantics to typing the
+    terms out, exactly like search_prefix's expansion), and the source
+    document itself is excluded from the results. ``doc_filter`` /
+    ``dv_filter`` compose unchanged.
+
+    Plan: term selection is driver-side metadata work; the scoring job
+    is ``search``'s unchanged single-job plan asked for k+1 rows, with
+    the source doc dropped by a trivial post-filter over the <= k+1
+    collected candidates (re-sorted — the sort is over <= k+1 rows).
+    """
+    from .query import _search_impl, _warn_if_stale
+    _warn_if_stale(index)
+    doc_id = int(doc_id)
+    key = ("mlt", doc_id, k, max_terms, doc_filter, dv_filter)
+
+    def build():
+        terms = mlt_terms(index, doc_id, max_terms)
+        if not terms:
+            from .query import _empty_topk
+            return _empty_topk(index.spark)
+        top = _search_impl(index, "", k + 1, "OR", "auto",
+                           doc_filter=doc_filter, dv_filter=dv_filter,
+                           qtf_override={t: 1 for t in terms})
+        return (top.filter(F.col("doc_id") != F.lit(doc_id))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    return _plan_cached(index, key, build)

@@ -1,0 +1,143 @@
+"""Match-set operators (engine/matchops.py): exact counting, docvalue
+stats over the match set, more-like-this — each differentially tested
+against a pure-Python/pandas reference over the same frozen corpus."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine import matchops as M, query as Q
+from engine.analyzer import tokenize_py
+from engine.build import build_index
+from engine.config import DEFAULT, IndexConfig
+
+
+@pytest.fixture(scope="module")
+def midx(spark, corpus_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("matchidx") / "packed")
+    return build_index(spark, corpus_df, d,
+                       cfg=IndexConfig(doc_values=("role", "ts")))
+
+
+@pytest.fixture(scope="module")
+def tok_rows(corpus_pdf):
+    """Per-doc token sets/lists in doc_id (stable) order — the reference
+    the count/stats expectations derive from."""
+    return [set(tokenize_py(t, DEFAULT.analyzer)) for t in corpus_pdf.text]
+
+
+def _expect_ids(tok_rows, terms, mode, pdf=None, pred=None, neg=()):
+    terms = set(terms)
+    out = []
+    for i, toks in enumerate(tok_rows):
+        hit = terms <= toks if mode == "AND" else bool(terms & toks)
+        if hit and neg and (set(neg) & toks):
+            hit = False
+        if hit and pred is not None and not pred(pdf.iloc[i]):
+            hit = False
+        if hit:
+            out.append(i)
+    return out
+
+
+def one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_match_count_modes(midx, corpus_pdf, tok_rows):
+    for terms, mode in [(["hot0", "hot1"], "OR"), (["hot0", "hot1"], "AND"),
+                        (["rare0"], "OR"), (["nosuchterm"], "OR")]:
+        want = len(_expect_ids(tok_rows, terms, mode))
+        got = one(M.match_count(midx, " ".join(terms), mode=mode))["n_docs"]
+        assert got == want, (terms, mode)
+
+
+def test_match_count_excl_filters(midx, corpus_pdf, tok_rows):
+    want = len(_expect_ids(tok_rows, ["hot0"], "OR", neg=["mid1"]))
+    assert one(M.match_count(midx, "hot0", exclude="mid1"))["n_docs"] == want
+    want = len(_expect_ids(tok_rows, ["hot0"], "OR", pdf=corpus_pdf,
+                           pred=lambda r: r.role == "user"))
+    assert one(M.match_count(midx, "hot0",
+                             doc_filter="role = 'user'"))["n_docs"] == want
+    assert one(M.match_count(midx, "hot0",
+                             dv_filter="role = 'user'"))["n_docs"] == want
+
+
+def test_match_count_agrees_with_search(midx):
+    n = one(M.match_count(midx, "hot0 mid1", mode="AND"))["n_docs"]
+    hits = Q.search(midx, "hot0 mid1", k=midx.n_docs, mode="AND").count()
+    assert n == hits
+
+
+def test_match_count_respects_tombstones(spark, midx, tmp_path):
+    import shutil
+    from engine.build import load_index
+    from engine.deletes import delete_docs
+    d = str(tmp_path / "cp")
+    shutil.copytree(midx.index_dir, d)
+    idx = load_index(spark, d)
+    base = one(M.match_count(idx, "hot0"))["n_docs"]
+    gone = delete_docs(idx, "role = 'tool' AND text LIKE '%hot0%'")
+    assert gone > 0
+    assert one(M.match_count(idx, "hot0"))["n_docs"] == base - gone
+
+
+def test_match_stats_ts(midx, corpus_pdf, tok_rows):
+    ids = _expect_ids(tok_rows, ["hot0", "hot1"], "AND")
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64)
+    r = one(M.match_stats(midx, "hot0 hot1", "ts", mode="AND"))
+    assert r["n_docs"] == len(ids) and r["n_with_value"] == len(ids)
+    assert r["min_val"] == float(secs.min())
+    assert r["max_val"] == float(secs.max())
+    assert r["sum_val"] == float(secs.sum())
+    assert r["avg_val"] == float(secs.sum()) / len(ids)
+
+
+def test_match_stats_empty_and_validation(midx):
+    r = one(M.match_stats(midx, "nosuchterm", "ts"))
+    assert r["n_docs"] == 0
+    with pytest.raises(ValueError, match="not a docvalue"):
+        M.match_stats(midx, "hot0", "conv_id")
+    with pytest.raises(ValueError, match="timestamp/integer"):
+        M.match_stats(midx, "hot0", "role")
+
+
+def test_mlt_terms_frozen_rule(midx, corpus_pdf):
+    """The cap rule: tf*idf desc, term asc — recomputed independently
+    from the packed lexicon."""
+    doc = 37
+    toks = tokenize_py(corpus_pdf.iloc[doc].text, DEFAULT.analyzer)
+    from collections import Counter
+    tf = Counter(toks)
+    lex = midx.lookup_terms(sorted(tf))
+    want = sorted(((-(tf[t] * float(lex[t]["idf"])), t) for t in tf
+                   if t in lex))
+    want = [t for _, t in want][:8]
+    assert M.mlt_terms(midx, doc, max_terms=8) == want
+
+
+def test_more_like_this(midx, oracle_idx):
+    """MLT == an OR query over the frozen expansion with qtf=1, source
+    doc removed — checked against the pure-Python oracle ranking."""
+    doc = 37
+    terms = M.mlt_terms(midx, doc, max_terms=8)
+    got = [(r.doc_id, r.score) for r in
+           M.more_like_this(midx, doc, k=10, max_terms=8).collect()]
+    assert all(d != doc for d, _ in got) and got
+    want = [(d, s) for d, s in
+            oracle_idx.search(" ".join(terms), 11, "OR") if d != doc][:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose([s for _, s in got],
+                               [s for _, s in want], rtol=0, atol=1e-9)
+
+
+def test_more_like_this_self_not_in_topk(midx):
+    """k+1 over-fetch: even when the source doc would rank #1 (it always
+    matches all its own terms), the caller still receives k rows if k+1
+    candidates exist."""
+    doc = 37
+    out = M.more_like_this(midx, doc, k=5, max_terms=8).collect()
+    assert len(out) == 5 and all(r.doc_id != doc for r in out)
