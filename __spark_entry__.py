@@ -818,6 +818,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("sum_val", 6).alias("sum_val"),
                         F.round("avg_val", 6).alias("avg_val"))
 
+    def match_histogram_q(spark, sf):
+        # date-histogram over the match set: docs matching the OR query
+        # counted per 30-day bucket of the stored ts docvalue (floor
+        # semantics, exact int64s end-to-end) — the ES date_histogram
+        # pattern served from the per-shard docvalue slices
+        from engine.matchops import match_histogram
+        idx = _packed_index(spark, sf)
+        return match_histogram(idx, "spark join", "ts", 30 * 86400,
+                               mode="OR")
+
     def more_like_this_q(spark, sf):
         # MLT: top-8 tf x idf terms of doc 3 (frozen deterministic cap:
         # tf*idf desc, term asc) scored as BM25 OR with qtf=1, source doc
@@ -917,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_purged": bm25_purged,
         "match_count": match_count_q,
         "match_stats_ts": match_stats_ts,
+        "match_histogram": match_histogram_q,
         "more_like_this": more_like_this_q,
     }
 
@@ -1471,6 +1482,16 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
                    round(sum(s)::DOUBLE, 6) AS sum_val,
                    round(sum(s)::DOUBLE / count(*), 6) AS avg_val
             FROM m""",
+        "match_histogram": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS s
+              FROM documents
+              WHERE len(list_intersect({_TOK_SQL},
+                                       ['join', 'spark'])) > 0)
+            SELECT (s // {30 * 86400}) * {30 * 86400} AS bucket_start,
+                   count(*)::BIGINT AS n_docs
+            FROM m GROUP BY 1 ORDER BY 1""",
         "more_like_this": _mlt_sql(3, 8, 10),
         # tombstoned (not yet purged): candidates restricted, stats global
         "bm25_deleted": _bm25_sql(["vector", "window", "merge"], "OR",

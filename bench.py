@@ -356,6 +356,13 @@ def main():
         queries["match_count"] = round(dt, 4)
         dt, _ = tbest(lambda: more_like_this(idx, 12345, k=10).collect())
         queries["more_like_this"] = round(dt, 4)
+        if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
+            # daily histogram from the dv index's ts docvalue store
+            from engine.matchops import match_histogram
+            match_histogram(dvx, "hot0 hot1", "ts", 86400).collect()
+            dt, _ = tbest(lambda: match_histogram(
+                dvx, "hot0 hot1", "ts", 86400).collect())
+            queries["match_histogram"] = round(dt, 4)
 
         lat = []
         for q in QUERY_SET:
@@ -425,6 +432,7 @@ def main():
                                  "delete_mark", "search_deleted",
                                  "purge_wall", "search_purged",
                                  "match_count", "more_like_this",
+                                 "match_histogram",
                                  "repeat_query_cached",
                                  "repeat_batch_cached"))
         out = {

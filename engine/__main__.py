@@ -180,6 +180,21 @@ def cmd_count(args) -> int:
     return 0
 
 
+def cmd_histogram(args) -> int:
+    """Date-histogram over the match set: doc counts per fixed-width
+    time bucket of a stored docvalue column."""
+    from .build import load_index
+    from .matchops import match_histogram
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    out = match_histogram(idx, args.query, args.field, args.interval_s,
+                          mode=args.mode, exclude=args.exclude,
+                          dv_filter=args.dv_filter)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_mlt(args) -> int:
     """More-like-this: docs most similar to --doc-id (frozen tf x idf
     term selection, BM25 OR scoring, source excluded)."""
@@ -357,6 +372,20 @@ def main(argv=None) -> int:
                          "n_docs/n_with_value/min/max/sum/avg instead "
                          "of the bare count")
     ct.set_defaults(fn=cmd_count)
+    hg = sub.add_parser("histogram",
+                        help="date-histogram over the match set "
+                             "(docvalue time buckets)")
+    hg.add_argument("--index-dir", required=True)
+    hg.add_argument("--query", required=True)
+    hg.add_argument("--field", required=True,
+                    help="docvalue timestamp/integer column")
+    hg.add_argument("--interval-s", type=int, required=True,
+                    help="bucket width in whole seconds")
+    hg.add_argument("--mode", default="OR",
+                    choices=["OR", "AND", "or", "and"])
+    hg.add_argument("--exclude", default=None)
+    hg.add_argument("--dv-filter", default=None)
+    hg.set_defaults(fn=cmd_histogram)
     ml = sub.add_parser("mlt",
                         help="more-like-this: docs similar to --doc-id")
     ml.add_argument("--index-dir", required=True)

@@ -306,6 +306,113 @@ def match_stats(index, query: str, field: str, mode: str = "OR",
     return _plan_cached(index, key, build)
 
 
+HISTOGRAM_SCHEMA = "bucket_start long, n_docs long"
+
+
+def match_histogram(index, query: str, field: str, interval_s: int,
+                    mode: str = "OR", exclude: str | None = None,
+                    dv_filter: str | None = None) -> DataFrame:
+    """Date-histogram aggregation over the match set (the ES
+    `date_histogram` pattern — "matching turns per day/week over
+    time"): doc counts per fixed-width time bucket of a STORED
+    timestamp/integer docvalue column.
+
+    Returns ``(bucket_start:long, n_docs:long)`` rows ordered by
+    bucket_start, where ``bucket_start = floor(value / interval_s) *
+    interval_s`` in epoch seconds (timestamps at whole-second
+    precision, floor semantics — the frozen rule the SQL twin
+    replicates with integer division). Docs with NULL/absent values
+    contribute no bucket (count them via ``match_count`` if needed).
+
+    Plan: the same pruned postings scan + shared arity kernel as
+    ``match_count``; each shard task histograms its OWN docvalue slice
+    in-task (np.unique over int64 bucket ids) and emits one
+    (bucket, partial-count) row per NON-EMPTY bucket — shuffle volume
+    is bounded by buckets-per-shard, never docs. One narrow hash
+    aggregation finishes; everything reduced is an exact int64.
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    interval_s = int(interval_s)
+    if interval_s <= 0:
+        raise ValueError("interval_s must be a positive whole number "
+                         "of seconds")
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"histogram field {field!r} is not a docvalue column of this "
+            f"index (stored: {list(index.doc_values or ())})")
+    from .docvalues import dv_path
+    schema = pads.dataset(dv_path(index.index_dir),
+                          format="parquet", partitioning="hive").schema
+    ftype = schema.field(field).type
+    is_ts = pa.types.is_timestamp(ftype)
+    if not (is_ts or pa.types.is_integer(ftype)):
+        raise ValueError(
+            f"match_histogram({field!r}): only timestamp/integer "
+            f"docvalue columns are supported; stored type is {ftype}")
+    key = ("mh", query, field, interval_s, mode, exclude, dv_filter)
+
+    def build():
+        spark = index.spark
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:
+            return spark.createDataFrame([], HISTOGRAM_SCHEMA)
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+            from .docvalues import _load_shard
+            empty = pd.DataFrame({"b": [], "n": []})
+            if len(post_pdf) == 0:
+                return empty
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty
+            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+            if slice_tbl is None or slice_tbl.num_rows == 0:
+                return empty
+            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+            col = slice_tbl.column(field)
+            nulls = col.is_null().to_numpy(zero_copy_only=False)
+            if is_ts:
+                micros = pc.fill_null(
+                    pc.cast(col, _pa.timestamp("us")).cast(_pa.int64()),
+                    0).to_numpy(zero_copy_only=False)
+                vals = np.floor_divide(micros, 1_000_000)
+            else:
+                vals = pc.fill_null(col, 0).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            idx_ = np.searchsorted(sloc, hit)
+            ok = idx_ < sloc.size
+            ok[ok] &= sloc[idx_[ok]] == hit[ok]
+            rows = idx_[ok]
+            rows = rows[~nulls[rows]]
+            if rows.size == 0:
+                return empty
+            buckets = np.floor_divide(vals[rows], interval_s) * interval_s
+            ub, cnt = np.unique(buckets, return_counts=True)
+            return pd.DataFrame({"b": ub.astype(np.int64),
+                                 "n": cnt.astype(np.int64)})
+
+        partial = post.groupBy("shard").applyInPandas(fn, "b long, n long")
+        return (partial.groupBy("b")
+                .agg(F.sum("n").cast("long").alias("n_docs"))
+                .select(F.col("b").alias("bucket_start"), "n_docs")
+                .orderBy("bucket_start"))
+
+    return _plan_cached(index, key, build)
+
+
 def mlt_terms(index, doc_id: int, max_terms: int = 16) -> list[str]:
     """The frozen more-like-this term selection: the source doc's
     distinct analyzer terms scored tf x idf (corpus-global idf, the

@@ -105,6 +105,47 @@ def test_match_stats_empty_and_validation(midx):
         M.match_stats(midx, "hot0", "role")
 
 
+def test_match_histogram(midx, corpus_pdf, tok_rows):
+    ids = _expect_ids(tok_rows, ["hot0", "hot1"], "AND")
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64)
+    interval = 3600
+    want = {}
+    for s in (secs // interval) * interval:
+        want[int(s)] = want.get(int(s), 0) + 1
+    got = {r.bucket_start: r.n_docs for r in
+           M.match_histogram(midx, "hot0 hot1", "ts", interval,
+                             mode="AND").collect()}
+    assert got == want and len(got) > 1
+    # bucket_starts come back ordered
+    bs = [r.bucket_start for r in
+          M.match_histogram(midx, "hot0 hot1", "ts", interval,
+                            mode="AND").collect()]
+    assert bs == sorted(bs)
+
+
+def test_match_histogram_filters_compose(midx, corpus_pdf, tok_rows):
+    ids = _expect_ids(tok_rows, ["hot0"], "OR", pdf=corpus_pdf,
+                      pred=lambda r: r.role == "user", neg=["mid1"])
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64)
+    want = {}
+    for s in (secs // 86400) * 86400:
+        want[int(s)] = want.get(int(s), 0) + 1
+    got = {r.bucket_start: r.n_docs for r in
+           M.match_histogram(midx, "hot0", "ts", 86400, exclude="mid1",
+                             dv_filter="role = 'user'").collect()}
+    assert got == want
+
+
+def test_match_histogram_validation(midx):
+    with pytest.raises(ValueError, match="positive"):
+        M.match_histogram(midx, "hot0", "ts", 0)
+    with pytest.raises(ValueError, match="timestamp/integer"):
+        M.match_histogram(midx, "hot0", "role", 3600)
+    assert M.match_histogram(midx, "nosuchterm", "ts", 3600).count() == 0
+
+
 def test_mlt_terms_frozen_rule(midx, corpus_pdf):
     """The cap rule: tf*idf desc, term asc — recomputed independently
     from the packed lexicon."""
