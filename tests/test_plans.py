@@ -156,3 +156,58 @@ def test_facets_plan_pruned_single_pass(plan_idx):
     # one grouping-sets pass for N dims (formatted explain prints each
     # node twice: tree line + "(n) Expand" detail header — count headers)
     assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
+
+
+def test_match_count_plan_pruned(plan_idx):
+    """match_count (r4): the count's ONLY scan is the pruned postings
+    read — bucket partition filter + term pushdown, and neither the
+    scoring streams (dls) nor WAND columns (blocks) nor the corpus ever
+    appear in any ReadSchema."""
+    from engine.matchops import match_count
+    out = match_count(plan_idx, "hot0 rare3", mode="OR")
+    plan = _formatted(out)
+    assert re.search(r"PartitionFilters: \[.*bucket.*IN", plan), plan
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(term", plan), plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(schemas) == 1, schemas  # the postings scan alone
+    assert "dls" not in schemas[0] and "blocks" not in schemas[0] \
+        and "text" not in schemas[0]
+
+
+def test_match_histogram_plan_single_agg(plan_idx, corpus_df,
+                                         tmp_path_factory):
+    """match_histogram (r4): one pruned postings scan (no corpus read —
+    values come from the in-task docvalue slices) and ONE hash
+    aggregation over the per-shard partial buckets."""
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    from engine.matchops import match_histogram
+    d = str(tmp_path_factory.mktemp("plans_dv") / "idx")
+    idx = build_index(spark_ := corpus_df.sparkSession, corpus_df, d,
+                      cfg=IndexConfig(doc_values=("role", "ts")))
+    out = match_histogram(idx, "hot0 rare3", "ts", 86400)
+    plan = _formatted(out)
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(schemas) == 1, schemas  # postings only; dv reads are in-task
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(term", plan), plan
+
+
+def test_materialize_pruned_after_delete(spark, plan_idx, corpus_pdf,
+                                         tmp_path):
+    """E8 stays pruned on a tombstoned index: the corpus read for a
+    post-delete top-k still pushes stored-column predicates (part_id /
+    local_idx) into the parquet scan."""
+    import shutil
+    from engine.build import load_index
+    from engine.deletes import delete_ids
+    d = str(tmp_path / "cp")
+    shutil.copytree(plan_idx.index_dir, d)
+    idx = load_index(spark, d)
+    pre = Q.search(idx, "hot0 hot1", k=10).collect()
+    delete_ids(idx, [pre[0].doc_id])
+    out = Q.materialize_packed(idx, Q.search(idx, "hot0 hot1", k=10))
+    plan = _formatted(out)
+    assert re.search(r"PushedFilters: \[.*part_id", plan) \
+        or re.search(r"PartitionFilters: \[.*part_id", plan), plan
+    rows = out.collect()
+    assert pre[0].doc_id not in {r.doc_id for r in rows} and rows
