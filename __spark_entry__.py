@@ -125,7 +125,8 @@ def _packed_index(spark: SparkSession, sf_dir: str, positions: bool = False):
     if key not in _PACKED_IDX_CACHE:
         d = tempfile.mkdtemp(prefix="entry_idx_")
         cfg = IndexConfig(index_positions=positions,
-                          doc_values=("lang", "source", "ts"))
+                          doc_values=("lang", "source", "ts"),
+                          fuzzy_edits=2)
         _PACKED_IDX_CACHE[key] = build_index(
             spark, _corpus_from_documents(_docs(spark, sf_dir)), d,
             cfg=cfg)
@@ -300,6 +301,66 @@ def _bm25_prefix_engine(spark: SparkSession, sf_dir: str, prefix: str,
     idx = _packed_index(spark, sf_dir)
     top = Q.search_prefix(idx, prefix, k=10, max_expansions=max_expansions)
     return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_fuzzy_engine(spark: SparkSession, sf_dir: str, term: str,
+                       max_edits: int = 1,
+                       max_expansions: int = 50) -> DataFrame:
+    from engine import query as Q
+    idx = _packed_index(spark, sf_dir)
+    top = Q.search_fuzzy(idx, term, k=10, max_edits=max_edits,
+                         max_expansions=max_expansions)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_fuzzy_sql(term: str, max_edits: int = 1, k: int = 10,
+                    max_expansions: int = 50) -> str:
+    """DuckDB twin of ``engine.query.search_fuzzy``: candidates are the
+    vocabulary terms within ``max_edits`` plain Levenshtein of the query
+    term — computed here with DuckDB's built-in ``levenshtein`` over the
+    WHOLE vocab, while the engine uses its indexed SymSpell
+    deletion-neighborhood lookup, so the gate checks the SEMANTICS and
+    would catch a completeness bug in the deletion trick. Frozen cap:
+    (distance ASC, df DESC, term ASC) LIMIT n; the expansion scores as
+    BM25 OR with qtf=1 per matched term, each keeping its own idf."""
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+exp AS (
+  SELECT term, df FROM (
+    SELECT term, df, levenshtein(term, '{term}') AS dist FROM dfreq
+  ) WHERE dist <= {max_edits}
+  ORDER BY dist ASC, df DESC, term ASC
+  LIMIT {max_expansions}
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n - exp.df + 0.5) / (exp.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN exp USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
 
 
 def _bm25_prefix_sql(prefix: str, k: int = 10,
@@ -511,6 +572,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # survive (df desc, term asc — the frozen deterministic cap rule
         # the DuckDB twin replicates with ORDER BY ... LIMIT 3)
         return _bm25_prefix_engine(spark, sf, "s*", max_expansions=3)
+
+    def bm25_fuzzy(spark, sf):
+        # edit-distance query sprk~1 -> {spark} via the SymSpell
+        # deletion-neighborhood lookup (engine/fuzzy.py); the twin scans
+        # the whole vocab with DuckDB's levenshtein — semantics vs
+        # mechanism, so a candidate-completeness bug fails the gate
+        return _bm25_fuzzy_engine(spark, sf, "sprk", max_edits=1)
+
+    def bm25_fuzzy2(spark, sf):
+        # radius 2: sprk~2 -> {spark(d1), sort(d2)} — a true multi-term
+        # OR expansion, each term keeping its own corpus-global idf
+        return _bm25_fuzzy_engine(spark, sf, "sprk", max_edits=2)
+
+    def bm25_fuzzy_capped(spark, sf):
+        # the cap BINDING at 1 under the frozen (dist ASC, df DESC,
+        # term ASC) rule: joi~2 matches {join(d1), row(d2)} but only the
+        # closest survives
+        return _bm25_fuzzy_engine(spark, sf, "joi", max_edits=2,
+                                  max_expansions=1)
 
     def term_stats_hooked(spark, sf):
         # C3 analyzer hooks under the hard gate: stopword removal + the
@@ -890,6 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page2": bm25_page2,
         "bm25_prefix": bm25_prefix,
         "bm25_prefix_capped": bm25_prefix_capped,
+        "bm25_fuzzy": bm25_fuzzy,
+        "bm25_fuzzy2": bm25_fuzzy2,
+        "bm25_fuzzy_capped": bm25_fuzzy_capped,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -1323,6 +1406,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_page2": _bm25_sql(["spark", "join", "fast"], "OR", offset=10),
         "bm25_prefix": _bm25_prefix_sql("s"),
         "bm25_prefix_capped": _bm25_prefix_sql("s", max_expansions=3),
+        "bm25_fuzzy": _bm25_fuzzy_sql("sprk", max_edits=1),
+        "bm25_fuzzy2": _bm25_fuzzy_sql("sprk", max_edits=2),
+        "bm25_fuzzy_capped": _bm25_fuzzy_sql("joi", max_edits=2,
+                                             max_expansions=1),
         "term_stats_hooked": _term_stats_hooked_sql(),
         "fingerprint": f"""
             SELECT doc_id,

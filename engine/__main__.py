@@ -73,11 +73,13 @@ def cmd_search(args) -> int:
                  "half_life_days": args.boost_half_life_days,
                  "now": args.boost_now}
     mode_up = args.mode.upper()
-    if (args.dv_filter or boost or args.sort_by) \
-            and mode_up in ("PHRASE", "PREFIX"):
-        print("--dv-filter/--boost-*/--sort-by need --mode OR|AND "
-              "(docvalue paths; phrase/prefix queries take --filter)",
-              file=sys.stderr)
+    if (boost or args.sort_by) and mode_up in ("PHRASE", "PREFIX", "FUZZY"):
+        print("--boost-*/--sort-by need --mode OR|AND "
+              "(docvalue ranking paths)", file=sys.stderr)
+        return 2
+    if args.dv_filter and mode_up in ("PHRASE", "PREFIX"):
+        print("--dv-filter needs --mode OR|AND|FUZZY "
+              "(phrase/prefix queries take --filter)", file=sys.stderr)
         return 2
     if args.sort_by and (boost or after is not None):
         print("--sort-by replaces the score ranking: it composes with "
@@ -106,6 +108,18 @@ def cmd_search(args) -> int:
         snippet_query = " ".join(
             r["term"] for r in idx.expand_prefix(
                 Q.normalize_prefix(args.query), args.max_expansions))
+    elif mode_up == "FUZZY":
+        top = Q.search_fuzzy(idx, args.query, k=args.k,
+                             max_edits=args.max_edits,
+                             max_expansions=args.max_expansions,
+                             use_wand=False if args.no_wand else "auto",
+                             exclude=args.exclude, doc_filter=args.filter,
+                             dv_filter=args.dv_filter, after=after)
+        from .fuzzy import expand_fuzzy
+        snippet_query = " ".join(
+            r["term"] for r in expand_fuzzy(
+                idx, Q.normalize_prefix(args.query), args.max_edits,
+                args.max_expansions))
     elif after is not None:
         top = Q.search_after(idx, args.query, k=args.k, mode=args.mode,
                              after=after, exclude=args.exclude,
@@ -281,11 +295,14 @@ def main(argv=None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", default="OR",
-                   choices=["OR", "AND", "PHRASE", "PREFIX",
-                            "or", "and", "phrase", "prefix"])
+                   choices=["OR", "AND", "PHRASE", "PREFIX", "FUZZY",
+                            "or", "and", "phrase", "prefix", "fuzzy"])
     s.add_argument("--max-expansions", type=int, default=64,
-                   help="PREFIX mode: wildcard expansion cap (highest-df "
-                        "terms kept)")
+                   help="PREFIX/FUZZY mode: expansion cap (PREFIX: "
+                        "highest-df terms kept; FUZZY: closest first)")
+    s.add_argument("--max-edits", type=int, default=1,
+                   help="FUZZY mode: Levenshtein radius (needs an index "
+                        "with fuzzy_edits >= this)")
     s.add_argument("--no-wand", action="store_true")
     s.add_argument("--after", default=None,
                    help="cursor pagination: 'score,doc_id' of the last "

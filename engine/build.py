@@ -247,7 +247,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 ("n_buckets", man.n_buckets, cfg.n_buckets),
                 ("positions", man.positions, cfg.index_positions),
                 ("doc_values", list(man.doc_values or []),
-                 list(cfg.doc_values))]:
+                 list(cfg.doc_values)),
+                ("fuzzy_edits", int(man.fuzzy_edits or 0),
+                 int(cfg.fuzzy_edits))]:
             if old != new:
                 raise ValueError(
                     f"resume plan mismatch at {index_dir}: index built "
@@ -263,6 +265,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                        block_size=cfg.block_size,
                        positions=cfg.index_positions,
                        doc_values=list(cfg.doc_values),
+                       fuzzy_edits=int(cfg.fuzzy_edits),
                        bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
                              "idf_variant": cfg.bm25.idf_variant},
                        analyzer=_acfg_dict(cfg))
@@ -404,6 +407,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
             # itself large, and every query starts here
             lex.sort("term").write.mode("overwrite").parquet(lex_path)
 
+    # ---- fuzzy deletion-neighborhood (optional; engine/fuzzy.py) ----
+    # derived from the lexicon just written, so it can never drift from
+    # the vocabulary; vocab-scaled; resumable (_SUCCESS-gated)
+    if cfg.fuzzy_edits:
+        from .fuzzy import fuzzy_path, write_fuzzy_variants
+        if not _success_marker(fuzzy_path(index_dir)):
+            with timer.time("fuzzy"):
+                write_fuzzy_variants(spark, index_dir, cfg.n_buckets,
+                                     cfg.fuzzy_edits)
+        man.fuzzy_edits = int(cfg.fuzzy_edits)
+        man.save(index_dir)
+
     if not man.avgdl:
         # exact corpus stats WITHOUT a dedicated tokenize pass: the
         # lexicon's collection frequencies sum to the total token count,
@@ -452,6 +467,9 @@ class PackedIndex:
     n_deleted: int = 0
     del_epoch: int = 0
     n_ids: int = 0
+    # depth of the fuzzy deletion-neighborhood table (engine/fuzzy.py);
+    # 0 when the index was built without one
+    fuzzy_edits: int = 0
 
     @property
     def postings_path(self) -> str:
@@ -611,8 +629,10 @@ class PackedIndex:
         self._corpus_offsets = man.corpus_offsets
         self._corpus_mixed = any(
             s.segment_id.startswith("inc_") for s in man.segments)
+        self.fuzzy_edits = int(man.fuzzy_edits or 0)
         self._term_cache = {}
         self._prefix_cache = {}  # expansions change when vocab grows
+        self._fuzzy_cache = {}  # fuzzy expansions change when vocab grows
         self._plan_cache = {}  # prepared plans embed idf/avgdl closures
         self._post_df = None
         self._lex_df = None
@@ -635,6 +655,7 @@ def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
                       n_slices=man.n_slices or DEFAULT.n_slices,
                       index_positions=bool(man.positions),
                       doc_values=tuple(man.doc_values or ()),
+                      fuzzy_edits=int(man.fuzzy_edits or 0),
                       bm25=BM25Config(**bm) if bm else DEFAULT.bm25,
                       analyzer=acfg)
     return PackedIndex(spark=spark, index_dir=index_dir, n_docs=man.n_docs,
@@ -644,4 +665,5 @@ def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
                        doc_values=tuple(man.doc_values or ()),
                        n_deleted=int(man.n_deleted or 0),
                        del_epoch=int(man.del_epoch or 0),
-                       n_ids=int(man.n_ids or 0))
+                       n_ids=int(man.n_ids or 0),
+                       fuzzy_edits=int(man.fuzzy_edits or 0))

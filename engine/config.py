@@ -132,6 +132,11 @@ class IndexConfig:
     # field served INSIDE the scorer task: zero corpus scan, zero extra
     # shuffle. A few bytes/doc/column of index size; empty = off.
     doc_values: tuple = ()
+    # fuzzy edit-distance neighborhood depth: > 0 writes the SymSpell
+    # deletion-variant companion table (engine/fuzzy.py) enabling
+    # search_fuzzy up to this many edits. Vocab-scaled index cost
+    # (~|lexicon| x (term_len+1) rows at depth 1); 0 = off.
+    fuzzy_edits: int = 0
     # skew: terms whose estimated df exceeds this fraction of N get salted
     # across `skew_splits` sub-groups during the pack stage (D8)
     skew_df_frac: float = 0.10

@@ -272,6 +272,12 @@ def purge_deletes(index, cfg=None):
                                                            "lucene"))))
     lex.sort("term").write.mode("overwrite").parquet(
         os.path.join(index_dir, "lexicon"))
+    if int(man.fuzzy_edits or 0) > 0:
+        # vocab may have SHRUNK (terms whose every posting was purged):
+        # regenerate the neighborhood so fuzzy never resurrects them
+        from .fuzzy import write_fuzzy_variants
+        write_fuzzy_variants(spark, index_dir, man.n_buckets,
+                             int(man.fuzzy_edits))
     total_cf = int(spark.read.parquet(out_path)
                    .agg(F.sum("cf")).first()[0] or 0)
 

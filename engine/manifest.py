@@ -60,6 +60,9 @@ class Manifest:
     # docvalue columns stored per scoring shard (engine/docvalues.py);
     # part of the resolved plan — resume/append must honor it
     doc_values: list = field(default_factory=list)
+    # depth of the fuzzy deletion-neighborhood table (engine/fuzzy.py);
+    # 0 = not built. Part of the resolved plan like positions/doc_values
+    fuzzy_edits: int = 0
     # ---- deletes (engine/deletes.py) ----
     # tombstoned docs currently pending physical purge (they no longer
     # match queries, but still count in N/avgdl — the frozen two-phase

@@ -578,6 +578,58 @@ def search_prefix(index, prefix: str, k: int = 10,
     return _plan_cached(index, key, build)
 
 
+def search_fuzzy(index, term: str, k: int = 10, max_edits: int = 1,
+                 max_expansions: int = 50,
+                 use_wand: "bool | str" = "auto",
+                 exclude: str | None = None,
+                 doc_filter: str | None = None,
+                 dv_filter: str | None = None,
+                 after: "tuple[float, int] | None" = None) -> DataFrame:
+    """BM25 top-k for the fuzzy query ``term~max_edits`` (the Lucene/ES
+    fuzzy query): documents matching any stored vocabulary term within
+    ``max_edits`` Levenshtein of ``term``.
+
+    Frozen semantics (engine/fuzzy.py has the full contract): candidates
+    are vocabulary terms with plain Levenshtein distance <= max_edits
+    (the exact metric DuckDB's ``levenshtein`` computes — the oracle
+    twin checks the SEMANTICS over the whole vocab while the engine uses
+    the indexed deletion-neighborhood lookup); the deterministic cap is
+    (distance ASC, df DESC, term ASC) LIMIT max_expansions; the
+    surviving terms score as a standard OR query with qtf=1 per term,
+    each keeping its own corpus-global idf. The term is normalized like
+    a wildcard prefix (lowercase single token; analyzer hooks do NOT
+    rewrite it — fuzzy matches the STORED vocabulary verbatim).
+
+    Plan: expansion = driver-side deletion variants of the term ->
+    ONE partition-pruned, predicate-pushed scan of the vocab-scaled
+    variant table -> metadata-sized verify + cap (memoized). Scoring is
+    ``search``'s unchanged single-job plan; WAND routing, ``exclude``,
+    ``doc_filter``/``dv_filter`` and cursor pagination (``after``)
+    compose exactly as in ``search_prefix``.
+
+    Requires an index built with ``IndexConfig(fuzzy_edits >= max_edits)``
+    — the neighborhood is a build-time layout, like positions/doc_values.
+    """
+    from .fuzzy import expand_fuzzy
+    _warn_if_stale(index)
+    t = normalize_prefix(term)  # same frozen single-token normalization
+    cur = (float(after[0]), int(after[1])) if after is not None else None
+    key = ("fz", t, k, int(max_edits), int(max_expansions),
+           repr(use_wand), exclude, doc_filter, dv_filter, cur)
+
+    def build():
+        rows = expand_fuzzy(index, t, max_edits, max_expansions)
+        if not rows:
+            return _empty_topk(index.spark)
+        qtf = {r["term"]: 1 for r in rows}
+        return _search_impl(index, "", k, "OR",
+                            False if cur is not None else use_wand,
+                            exclude, doc_filter, qtf_override=qtf,
+                            cursor=cur, dv_filter=dv_filter)
+
+    return _plan_cached(index, key, build)
+
+
 def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  use_wand: "bool | str" = "auto",
                  exclude: str | None = None,
@@ -1035,6 +1087,12 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     ``"max_expansions"``, default 64) expand driver-side via the
     memoized lexicon range scan and score as OR queries with qtf=1 per
     matched term — same frozen semantics as ``search_prefix``.
+
+    ``{"mode": "FUZZY"}`` entries (edit-distance ``term~d``; optional
+    ``"max_edits"`` default 1, ``"max_expansions"`` default 50) expand
+    driver-side via the memoized deletion-neighborhood lookup and ride
+    the shared scan the same way — same frozen semantics as
+    ``search_fuzzy`` (requires IndexConfig(fuzzy_edits>=max_edits)).
     """
     import pandas as pd
     from pyspark.sql import Window
@@ -1050,6 +1108,17 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
         if m == "PREFIX":
             rows = index.expand_prefix(normalize_prefix(q["query"]),
                                        int(q.get("max_expansions", 64)))
+            per_q[q["id"]] = {r["term"]: 1 for r in rows}
+            m = "OR"
+        elif m == "FUZZY":
+            # same driver-side-expansion pattern as PREFIX: the frozen
+            # (distance, df desc, term) cap resolves via the memoized
+            # deletion-neighborhood lookup (engine/fuzzy.py), then the
+            # entry rides the shared scan as an OR query with qtf=1
+            from .fuzzy import expand_fuzzy
+            rows = expand_fuzzy(index, normalize_prefix(q["query"]),
+                                int(q.get("max_edits", 1)),
+                                int(q.get("max_expansions", 50)))
             per_q[q["id"]] = {r["term"]: 1 for r in rows}
             m = "OR"
         else:

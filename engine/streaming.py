@@ -165,6 +165,13 @@ def compact(spark: SparkSession, index_dir: str,
     # and expand_prefix range scans prune on parquet min/max stats
     lex.sort("term").write.mode("overwrite").parquet(
         os.path.join(index_dir, "lexicon"))
+    if int(man.fuzzy_edits or 0) > 0:
+        # the vocabulary may have grown: regenerate the deletion
+        # neighborhood from the fresh lexicon (vocab-scaled, like the
+        # lexicon rebuild itself) so fuzzy candidates never miss new terms
+        from .fuzzy import write_fuzzy_variants
+        write_fuzzy_variants(spark, index_dir, man.n_buckets,
+                             int(man.fuzzy_edits))
     man.segments.append(Segment(out_id, max(
         (s.pass_no for s in man.segments), default=0) + 1, out_path,
         src_segments=[s.segment_id for s in srcs], status="complete"))
