@@ -884,6 +884,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _packed_index(spark, sf)
         return match_count(idx, "spark join", mode="OR", exclude="hash")
 
+    def match_cardinality_q(spark, sf):
+        # exact distinct-value count over the match set (the ES
+        # cardinality aggregation, exact): distinct `source` values
+        # among docs matching the OR query — per-shard np.unique
+        # map-side combine, one hash-distinct exchange of per-shard
+        # distinct values (engine/matchops.py)
+        from engine.matchops import match_cardinality
+        idx = _packed_index(spark, sf)
+        return match_cardinality(idx, "spark join", "source", mode="OR")
+
+    def bm25_explain(spark, sf):
+        # per-term score breakdown for one doc (the ES `_explain`
+        # endpoint): tf/dl read from the INDEX postings, idf from the
+        # lexicon — the twin recomputes everything from raw text, so
+        # this row cross-checks the stored index against first
+        # principles (engine/query.py explain_score)
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        ex = Q.explain_score(idx, "spark join fast", 1)
+        return ex.select("term", "qtf", "tf", "dl", "df",
+                         F.round("idf", 6).alias("idf"),
+                         F.round("contribution", 6).alias("contribution"))
+
     def match_stats_ts(spark, sf):
         # metric aggregation over the match set: count/min/max/sum/avg of
         # the stored ts docvalue (whole-second precision, exact int64
@@ -1009,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_deleted": bm25_deleted,
         "bm25_purged": bm25_purged,
         "match_count": match_count_q,
+        "match_cardinality": match_cardinality_q,
+        "bm25_explain": bm25_explain,
         "match_stats_ts": match_stats_ts,
         "match_histogram": match_histogram_q,
         "more_like_this": more_like_this_q,
@@ -1556,6 +1581,47 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
               WHERE term IN ('join', 'spark')
                 AND doc_id NOT IN (SELECT doc_id FROM toks
                                    WHERE term = 'hash'))""",
+        "match_cardinality": f"""
+            WITH toks AS ({toks_cte})
+            SELECT count(DISTINCT d.source)::BIGINT AS n_values
+            FROM documents d
+            WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks
+                               WHERE term IN ('join', 'spark'))""",
+        "bm25_explain": f"""
+            WITH dl AS (
+              SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents
+            ),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n FROM dl
+            ),
+            toks AS (
+              SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+              WHERE term IN ('spark', 'join', 'fast')
+              GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+            )
+            SELECT tf.term,
+                   1::BIGINT AS qtf,
+                   tf.tf,
+                   dl.dl::BIGINT AS dl,
+                   dfreq.df,
+                   round(ln(1.0 + (s.n - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5)), 6) AS idf,
+                   round(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                         * (tf.tf * ({_K1} + 1.0))
+                         / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl /
+                            (SELECT avg(dl)::DOUBLE FROM dl))), 6)
+                       AS contribution
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats s
+            WHERE tf.doc_id = 1""",
         "match_stats_ts": f"""
             WITH m AS (
               SELECT doc_id,

@@ -363,6 +363,36 @@ def main():
             dt, _ = tbest(lambda: match_histogram(
                 dvx, "hot0 hot1", "ts", 86400).collect())
             queries["match_histogram"] = round(dt, 4)
+            # exact distinct-count over the match set (per-shard unique
+            # map-side combine; engine/matchops.py)
+            from engine.matchops import match_cardinality
+            match_cardinality(dvx, "hot0 hot1", "role").collect()
+            dt, _ = tbest(lambda: match_cardinality(
+                dvx, "hot0 hot1", "role").collect())
+            queries["match_cardinality"] = round(dt, 4)
+
+        # r4 feature: per-doc score explain (one-shard pruned scan;
+        # engine/query.py explain_score). Excluded from the headline.
+        Q.explain_score(idx, "hot0 hot1 mid1", 12345).collect()  # warm
+        dt, _ = tbest(lambda: Q.explain_score(
+            idx, "hot0 hot1 mid1", 12345).collect())
+        queries["explain_score"] = round(dt, 4)
+
+        # r4 feature: fuzzy search (engine/fuzzy.py). enable_fuzzy
+        # retrofits the deletion-neighborhood onto the existing index
+        # (ONE vocab-scaled job — the cheap adoption path); the cold row
+        # pays the pruned variant-table lookup, the warm row is the
+        # standard OR scoring job on the memoized expansion. Excluded
+        # from the headline total (new workload).
+        from engine.fuzzy import enable_fuzzy
+        t_fz, _ = tdur(enable_fuzzy, idx, 1)
+        queries["fuzzy_enable"] = round(t_fz, 4)
+        t0 = time.perf_counter()
+        Q.search_fuzzy(idx, "rar3", k=10, max_edits=1).collect()
+        queries["search_fuzzy_cold"] = round(time.perf_counter() - t0, 4)
+        dt, _ = tbest(lambda: Q.search_fuzzy(
+            idx, "rar3", k=10, max_edits=1).collect())
+        queries["search_fuzzy"] = round(dt, 4)
 
         lat = []
         for q in QUERY_SET:
@@ -432,7 +462,9 @@ def main():
                                  "delete_mark", "search_deleted",
                                  "purge_wall", "search_purged",
                                  "match_count", "more_like_this",
-                                 "match_histogram",
+                                 "match_histogram", "match_cardinality",
+                                 "explain_score", "fuzzy_enable",
+                                 "search_fuzzy", "search_fuzzy_cold",
                                  "repeat_query_cached",
                                  "repeat_batch_cached"))
         out = {

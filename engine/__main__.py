@@ -178,10 +178,18 @@ def cmd_count(args) -> int:
     the count/min/max/sum/avg of a stored docvalue column over the match
     set."""
     from .build import load_index
-    from .matchops import match_count, match_stats
+    from .matchops import match_cardinality, match_count, match_stats
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
-    if args.stats_field:
+    if args.stats_field and args.cardinality_field:
+        print("--stats-field and --cardinality-field are exclusive",
+              file=sys.stderr)
+        return 2
+    if args.cardinality_field:
+        out = match_cardinality(idx, args.query, args.cardinality_field,
+                                mode=args.mode, exclude=args.exclude,
+                                dv_filter=args.dv_filter)
+    elif args.stats_field:
         out = match_stats(idx, args.query, args.stats_field,
                           mode=args.mode, exclude=args.exclude,
                           dv_filter=args.dv_filter)
@@ -190,6 +198,18 @@ def cmd_count(args) -> int:
                           exclude=args.exclude, doc_filter=args.filter,
                           dv_filter=args.dv_filter)
     for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_explain(args) -> int:
+    """Per-term BM25 score breakdown for one document (query.explain_score
+    — tf/dl read from the index, idf from the lexicon)."""
+    from . import query as Q
+    from .build import load_index
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    for r in Q.explain_score(idx, args.query, args.doc_id).collect():
         print(json.dumps(r.asDict(), default=str))
     return 0
 
@@ -388,7 +408,18 @@ def main(argv=None) -> int:
                     help="docvalue timestamp/integer column: emit "
                          "n_docs/n_with_value/min/max/sum/avg instead "
                          "of the bare count")
+    ct.add_argument("--cardinality-field", default=None,
+                    help="docvalue column: emit the EXACT distinct-value "
+                         "count over the match set instead of the doc "
+                         "count")
     ct.set_defaults(fn=cmd_count)
+    ex = sub.add_parser("explain",
+                        help="per-term BM25 score breakdown for one doc "
+                             "(the _explain endpoint)")
+    ex.add_argument("--index-dir", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--doc-id", type=int, required=True)
+    ex.set_defaults(fn=cmd_explain)
     hg = sub.add_parser("histogram",
                         help="date-histogram over the match set "
                              "(docvalue time buckets)")

@@ -306,6 +306,104 @@ def match_stats(index, query: str, field: str, mode: str = "OR",
     return _plan_cached(index, key, build)
 
 
+def match_cardinality(index, query: str, field: str, mode: str = "OR",
+                      exclude: str | None = None,
+                      dv_filter: str | None = None) -> DataFrame:
+    """EXACT distinct-value count of a STORED docvalue column over the
+    match set (the ES `cardinality` aggregation, exact instead of HLL —
+    e.g. "how many distinct conversations mention X").
+
+    Returns one row ``(n_values:long)`` — the number of distinct
+    non-NULL values of ``field`` among docs matching the boolean query
+    (same shared arity/NOT/dv_filter/tombstone kernel as match_count,
+    so count surfaces can never disagree on membership). The oracle
+    twin is ``COUNT(DISTINCT field)`` over the matching docs.
+
+    Plan (the 100 TB argument): pruned postings scan -> each shard task
+    resolves its match set and emits its OWN shard's DISTINCT values
+    (np.unique over the gathered docvalue slice — in-task, the map-side
+    combine of a distinct) -> one hash-distinct exchange over per-shard
+    distinct values -> count. Shuffle volume is bounded by
+    sum(per-shard distinct values): for low-cardinality fields it is
+    shards x values; for unique-per-doc fields it degrades to the match
+    set size — the information-theoretic floor for an EXACT distinct
+    (Spark's own COUNT DISTINCT moves the same), which is why engines
+    offer HLL when approximation is acceptable. Exactness keeps the
+    result bit-reproducible (the engine's contract) and DuckDB-checkable.
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"cardinality field {field!r} is not a docvalue column of "
+            f"this index (stored: {list(index.doc_values or ())})")
+    from .docvalues import dv_path
+    schema = pads.dataset(dv_path(index.index_dir),
+                          format="parquet", partitioning="hive").schema
+    ftype = schema.field(field).type
+    is_ts = pa.types.is_timestamp(ftype)
+    key = ("mcard", query, field, mode, exclude, dv_filter)
+
+    def build():
+        spark = index.spark
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:
+            return spark.range(1).select(
+                F.lit(0).cast("long").alias("n_values"))
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+        out_t = "v string" if pa.types.is_string(ftype) else "v long"
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+            from .docvalues import _load_shard
+            empty = pd.DataFrame({"v": []})
+            if len(post_pdf) == 0:
+                return empty
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty
+            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+            if slice_tbl is None or slice_tbl.num_rows == 0:
+                return empty
+            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+            col = slice_tbl.column(field)
+            nulls = col.is_null().to_numpy(zero_copy_only=False)
+            idx_ = np.searchsorted(sloc, hit)
+            ok = idx_ < sloc.size
+            ok[ok] &= sloc[idx_[ok]] == hit[ok]
+            rows = idx_[ok]
+            rows = rows[~nulls[rows]]
+            if rows.size == 0:
+                return empty
+            if is_ts:
+                # whole-second epoch — the same frozen granularity as
+                # match_stats/match_histogram (the twin uses epoch(ts))
+                micros = pc.fill_null(
+                    pc.cast(col, _pa.timestamp("us")).cast(_pa.int64()),
+                    0).to_numpy(zero_copy_only=False)
+                vals = np.unique(np.floor_divide(micros[rows], 1_000_000))
+                return pd.DataFrame({"v": vals.astype(np.int64)})
+            arr = col.take(_pa.array(rows, _pa.int64()))
+            uniq = pc.unique(arr)
+            return pd.DataFrame({"v": uniq.to_pandas()})
+
+        partial = post.groupBy("shard").applyInPandas(fn, out_t)
+        return partial.agg(
+            F.count_distinct("v").cast("long").alias("n_values"))
+
+    return _plan_cached(index, key, build)
+
+
 HISTOGRAM_SCHEMA = "bucket_start long, n_docs long"
 
 

@@ -630,6 +630,104 @@ def search_fuzzy(index, term: str, k: int = 10, max_edits: int = 1,
     return _plan_cached(index, key, build)
 
 
+def explain_score(index, query: str, doc_id: int) -> DataFrame:
+    """Per-term BM25 score breakdown for ONE document (the ES/Lucene
+    `_explain` endpoint): how each query term contributes to the doc's
+    score — the debugging surface every relevance engineer reaches for.
+
+    Returns one row per query term PRESENT in the document:
+    ``(term, qtf, tf, dl, df, idf, contribution)`` ordered by
+    (contribution desc, term asc), where ``contribution = qtf * idf *
+    tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` — exactly the summand of
+    the frozen scoring formula: summing the contributions in the
+    engine's frozen order (term asc) reproduces the doc's ``search``
+    score bit-for-bit (tested). Terms absent from
+    the doc (or the vocabulary) produce no row. Tombstoned docs still
+    explain (the postings are physically present until purge) — explain
+    reports the INDEX state, which is the point of the endpoint.
+
+    Plan (the 100 TB argument): tf/dl are read from the INDEX, not
+    recomputed from text — the postings scan is pruned to the query
+    terms' buckets (partition pruning), the term list (predicate
+    pushdown) AND the one scoring shard containing the doc (shard =
+    doc_id // width, a stored column predicate), so ONE task decodes
+    only the target shard's sublists and emits <= |query| rows; idf
+    rides the closure from the memoized lexicon lookup. The external
+    oracle twin recomputes everything from the raw corpus text — so the
+    gate cross-checks the index's stored tf/dl/df against first
+    principles, which is what makes this row a strong integrity check.
+    """
+    _warn_if_stale(index)
+    doc_id = int(doc_id)
+    key = ("ex", query, doc_id)
+
+    def build():
+        spark = index.spark
+        empty = spark.range(0).select(
+            F.col("id").cast("string").alias("term"),
+            *[F.lit(0).cast("long").alias(c) for c in ("qtf", "tf", "dl",
+                                                       "df")],
+            *[F.lit(0.0).alias(c) for c in ("idf", "contribution")])
+        if not (0 <= doc_id < int(index.n_ids or index.n_docs)):
+            raise ValueError(f"doc_id {doc_id} out of range "
+                             f"[0, {int(index.n_ids or index.n_docs)})")
+        qtf = query_terms(query, index.cfg.analyzer)
+        if not qtf:
+            return empty
+        lex = index.lookup_terms(sorted(qtf))
+        if not lex:
+            return empty
+        width = index.shard_width
+        shard = doc_id // width
+        terms = sorted(lex)
+        buckets = sorted({lex[t]["bucket"] for t in terms})
+        post = (index.postings()
+                .filter(F.col("bucket").isin(buckets)
+                        & F.col("term").isin(terms)
+                        & (F.col("shard") == shard))
+                .select("term", "shard", "doc_ids", "tfs", "dls"))
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            from . import codec as C
+            out_t, out_tf, out_dl = [], [], []
+            start = shard * width
+            for i in range(len(post_pdf)):
+                ids, tfs = C.decode_postings(post_pdf["doc_ids"].iloc[i],
+                                             post_pdf["tfs"].iloc[i])
+                j = np.searchsorted(ids, doc_id)
+                if j < ids.size and ids[j] == doc_id:
+                    dls = C.vbyte_decode(post_pdf["dls"].iloc[i])
+                    out_t.append(post_pdf["term"].iloc[i])
+                    out_tf.append(int(tfs[j]))
+                    out_dl.append(int(dls[j]))
+            return pd.DataFrame({"term": out_t, "tf": out_tf, "dl": out_dl})
+
+        found = (post.groupBy("shard")
+                 .applyInPandas(fn, "term string, tf long, dl long"))
+        # idf/df/qtf ride a literal CASE map (<= |query| entries) — the
+        # contribution column is the exact bm25_score_col summand
+        def _case(vals: dict, typ: str) -> "F.Column":
+            expr = "CASE term " + " ".join(
+                f"WHEN '{t}' THEN CAST({v} AS {typ})"
+                for t, v in vals.items()) + " END"
+            return F.expr(expr)
+        qtfc = _case({t: int(qtf[t]) for t in terms}, "BIGINT")
+        dfc = _case({t: int(lex[t]["df"]) for t in terms}, "BIGINT")
+        idfc = _case({t: repr(float(lex[t]["idf"])) for t in terms},
+                     "DOUBLE")
+        contrib = bm25_score_col(
+            F.col("tf").cast("double"), F.col("dl").cast("double"),
+            idfc, qtfc.cast("double"), index.avgdl, index.cfg.bm25)
+        return (found.select(
+            "term", qtfc.alias("qtf"), "tf", "dl", dfc.alias("df"),
+            idfc.alias("idf"), contrib.alias("contribution"))
+            .orderBy(F.desc("contribution"), F.asc("term")))
+
+    return _plan_cached(index, key, build)
+
+
 def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  use_wand: "bool | str" = "auto",
                  exclude: str | None = None,

@@ -105,6 +105,62 @@ def test_match_stats_empty_and_validation(midx):
         M.match_stats(midx, "hot0", "role")
 
 
+def test_match_cardinality_string_field(midx, corpus_pdf, tok_rows):
+    for terms, mode in [(["hot0", "hot1"], "OR"), (["hot0", "mid1"], "AND"),
+                        (["rare0"], "OR")]:
+        ids = _expect_ids(tok_rows, terms, mode)
+        want = corpus_pdf.iloc[ids].role.nunique()
+        got = one(M.match_cardinality(midx, " ".join(terms), "role",
+                                      mode=mode))["n_values"]
+        assert got == want, (terms, mode)
+
+
+def test_match_cardinality_ts_whole_seconds(midx, corpus_pdf, tok_rows):
+    ids = _expect_ids(tok_rows, ["hot0"], "OR")
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64)
+    got = one(M.match_cardinality(midx, "hot0", "ts"))["n_values"]
+    assert got == len(np.unique(secs))
+
+
+def test_match_cardinality_filters_and_empty(midx, corpus_pdf, tok_rows):
+    ids = _expect_ids(tok_rows, ["hot0"], "OR", pdf=corpus_pdf,
+                      pred=lambda r: r.role == "user")
+    want = corpus_pdf.iloc[ids].role.nunique()  # == 1 by construction
+    got = one(M.match_cardinality(midx, "hot0", "role",
+                                  dv_filter="role = 'user'"))["n_values"]
+    assert got == want
+    assert one(M.match_cardinality(midx, "nosuchterm",
+                                   "role"))["n_values"] == 0
+    with pytest.raises(ValueError, match="not a docvalue"):
+        M.match_cardinality(midx, "hot0", "conv_id")
+
+
+def test_explain_score_sums_to_search_score(midx, corpus_pdf):
+    top = Q.search(midx, "hot0 rare3 mid1", k=5).collect()
+    for r in top:
+        ex = Q.explain_score(midx, "hot0 rare3 mid1", r["doc_id"]).collect()
+        # engine's frozen summation order is term asc
+        tot = sum(e["contribution"]
+                  for e in sorted(ex, key=lambda e: e["term"]))
+        assert tot == r["score"], r["doc_id"]
+        # tf/dl read from the INDEX must equal first-principles recompute
+        toks = tokenize_py(corpus_pdf.iloc[r["doc_id"]].text,
+                           DEFAULT.analyzer)
+        for e in ex:
+            assert e["tf"] == toks.count(e["term"])
+            assert e["dl"] == len(toks)
+
+
+def test_explain_score_absent_terms_and_validation(midx):
+    ex = Q.explain_score(midx, "nosuchterm ghost0", 0)
+    assert ex.count() == 0
+    rows = Q.explain_score(midx, "hot0 nosuchterm", 0).collect()
+    assert [e["term"] for e in rows] in ([], ["hot0"])  # absent term: no row
+    with pytest.raises(ValueError, match="out of range"):
+        Q.explain_score(midx, "hot0", midx.n_docs + 10).collect()
+
+
 def test_match_histogram(midx, corpus_pdf, tok_rows):
     ids = _expect_ids(tok_rows, ["hot0", "hot1"], "AND")
     secs = corpus_pdf.iloc[ids].ts.values.astype(
