@@ -363,6 +363,40 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _suggest_sql(qterms: list[str], max_edits: int = 1, n: int = 3) -> str:
+    """DuckDB twin of ``engine.fuzzy.suggest_terms`` (did-you-mean, ES
+    term-suggester in suggest_mode=always): per query token, the top n
+    vocabulary terms within ``max_edits`` plain Levenshtein under the
+    frozen cap order (distance ASC, df DESC, term ASC) — computed here
+    with DuckDB's ``levenshtein`` over the WHOLE vocabulary while the
+    engine uses the indexed deletion-neighborhood lookup, so the gate
+    checks candidate COMPLETENESS, not just the ranking rule."""
+    vals = ", ".join(f"('{t}')" for t in sorted(set(qterms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+qt(qterm) AS (VALUES {vals}),
+cand AS (
+  SELECT qt.qterm, d.term AS suggestion,
+         levenshtein(d.term, qt.qterm)::INT AS dist, d.df
+  FROM qt CROSS JOIN dfreq d
+  WHERE levenshtein(d.term, qt.qterm) <= {int(max_edits)}
+),
+ranked AS (
+  SELECT qterm, suggestion, dist, df,
+         row_number() OVER (PARTITION BY qterm
+                            ORDER BY dist ASC, df DESC, suggestion ASC)
+           AS rn
+  FROM cand
+)
+SELECT qterm AS term, rn::INT AS pos, suggestion, dist, df AS sugg_df
+FROM ranked WHERE rn <= {int(n)} ORDER BY term ASC, pos ASC
+"""
+
+
 def _bm25_prefix_sql(prefix: str, k: int = 10,
                      max_expansions: int = 64) -> str:
     """DuckDB twin of ``engine.query.search_prefix``: the wildcard
@@ -591,6 +625,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closest survives
         return _bm25_fuzzy_engine(spark, sf, "joi", max_edits=2,
                                   max_expansions=1)
+
+    def suggest_missing(spark, sf):
+        # did-you-mean (ES term suggester, suggest_mode=always): 'sprk'
+        # is out-of-vocab (corrections ranked dist ASC, df DESC, term
+        # ASC from the SymSpell neighborhood), 'join' is in-vocab and
+        # yields itself at pos 1 dist 0 ahead of its radius-1 neighbors
+        # — and 'sow' has a multi-candidate radius-2 neighborhood
+        # ({row, slow} at d1, {sort} at d2), exercising the dist-ASC /
+        # df-DESC order across distances. The twin scans the whole
+        # vocab with DuckDB's levenshtein, gating candidate
+        # COMPLETENESS, not just the ranking rule
+        from engine.fuzzy import suggest_terms
+        idx = _packed_index(spark, sf)
+        return suggest_terms(idx, "sprk join sow", max_edits=2, n=3)
 
     def term_stats_hooked(spark, sf):
         # C3 analyzer hooks under the hard gate: stopword removal + the
@@ -996,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy": bm25_fuzzy,
         "bm25_fuzzy2": bm25_fuzzy2,
         "bm25_fuzzy_capped": bm25_fuzzy_capped,
+        "suggest_missing": suggest_missing,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -1435,6 +1484,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy2": _bm25_fuzzy_sql("sprk", max_edits=2),
         "bm25_fuzzy_capped": _bm25_fuzzy_sql("joi", max_edits=2,
                                              max_expansions=1),
+        "suggest_missing": _suggest_sql(["sprk", "join", "sow"],
+                                        max_edits=2, n=3),
         "term_stats_hooked": _term_stats_hooked_sql(),
         "fingerprint": f"""
             SELECT doc_id,

@@ -393,6 +393,16 @@ def main():
         dt, _ = tbest(lambda: Q.search_fuzzy(
             idx, "rar3", k=10, max_edits=1).collect())
         queries["search_fuzzy"] = round(dt, 4)
+        # did-you-mean over a 3-token query (cold: pays the pruned
+        # neighborhood scans; warm: memoized -> driver-only)
+        from engine.fuzzy import suggest_terms
+        idx.refresh()
+        t0 = time.perf_counter()
+        suggest_terms(idx, "rar3 hot0 wrd7", max_edits=1, n=3).collect()
+        queries["suggest_cold"] = round(time.perf_counter() - t0, 4)
+        dt, _ = tbest(lambda: suggest_terms(
+            idx, "rar3 hot0 wrd7", max_edits=1, n=3).collect())
+        queries["suggest_terms"] = round(dt, 4)
 
         lat = []
         for q in QUERY_SET:
@@ -465,6 +475,7 @@ def main():
                                  "match_histogram", "match_cardinality",
                                  "explain_score", "fuzzy_enable",
                                  "search_fuzzy", "search_fuzzy_cold",
+                                 "suggest_terms", "suggest_cold",
                                  "repeat_query_cached",
                                  "repeat_batch_cached"))
         out = {

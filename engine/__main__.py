@@ -214,6 +214,21 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Did-you-mean term suggestions (fuzzy.suggest_terms — per query
+    token, the top-n vocabulary terms within max-edits Levenshtein in
+    the frozen dist ASC / df DESC / term ASC order)."""
+    from .build import load_index
+    from .fuzzy import suggest_terms
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    out = suggest_terms(idx, args.query, max_edits=args.max_edits,
+                        n=args.n)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_histogram(args) -> int:
     """Date-histogram over the match set: doc counts per fixed-width
     time bucket of a stored docvalue column."""
@@ -420,6 +435,14 @@ def main(argv=None) -> int:
     ex.add_argument("--query", required=True)
     ex.add_argument("--doc-id", type=int, required=True)
     ex.set_defaults(fn=cmd_explain)
+    sg = sub.add_parser("suggest",
+                        help="did-you-mean term suggestions from the "
+                             "fuzzy neighborhood (the _suggest endpoint)")
+    sg.add_argument("--index-dir", required=True)
+    sg.add_argument("--query", required=True)
+    sg.add_argument("--max-edits", type=int, default=1)
+    sg.add_argument("--n", type=int, default=3)
+    sg.set_defaults(fn=cmd_suggest)
     hg = sub.add_parser("histogram",
                         help="date-histogram over the match set "
                              "(docvalue time buckets)")

@@ -236,3 +236,51 @@ def expand_fuzzy(index, term: str, max_edits: int = 1,
         for d, negdf, t in ranked[:int(max_expansions)]]
     cache[key] = out
     return out
+
+
+SUGGEST_SCHEMA = ("term string, pos int, suggestion string, dist int, "
+                  "sugg_df long")
+
+
+def suggest_terms(index, query: str, max_edits: int = 1,
+                  n: int = 3) -> "DataFrame":
+    """Did-you-mean term suggester (the ES/Lucene term-suggester in
+    ``suggest_mode=always``): for every token of ``query``, the top ``n``
+    stored-vocabulary terms within ``max_edits`` plain Levenshtein,
+    ranked by the engine's frozen multi-term cap rule — distance ASC,
+    df DESC, term ASC. An in-vocabulary token therefore yields itself at
+    ``pos`` 1 with ``dist`` 0 (callers wanting ES ``suggest_mode=
+    missing`` drop rows where ``pos == 1 AND dist == 0``); a token with
+    no candidate in radius yields no rows.
+
+    Tokenization follows the multi-term-query rule every expansion
+    surface uses (normalize_prefix / search_fuzzy): lowercase
+    ``[a-z0-9]+`` tokens, analyzer hooks deliberately NOT applied —
+    suggestions come from the STORED vocabulary verbatim. Tokens are
+    deduplicated and emitted in ascending order; rows are
+    ``(term, pos, suggestion, dist, sugg_df)`` ordered (term, pos).
+
+    Plan (the 100 TB argument): one partition-pruned, predicate-pushed
+    scan of the vocab-scaled deletion-neighborhood table per DISTINCT
+    novel token (engine/fuzzy.py header; memoized via expand_fuzzy's
+    per-index cache), exact-verify + cap over metadata-sized candidate
+    sets driver-side, and the result is a driver-built LocalRelation —
+    no corpus access at all. Requires ``IndexConfig(fuzzy_edits >=
+    max_edits)``.
+    """
+    import re
+    from .config import TOKEN_PATTERN
+    toks = sorted(set(re.findall(TOKEN_PATTERN, (query or "").lower())))
+    rows = []
+    for t in toks:
+        for i, c in enumerate(
+                expand_fuzzy(index, t, max_edits, n), start=1):
+            rows.append((t, i, c["term"], int(c["dist"]), int(c["df"])))
+    if not rows:  # LocalRelation-backed empty result (no scheduled job)
+        return (index.spark.range(0)
+                .select(F.lit("").alias("term"),
+                        F.lit(0).cast("int").alias("pos"),
+                        F.lit("").alias("suggestion"),
+                        F.lit(0).cast("int").alias("dist"),
+                        F.lit(0).cast("long").alias("sugg_df")))
+    return index.spark.createDataFrame(rows, SUGGEST_SCHEMA)

@@ -220,3 +220,47 @@ def test_compact_regenerates_neighborhood(spark, tmp_path_factory):
     assert got == ["zebrafish"]
     top = Q.search_fuzzy(idx, "zebrafis", k=n_new + 5, max_edits=1).collect()
     assert len(top) == n_new  # every appended doc (and nothing else)
+
+
+# ---- did-you-mean suggester (suggest_terms) --------------------------
+
+
+def _oracle_suggest(oracle_idx, query, d, n):
+    import re
+    rows = []
+    for t in sorted(set(re.findall(r"[a-z0-9]+", query.lower()))):
+        cand = sorted((levenshtein_py(t, v), -df, v)
+                      for v, df in _vocab(oracle_idx).items()
+                      if levenshtein_py(t, v) <= d)
+        for i, (dist, negdf, v) in enumerate(cand[:n], start=1):
+            rows.append((t, i, v, dist, -negdf))
+    return rows
+
+
+@pytest.mark.parametrize("query,d,n", [
+    ("sprk sow", 2, 3),       # mixed distances, multi-candidate
+    ("hot0 w3", 1, 3),        # in-vocab tokens suggest themselves first
+    ("zzzzzz", 2, 3),         # nothing in radius -> empty
+    ("sow", 1, 1),            # binding cap n=1
+])
+def test_suggest_matches_bruteforce(fz_index, oracle_idx, query, d, n):
+    from engine.fuzzy import suggest_terms
+    got = [tuple(r) for r in
+           suggest_terms(fz_index, query, max_edits=d, n=n).collect()]
+    assert got == _oracle_suggest(oracle_idx, query, d, n)
+
+
+def test_suggest_empty_is_local_relation(fz_index):
+    from engine.fuzzy import suggest_terms
+    df = suggest_terms(fz_index, "qqqqqqqq", max_edits=1, n=3)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FileScan" not in plan  # no corpus/lexicon scan scheduled
+    assert df.collect() == []
+
+
+def test_suggest_in_vocab_token_is_pos1_dist0(fz_index, oracle_idx):
+    from engine.fuzzy import suggest_terms
+    term = sorted(_vocab(oracle_idx))[0]
+    rows = suggest_terms(fz_index, term, max_edits=1, n=3).collect()
+    assert rows and rows[0]["pos"] == 1 and rows[0]["dist"] == 0 \
+        and rows[0]["suggestion"] == term
