@@ -397,6 +397,72 @@ FROM ranked WHERE rn <= {int(n)} ORDER BY term ASC, pos ASC
 """
 
 
+def _sig_terms_sql(qterms: list[str], n: int = 8, sample: int = 50,
+                   min_fg: int = 1) -> str:
+    """DuckDB twin of ``engine.matchops.significant_terms`` (JLH): the
+    foreground is the BM25 top-``sample`` of the OR query (same frozen
+    constants/idf/tie-break as every bm25 twin), fg_count = foreground
+    docs containing the term, bg_count = corpus df, and
+
+        score = (fg/S - bg/N) * ((fg/S) / (bg/N))
+
+    over exact integers — the identical IEEE expression the engine
+    evaluates. The top-n cut orders on the UNROUNDED score (subquery)
+    so the boundary can never depend on display rounding."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(qterms)))
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl)))
+           AS score
+  FROM tf JOIN dfreq d ON d.term = tf.term
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+fgdocs AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT {sample}
+),
+sn AS (SELECT count(*)::BIGINT AS s_n FROM fgdocs),
+fgc AS (
+  SELECT term, count(DISTINCT t.doc_id)::BIGINT AS fg_count
+  FROM toks t JOIN fgdocs USING (doc_id) GROUP BY term
+),
+bgc AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_count
+  FROM toks GROUP BY term
+),
+sig AS (
+  SELECT fgc.term, fg_count, bg_count,
+         ((fg_count::DOUBLE / sn.s_n) - (bg_count::DOUBLE / s.n))
+         * ((fg_count::DOUBLE / sn.s_n) / (bg_count::DOUBLE / s.n))
+           AS score
+  FROM fgc JOIN bgc USING (term) CROSS JOIN sn CROSS JOIN stats s
+  WHERE fgc.term NOT IN ({in_list}) AND fg_count >= {int(min_fg)}
+)
+SELECT term, fg_count, bg_count, round(score, 6) AS score
+FROM (SELECT * FROM sig ORDER BY score DESC, term ASC LIMIT {int(n)})
+ORDER BY score DESC, term ASC
+"""
+
+
 def _bm25_prefix_sql(prefix: str, k: int = 10,
                      max_expansions: int = 64) -> str:
     """DuckDB twin of ``engine.query.search_prefix``: the wildcard
@@ -639,6 +705,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from engine.fuzzy import suggest_terms
         idx = _packed_index(spark, sf)
         return suggest_terms(idx, "sprk join sow", max_edits=2, n=3)
+
+    def significant_terms_q(spark, sf):
+        # ES significant_terms (JLH "uncommonly common") over the BM25
+        # top-50 foreground of 'spark join'; the twin reproduces the
+        # same frozen foreground with its BM25 CTE and the identical
+        # IEEE JLH expression over exact integers
+        from engine.matchops import significant_terms
+        idx = _packed_index(spark, sf)
+        out = significant_terms(idx, "spark join", n=8, sample=50)
+        return out.select("term", "fg_count", "bg_count",
+                          F.round("score", 6).alias("score"))
 
     def term_stats_hooked(spark, sf):
         # C3 analyzer hooks under the hard gate: stopword removal + the
@@ -1045,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy2": bm25_fuzzy2,
         "bm25_fuzzy_capped": bm25_fuzzy_capped,
         "suggest_missing": suggest_missing,
+        "significant_terms": significant_terms_q,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -1486,6 +1564,8 @@ def oracle_sql() -> dict[str, str]:
                                              max_expansions=1),
         "suggest_missing": _suggest_sql(["sprk", "join", "sow"],
                                         max_edits=2, n=3),
+        "significant_terms": _sig_terms_sql(["spark", "join"],
+                                            n=8, sample=50),
         "term_stats_hooked": _term_stats_hooked_sql(),
         "fingerprint": f"""
             SELECT doc_id,

@@ -356,6 +356,13 @@ def main():
         queries["match_count"] = round(dt, 4)
         dt, _ = tbest(lambda: more_like_this(idx, 12345, k=10).collect())
         queries["more_like_this"] = round(dt, 4)
+        # significant terms (JLH): one search job + one <= sample-row
+        # pruned corpus read + driver arithmetic
+        from engine.matchops import significant_terms
+        significant_terms(idx, "hot0 hot1", n=10, sample=100).collect()
+        dt, _ = tbest(lambda: significant_terms(
+            idx, "hot0 hot1", n=10, sample=100).collect())
+        queries["significant_terms"] = round(dt, 4)
         if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
             # daily histogram from the dv index's ts docvalue store
             from engine.matchops import match_histogram
@@ -476,6 +483,7 @@ def main():
                                  "explain_score", "fuzzy_enable",
                                  "search_fuzzy", "search_fuzzy_cold",
                                  "suggest_terms", "suggest_cold",
+                                 "significant_terms",
                                  "repeat_query_cached",
                                  "repeat_batch_cached"))
         out = {

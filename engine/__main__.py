@@ -229,6 +229,21 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_sigterms(args) -> int:
+    """Significant-terms aggregation (matchops.significant_terms — JLH
+    over the BM25 top-sample foreground vs the corpus background)."""
+    from .build import load_index
+    from .matchops import significant_terms
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    out = significant_terms(idx, args.query, n=args.n, sample=args.sample,
+                            mode=args.mode, exclude=args.exclude,
+                            dv_filter=args.dv_filter, min_fg=args.min_fg)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_histogram(args) -> int:
     """Date-histogram over the match set: doc counts per fixed-width
     time bucket of a stored docvalue column."""
@@ -443,6 +458,18 @@ def main(argv=None) -> int:
     sg.add_argument("--max-edits", type=int, default=1)
     sg.add_argument("--n", type=int, default=3)
     sg.set_defaults(fn=cmd_suggest)
+    st = sub.add_parser("sigterms",
+                        help="significant-terms aggregation over the "
+                             "match set's top-sample foreground (JLH)")
+    st.add_argument("--index-dir", required=True)
+    st.add_argument("--query", required=True)
+    st.add_argument("--mode", default="OR", choices=["OR", "AND"])
+    st.add_argument("--n", type=int, default=10)
+    st.add_argument("--sample", type=int, default=100)
+    st.add_argument("--min-fg", type=int, default=1)
+    st.add_argument("--exclude")
+    st.add_argument("--dv-filter")
+    st.set_defaults(fn=cmd_sigterms)
     hg = sub.add_parser("histogram",
                         help="date-histogram over the match set "
                              "(docvalue time buckets)")

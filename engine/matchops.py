@@ -567,3 +567,97 @@ def more_like_this(index, doc_id: int, k: int = 10, max_terms: int = 16,
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
     return _plan_cached(index, key, build)
+
+
+SIG_SCHEMA = "term string, fg_count long, bg_count long, score double"
+
+
+def significant_terms(index, query: str, n: int = 10, sample: int = 100,
+                      mode: str = "OR", exclude: str | None = None,
+                      doc_filter: str | None = None,
+                      dv_filter: str | None = None,
+                      min_fg: int = 1) -> DataFrame:
+    """Significant-terms aggregation (the ES `significant_terms` /
+    "uncommonly common" pattern): terms over-represented in the match
+    set's top-``sample`` documents (the FOREGROUND) relative to the
+    whole corpus (the BACKGROUND), scored with the JLH heuristic
+
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+
+    where ``fg_rate = fg_count / |sample|`` (share of foreground docs
+    containing the term) and ``bg_rate = df / N`` (corpus-global
+    document frequency from the lexicon). The query's own analyzed
+    terms are excluded (they trivially top any foreground); terms with
+    ``fg_count < min_fg`` are dropped; the top ``n`` survive under
+    (score DESC, term ASC). Returns ``(term, fg_count, bg_count,
+    score)``.
+
+    Frozen contract: the foreground is the SAME frozen ranking
+    ``search`` returns (score desc, doc_id asc — so the sample set is
+    deterministic and the DuckDB twin reproduces it with its BM25 CTE);
+    foreground terms come from re-analyzing the sample docs' stored
+    text with the index analyzer (hooks included — identical to the
+    indexed token stream); bg df is the lexicon's corpus-global value
+    (like BM25 stats, it stays the last build's under tombstones until
+    ``purge_deletes``). The score arithmetic is the literal expression
+    above over exact integers — IEEE-identical on both sides of the
+    oracle gate.
+
+    Plan (the 100 TB argument — ES samples for the same reason): job 1
+    is ``search``'s unchanged single-job plan; job 2 re-reads ONLY the
+    <= sample matched rows via stored-column predicates
+    (query._corpus_pruned — parquet row-group pruning, never a corpus
+    scan) and token-counts them with the JVM-side analyzer expression;
+    the foreground vocabulary is metadata-sized, so bg lookup is one
+    term-pushed lexicon read (lookup_terms memo) and the JLH ranking is
+    driver arithmetic. Nothing corpus-scaled moves anywhere.
+    """
+    from .analyzer import tokenize_expr
+    from .query import _corpus_pruned, _warn_if_stale, search
+    _warn_if_stale(index)
+    mode = mode.upper()
+    key = ("sig", query, n, sample, mode, exclude, doc_filter, dv_filter,
+           min_fg)
+
+    def build():
+        spark = index.spark
+        empty = spark.range(0).select(
+            F.lit("").alias("term"),
+            F.lit(0).cast("long").alias("fg_count"),
+            F.lit(0).cast("long").alias("bg_count"),
+            F.lit(0.0).cast("double").alias("score"))
+        top = search(index, query, k=sample, mode=mode, exclude=exclude,
+                     doc_filter=doc_filter, dv_filter=dv_filter)
+        rows = top.collect()
+        if not rows:
+            return empty
+        s_n = len(rows)
+        n_docs = int(index.n_docs)
+        acfg = index.cfg.analyzer
+        corpus = _corpus_pruned(index, [r["doc_id"] for r in rows])
+        fg = (corpus
+              .select(F.explode(F.array_distinct(
+                  tokenize_expr(F.col("text"), acfg))).alias("term"))
+              .groupBy("term").count().collect())
+        qterms = set(tokenize_py(query, acfg))
+        cand = {r["term"]: int(r["count"]) for r in fg
+                if r["term"] not in qterms and int(r["count"]) >= min_fg}
+        if not cand:
+            return empty
+        lex = index.lookup_terms(sorted(cand))
+        scored = []
+        for t in sorted(cand):
+            info = lex.get(t)
+            if info is None:  # not indexed (can't happen for stored docs)
+                continue
+            fgc, bgc = cand[t], int(info["df"])
+            fr = fgc / s_n
+            br = bgc / n_docs
+            scored.append(((fr - br) * (fr / br), t, fgc, bgc))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        out = [(t, fgc, bgc, float(sc)) for sc, t, fgc, bgc in scored[:n]]
+        if not out:
+            return empty
+        return spark.createDataFrame(out, SIG_SCHEMA)
+
+    return _plan_cached(index, key, build)

@@ -238,3 +238,81 @@ def test_more_like_this_self_not_in_topk(midx):
     doc = 37
     out = M.more_like_this(midx, doc, k=5, max_terms=8).collect()
     assert len(out) == 5 and all(r.doc_id != doc for r in out)
+
+
+# ---- significant_terms (ES significant-terms, JLH) -------------------
+
+
+def _ref_sig(oracle_idx, tok_rows, query, n, sample, min_fg=1,
+             exclude=None):
+    """Pure-Python JLH reference: foreground = oracle top-`sample`
+    (frozen (score desc, doc_id asc) ranking), fg counts from the same
+    token sets, bg df from the oracle postings."""
+    ranked = oracle_idx.search(query, k=len(tok_rows))  # full ranking
+    if exclude:
+        negs = set(tokenize_py(exclude, DEFAULT.analyzer))
+        drop = {d for t in negs for d, _ in oracle_idx.postings.get(t, ())}
+        ranked = [(d, s) for d, s in ranked if d not in drop]
+    fg_docs = [d for d, _ in ranked[:sample]]
+    s_n, n_docs = len(fg_docs), len(tok_rows)
+    qterms = set(tokenize_py(query, DEFAULT.analyzer))
+    fg = {}
+    for d in fg_docs:
+        for t in tok_rows[d]:
+            fg[t] = fg.get(t, 0) + 1
+    scored = []
+    for t in sorted(fg):
+        if t in qterms or fg[t] < min_fg:
+            continue
+        bgc = len(oracle_idx.postings.get(t, ()))
+        fr, br = fg[t] / s_n, bgc / n_docs
+        scored.append(((fr - br) * (fr / br), t, fg[t], bgc))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [(t, fgc, bgc, sc) for sc, t, fgc, bgc in scored[:n]]
+
+
+@pytest.mark.parametrize("query,n,sample", [
+    ("hot0 hot1", 10, 40),
+    ("rare0", 5, 20),         # tiny foreground
+    ("mid1 mid2", 8, 25),
+])
+def test_significant_terms_matches_reference(midx, oracle_idx, tok_rows,
+                                             query, n, sample):
+    got = [(r["term"], r["fg_count"], r["bg_count"], r["score"])
+           for r in M.significant_terms(midx, query, n=n,
+                                        sample=sample).collect()]
+    want = _ref_sig(oracle_idx, tok_rows, query, n, sample)
+    assert [(t, f, b) for t, f, b, _ in got] \
+        == [(t, f, b) for t, f, b, _ in want]
+    for (_, _, _, gs), (_, _, _, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-12)
+
+
+def test_significant_terms_excludes_query_terms(midx):
+    rows = M.significant_terms(midx, "hot0 hot1", n=50,
+                               sample=30).collect()
+    terms = {r["term"] for r in rows}
+    assert "hot0" not in terms and "hot1" not in terms
+
+
+def test_significant_terms_exclude_composes(midx, oracle_idx, tok_rows):
+    got = [(r["term"], r["fg_count"], r["bg_count"])
+           for r in M.significant_terms(midx, "hot0", n=6, sample=20,
+                                        exclude="mid1").collect()]
+    want = [(t, f, b) for t, f, b, _ in
+            _ref_sig(oracle_idx, tok_rows, "hot0", 6, 20, exclude="mid1")]
+    assert got == want
+
+
+def test_significant_terms_empty_match(midx):
+    assert M.significant_terms(midx, "nosuchterm", n=5,
+                               sample=20).collect() == []
+
+
+def test_significant_terms_min_fg(midx, oracle_idx, tok_rows):
+    rows = M.significant_terms(midx, "rare0", n=20, sample=10,
+                               min_fg=3).collect()
+    assert all(r["fg_count"] >= 3 for r in rows)
+    want = _ref_sig(oracle_idx, tok_rows, "rare0", 20, 10, min_fg=3)
+    assert [(r["term"], r["fg_count"]) for r in rows] \
+        == [(t, f) for t, f, _, _ in want]
