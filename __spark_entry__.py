@@ -397,6 +397,50 @@ FROM ranked WHERE rn <= {int(n)} ORDER BY term ASC, pos ASC
 """
 
 
+def _bm25_regexp_sql(pattern: str, k: int = 10,
+                     max_expansions: int = 64) -> str:
+    """DuckDB twin of ``engine.query.search_regexp``: the pattern
+    expands to the <= max_expansions vocabulary terms FULLY matching it
+    (``regexp_full_match`` — the engine anchors RLIKE the same way;
+    patterns stay in the Java/RE2 common subset), capped df DESC, term
+    ASC; the expansion scores as BM25 OR with weight 1 per matched
+    term, each keeping its own global idf."""
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE regexp_full_match(term, '{pattern}') GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+exp AS (
+  SELECT term, df FROM dfreq ORDER BY df DESC, term ASC
+  LIMIT {max_expansions}
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n - exp.df + 0.5) / (exp.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN exp USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _sig_terms_sql(qterms: list[str], n: int = 8, sample: int = 50,
                    min_fg: int = 1) -> str:
     """DuckDB twin of ``engine.matchops.significant_terms`` (JLH): the
@@ -705,6 +749,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from engine.fuzzy import suggest_terms
         idx = _packed_index(spark, sf)
         return suggest_terms(idx, "sprk join sow", max_edits=2, n=3)
+
+    def bm25_regexp(spark, sf):
+        # regexp term query s(park|can) -> {spark, scan}: the literal
+        # prefix 's' is pushed into the term-sorted lexicon scan, the
+        # alternation evaluated on the surviving slice; scores as OR
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search_regexp(idx, "s(park|can)", k=10)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_regexp_capped(spark, sf):
+        # class-start pattern (no literal prefix -> whole-lexicon scan,
+        # the documented ES regexp caveat) with the cap BINDING at 4
+        # under the frozen df DESC, term ASC rule
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search_regexp(idx, "[bs][a-z]+", k=10, max_expansions=4)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
 
     def significant_terms_q(spark, sf):
         # ES significant_terms (JLH "uncommonly common") over the BM25
@@ -1123,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy_capped": bm25_fuzzy_capped,
         "suggest_missing": suggest_missing,
         "significant_terms": significant_terms_q,
+        "bm25_regexp": bm25_regexp,
+        "bm25_regexp_capped": bm25_regexp_capped,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -1566,6 +1630,9 @@ def oracle_sql() -> dict[str, str]:
                                         max_edits=2, n=3),
         "significant_terms": _sig_terms_sql(["spark", "join"],
                                             n=8, sample=50),
+        "bm25_regexp": _bm25_regexp_sql("s(park|can)"),
+        "bm25_regexp_capped": _bm25_regexp_sql("[bs][a-z]+",
+                                               max_expansions=4),
         "term_stats_hooked": _term_stats_hooked_sql(),
         "fingerprint": f"""
             SELECT doc_id,

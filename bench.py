@@ -283,6 +283,11 @@ def main():
         queries["search_prefix_cold"] = round(time.perf_counter() - t0, 4)
         dt, _ = tbest(lambda: Q.search_prefix(idx, "w1*", k=10).collect())
         queries["search_prefix"] = round(dt, 4)
+        # regexp term query: literal prefix 'w1' pushed into the lexicon
+        # scan, class evaluated on the slice, OR scoring on the expansion
+        dt, _ = tbest(lambda: Q.search_regexp(
+            idx, "w1[0-9]", k=10).collect())
+        queries["search_regexp"] = round(dt, 4)
         _top = Q.search(idx, "hot0 hot1", k=10)
         # E8 in isolation (r4): search_snippets above re-executes the
         # underlying SEARCH job when the top-k is collected driver-side,
@@ -468,6 +473,7 @@ def main():
                                  "search_filtered", "search_snippets",
                                  "search_facets",
                                  "search_prefix", "search_prefix_cold",
+                                 "search_regexp",
                                  "snippet_materialize_only",
                                  "wand_corpus_build", "wand_big_shard",
                                  "exhaustive_big_shard", "wand_speedup",

@@ -73,7 +73,8 @@ def cmd_search(args) -> int:
                  "half_life_days": args.boost_half_life_days,
                  "now": args.boost_now}
     mode_up = args.mode.upper()
-    if (boost or args.sort_by) and mode_up in ("PHRASE", "PREFIX", "FUZZY"):
+    if (boost or args.sort_by) and mode_up in ("PHRASE", "PREFIX", "FUZZY",
+                                               "REGEXP"):
         print("--boost-*/--sort-by need --mode OR|AND "
               "(docvalue ranking paths)", file=sys.stderr)
         return 2
@@ -108,6 +109,15 @@ def cmd_search(args) -> int:
         snippet_query = " ".join(
             r["term"] for r in idx.expand_prefix(
                 Q.normalize_prefix(args.query), args.max_expansions))
+    elif mode_up == "REGEXP":
+        top = Q.search_regexp(idx, args.query, k=args.k,
+                              max_expansions=args.max_expansions,
+                              use_wand=False if args.no_wand else "auto",
+                              exclude=args.exclude, doc_filter=args.filter,
+                              dv_filter=args.dv_filter, after=after)
+        snippet_query = " ".join(
+            r["term"] for r in idx.expand_regexp(args.query,
+                                                 args.max_expansions))
     elif mode_up == "FUZZY":
         top = Q.search_fuzzy(idx, args.query, k=args.k,
                              max_edits=args.max_edits,
@@ -346,7 +356,8 @@ def main(argv=None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", default="OR",
                    choices=["OR", "AND", "PHRASE", "PREFIX", "FUZZY",
-                            "or", "and", "phrase", "prefix", "fuzzy"])
+                            "REGEXP", "or", "and", "phrase", "prefix",
+                            "fuzzy", "regexp"])
     s.add_argument("--max-expansions", type=int, default=64,
                    help="PREFIX/FUZZY mode: expansion cap (PREFIX: "
                         "highest-df terms kept; FUZZY: closest first)")

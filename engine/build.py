@@ -597,6 +597,66 @@ class PackedIndex:
             cache[key] = out
         return cache[key]
 
+    def expand_regexp(self, pattern: str,
+                      max_expansions: int = 64) -> list[dict]:
+        """Regexp-query expansion (the Lucene/ES ``regexp`` query):
+        lexicon rows of the vocabulary terms FULLY matching ``pattern``,
+        capped at ``max_expansions`` under the same deterministic rule
+        as ``expand_prefix`` (df DESC, term ASC).
+
+        Full-match (anchored) semantics, like Lucene regexp queries:
+        the predicate is ``term RLIKE '^(?:pattern)$'`` — keep patterns
+        to the Java/RE2 common subset (literals, classes, ``|``, ``*``
+        ``+`` ``?`` ``{m,n}``; no backrefs/lookaround) so the DuckDB
+        oracle twin (``regexp_full_match``) stays dialect-identical.
+
+        Plan: an arbitrary regex has no parquet statistic, but its
+        LITERAL PREFIX (the chars before the first metacharacter) does
+        — the scan pushes ``StartsWith(prefix)`` into the term-sorted
+        lexicon (row-group min/max pruning, same as expand_prefix) and
+        evaluates the regex only on the surviving slice. A pattern with
+        no literal prefix scans the whole lexicon (one columnar
+        two-column read — the documented ES regexp-query caveat).
+        Memoized per (pattern, cap); refresh() drops it."""
+        import re as _re
+        if max_expansions < 1:
+            raise ValueError("max_expansions must be >= 1")
+        _re.compile(pattern)  # fail fast on invalid syntax
+        cache = getattr(self, "_prefix_cache", None)
+        if cache is None:
+            cache = self._prefix_cache = {}
+        key = ("re", pattern, int(max_expansions))
+        if key not in cache:
+            lit = ""
+            for ch in pattern:
+                if ch in r".^$*+?()[]{}\|":
+                    break
+                lit += ch
+            # a trailing literal char quantified by the NEXT metachar
+            # (e.g. 'ab*') must not be required: keep lit[:-1] then
+            if lit and len(lit) < len(pattern) \
+                    and pattern[len(lit)] in "*?{":
+                lit = lit[:-1]
+            scan = self.lexicon()
+            if lit:
+                scan = scan.filter(F.col("term").startswith(lit))
+            rows = (scan
+                    .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(int(max_expansions))
+                    .collect())
+            tc = getattr(self, "_term_cache", None)
+            if tc is None:
+                tc = self._term_cache = {}
+            out = []
+            for r in rows:
+                d = {"df": r["df"], "idf": r["idf"],
+                     "bucket": r["bucket"], "max_tf": r["max_tf"]}
+                tc[r["term"]] = d
+                out.append({"term": r["term"], **d})
+            cache[key] = out
+        return cache[key]
+
     def refresh(self) -> None:
         """Revalidate a handle held across ``streaming.append_batch()`` /
         ``compact()``: drop memoized lexicon rows + DataFrame handles AND

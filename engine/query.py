@@ -578,6 +578,51 @@ def search_prefix(index, prefix: str, k: int = 10,
     return _plan_cached(index, key, build)
 
 
+def search_regexp(index, pattern: str, k: int = 10,
+                  max_expansions: int = 64,
+                  use_wand: "bool | str" = "auto",
+                  exclude: str | None = None,
+                  doc_filter: str | None = None,
+                  dv_filter: str | None = None,
+                  after: "tuple[float, int] | None" = None) -> DataFrame:
+    """BM25 top-k for a regexp term query (the Lucene/ES ``regexp``
+    query, full-match semantics).
+
+    Frozen semantics: the pattern expands to the <= ``max_expansions``
+    vocabulary terms FULLY matching it (PackedIndex.expand_regexp;
+    deterministic cap df DESC, term ASC — the rule every expansion
+    surface shares and the SQL oracle twin replicates), and the
+    expanded set scores as a standard OR query with query-term weight 1
+    per matched term, each keeping its OWN corpus-global idf — exactly
+    as if the user had typed the expansion out. Patterns are matched
+    against the STORED vocabulary verbatim (no analyzer hooks), the
+    multi-term-query rule.
+
+    Plan: expansion is one lexicon scan with the pattern's literal
+    prefix pushed into the term-sorted parquet (row-group pruning;
+    see expand_regexp for the no-prefix caveat), memoized driver-side;
+    scoring is ``search``'s unchanged single-job plan. WAND routing,
+    ``exclude``, ``doc_filter``/``dv_filter`` and cursor pagination
+    compose exactly as in ``search_prefix``.
+    """
+    _warn_if_stale(index)
+    cur = (float(after[0]), int(after[1])) if after is not None else None
+    key = ("rx", pattern, k, int(max_expansions), repr(use_wand), exclude,
+           doc_filter, dv_filter, cur)
+
+    def build():
+        rows = index.expand_regexp(pattern, max_expansions)
+        if not rows:
+            return _empty_topk(index.spark)
+        qtf = {r["term"]: 1 for r in rows}
+        return _search_impl(index, "", k, "OR",
+                            False if cur is not None else use_wand,
+                            exclude, doc_filter, qtf_override=qtf,
+                            cursor=cur, dv_filter=dv_filter)
+
+    return _plan_cached(index, key, build)
+
+
 def search_fuzzy(index, term: str, k: int = 10, max_edits: int = 1,
                  max_expansions: int = 50,
                  use_wand: "bool | str" = "auto",

@@ -194,3 +194,83 @@ def test_prefix_sees_vocab_growth_after_compact(spark, tmp_path):
     idx = compact(spark, d)
     exp = {r["term"] for r in idx.expand_prefix("al", 8)}
     assert exp == {"alpha", "album"}
+
+
+# ---- regexp term query (search_regexp) -------------------------------
+
+
+def _oracle_regexp_expand(oracle_idx, pattern, cap=10**9):
+    import re
+    rx = re.compile(f"^(?:{pattern})$")
+    cand = [(term, len(post)) for term, post in oracle_idx.postings.items()
+            if rx.match(term)]
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    return [t for t, _ in cand[:cap]]
+
+
+def _oracle_regexp_topk(oracle_idx, pattern, k=10, cap=10**9,
+                        exclude=None):
+    terms = _oracle_regexp_expand(oracle_idx, pattern, cap)
+    if not terms:
+        return []
+    ranked = oracle_idx.search(" ".join(terms), k=len(oracle_idx.dl))
+    if exclude:
+        negs = set(exclude) - set(terms)
+        drop = {d for t in negs for d, _ in oracle_idx.postings.get(t, ())}
+        ranked = [(d, s) for d, s in ranked if d not in drop]
+    return ranked[:k]
+
+
+@pytest.mark.parametrize("pattern,cap", [
+    ("hot[01]", 64),          # class on the tail, literal prefix 'hot'
+    ("rare(0|1|2)", 64),      # alternation, literal prefix 'rare'
+    ("w1[0-9]", 5),           # cap BINDING under df desc, term asc
+    ("(hot|mid)0", 64),       # NO literal prefix (group start)
+])
+def test_regexp_rank_identity(packed_index, oracle_idx, pattern, cap):
+    got = [(r.doc_id, r.score)
+           for r in Q.search_regexp(packed_index, pattern, k=10,
+                                    max_expansions=cap).collect()]
+    want = _oracle_regexp_topk(oracle_idx, pattern, k=10, cap=cap)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert all(abs(a - b) <= 1e-9 for (_, a), (_, b) in zip(got, want))
+
+
+def test_regexp_full_match_is_anchored(packed_index, oracle_idx):
+    # 'ot0' matches hot0 only as a SUBSTRING -> anchored semantics
+    # must return nothing
+    assert Q.search_regexp(packed_index, "ot0", k=10).collect() == []
+
+
+def test_regexp_exclude_composes(packed_index, oracle_idx):
+    got = [r.doc_id for r in Q.search_regexp(
+        packed_index, "hot[01]", k=10, exclude="mid1").collect()]
+    want = [d for d, _ in _oracle_regexp_topk(
+        oracle_idx, "hot[01]", k=10, exclude=["mid1"])]
+    assert got == want
+
+
+def test_regexp_invalid_pattern_raises(packed_index):
+    with pytest.raises(Exception):
+        Q.search_regexp(packed_index, "hot[0", k=10)
+
+
+def test_regexp_no_match_no_job(packed_index):
+    # empty expansion -> LocalRelation-backed empty top-k (no postings
+    # scan scheduled)
+    df = Q.search_regexp(packed_index, "zzz[0-9]+", k=10)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FileScan" not in plan
+    assert df.collect() == []
+
+
+def test_regexp_literal_prefix_pushdown(packed_index):
+    # the expansion's lexicon scan must push StartsWith('hot') when the
+    # pattern carries a literal prefix
+    packed_index.refresh()
+    from pyspark.sql import functions as F
+    scan = (packed_index.lexicon()
+            .filter(F.col("term").startswith("hot"))
+            .filter(F.col("term").rlike("^(?:hot[01])$")))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" in plan and "PushedFilters" in plan
