@@ -768,6 +768,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = Q.search_regexp(idx, "[bs][a-z]+", k=10, max_expansions=4)
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def export_matches_q(spark, sf):
+        # match-set EXPORT (not top-k): every doc matching 'hash AND
+        # vector' under doc_filter lang='en', written distributed to
+        # parquet and read back — the gate hashes the full exported set
+        import tempfile
+        from engine.matchops import export_matches
+        idx = _packed_index(spark, sf)
+        d = tempfile.mkdtemp(prefix="entry_export_")
+        out = export_matches(idx, "hash vector", f"{d}/out", mode="AND",
+                             doc_filter="lang = 'en'",
+                             columns=("conv_id", "lang"))
+        return out.select("doc_id", "conv_id", "lang")
+
     def significant_terms_q(spark, sf):
         # ES significant_terms (JLH "uncommonly common") over the BM25
         # top-50 foreground of 'spark join'; the twin reproduces the
@@ -1187,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": significant_terms_q,
         "bm25_regexp": bm25_regexp,
         "bm25_regexp_capped": bm25_regexp_capped,
+        "export_matches": export_matches_q,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -1633,6 +1647,17 @@ def oracle_sql() -> dict[str, str]:
         "bm25_regexp": _bm25_regexp_sql("s(park|can)"),
         "bm25_regexp_capped": _bm25_regexp_sql("[bs][a-z]+",
                                                max_expansions=4),
+        "export_matches": f"""
+            WITH t AS ({toks_cte}),
+            m AS (
+              SELECT doc_id FROM t WHERE term = 'hash'
+              INTERSECT
+              SELECT doc_id FROM t WHERE term = 'vector'
+            )
+            SELECT d.doc_id, printf('conv-%012d', d.doc_id) AS conv_id,
+                   d.lang
+            FROM documents d JOIN m USING (doc_id)
+            WHERE d.lang = 'en'""",
         "term_stats_hooked": _term_stats_hooked_sql(),
         "fingerprint": f"""
             SELECT doc_id,

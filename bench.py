@@ -286,7 +286,7 @@ def main():
         # regexp term query: literal prefix 'w1' pushed into the lexicon
         # scan, class evaluated on the slice, OR scoring on the expansion
         dt, _ = tbest(lambda: Q.search_regexp(
-            idx, "w1[0-9]", k=10).collect())
+            idx, "w1[0-9]{2}", k=10).collect())
         queries["search_regexp"] = round(dt, 4)
         _top = Q.search(idx, "hot0 hot1", k=10)
         # E8 in isolation (r4): search_snippets above re-executes the
@@ -368,6 +368,15 @@ def main():
         dt, _ = tbest(lambda: significant_terms(
             idx, "hot0 hot1", n=10, sample=100).collect())
         queries["significant_terms"] = round(dt, 4)
+        # match-set export: kernel ids + column-pruned corpus join +
+        # distributed parquet write (the write dominates, as it should)
+        from engine.matchops import export_matches
+        t0 = time.perf_counter()
+        xdf = export_matches(idx, "rare3 rare4", f"{work}/export",
+                             columns=("conv_id", "ts"))
+        n_exported = xdf.count()
+        queries["export_matches"] = round(time.perf_counter() - t0, 4)
+        queries["export_n_docs"] = n_exported
         if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
             # daily histogram from the dv index's ts docvalue store
             from engine.matchops import match_histogram
@@ -490,6 +499,7 @@ def main():
                                  "search_fuzzy", "search_fuzzy_cold",
                                  "suggest_terms", "suggest_cold",
                                  "significant_terms",
+                                 "export_matches", "export_n_docs",
                                  "repeat_query_cached",
                                  "repeat_batch_cached"))
         out = {

@@ -239,6 +239,21 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Match-set export (matchops.export_matches — every matching doc
+    written to parquet, fully distributed; prints the row count)."""
+    from .build import load_index
+    from .matchops import export_matches
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    cols = tuple(args.columns.split(",")) if args.columns else None
+    out = export_matches(idx, args.query, args.out_dir, mode=args.mode,
+                         exclude=args.exclude, doc_filter=args.filter,
+                         dv_filter=args.dv_filter, columns=cols)
+    print(json.dumps({"out_dir": args.out_dir, "n_docs": out.count()}))
+    return 0
+
+
 def cmd_sigterms(args) -> int:
     """Significant-terms aggregation (matchops.significant_terms — JLH
     over the BM25 top-sample foreground vs the corpus background)."""
@@ -469,6 +484,19 @@ def main(argv=None) -> int:
     sg.add_argument("--max-edits", type=int, default=1)
     sg.add_argument("--n", type=int, default=3)
     sg.set_defaults(fn=cmd_suggest)
+    xp = sub.add_parser("export",
+                        help="export EVERY matching doc to parquet "
+                             "(distributed match-set dump, not top-k)")
+    xp.add_argument("--index-dir", required=True)
+    xp.add_argument("--query", required=True)
+    xp.add_argument("--out-dir", required=True)
+    xp.add_argument("--mode", default="OR", choices=["OR", "AND"])
+    xp.add_argument("--exclude")
+    xp.add_argument("--filter", help="SQL predicate over corpus columns")
+    xp.add_argument("--dv-filter")
+    xp.add_argument("--columns", help="comma-separated corpus columns "
+                                      "(default: all; doc_id always kept)")
+    xp.set_defaults(fn=cmd_export)
     st = sub.add_parser("sigterms",
                         help="significant-terms aggregation over the "
                              "match set's top-sample foreground (JLH)")

@@ -661,3 +661,82 @@ def significant_terms(index, query: str, n: int = 10, sample: int = 100,
         return spark.createDataFrame(out, SIG_SCHEMA)
 
     return _plan_cached(index, key, build)
+
+
+def export_matches(index, query: str, out_dir: str, mode: str = "OR",
+                   exclude: str | None = None,
+                   doc_filter: str | None = None,
+                   dv_filter: str | None = None,
+                   columns: "tuple | None" = None) -> DataFrame:
+    """Match-set export sink (the ES scroll-and-dump / point-in-time
+    export pattern): write EVERY document matching a boolean query —
+    not a top-k — to ``out_dir`` as parquet, fully distributed, and
+    return a DataFrame handle over the written data.
+
+    Match semantics are ``search``'s exactly (same shared kernel as
+    match_count: AND/OR arity, NOT via ``exclude``, ``doc_filter``/
+    ``dv_filter`` restriction, tombstones excluded). ``columns`` picks
+    the exported corpus columns (default: all stored columns); doc_id
+    is always included.
+
+    Plan (the 100 TB argument): the pruned postings scan resolves the
+    match set per shard and each task emits bare int64 doc_ids — the
+    minimum any exact match set can move. The ids join back to the
+    stored corpus COLUMN-PRUNED to the requested fields; with AQE on,
+    a selective match set broadcasts (the corpus side then streams
+    scan->write with no shuffle), while a huge one degrades to a
+    sort-merge join — either way nothing wider than the exported rows
+    themselves crosses the cluster, and the parquet write is the
+    dominant cost at scale, as an export should be. Driver memory
+    never holds the match set.
+    """
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    spark = index.spark
+    qtf = query_terms(query, index.cfg.analyzer)
+    corpus = index.corpus()
+    if columns:
+        missing = [c for c in columns if c not in corpus.columns]
+        if missing:
+            raise ValueError(f"export columns {missing} not in the "
+                             f"stored corpus ({corpus.columns})")
+        corpus = corpus.select(
+            "doc_id", *[c for c in columns if c != "doc_id"])
+    prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+        if qtf else None
+    if prep is None:  # provably empty: write just the schema
+        corpus.limit(0).write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
+    post, hits, width = prep
+
+    if doc_filter is not None:
+        allowed = _allowed_shards(index, doc_filter, width)
+
+        def fnf(key_, post_pdf, allowed_pdf):
+            import pandas as pd
+            if len(post_pdf) == 0 or len(allowed_pdf) == 0:
+                return pd.DataFrame({"doc_id": []})
+            shard = int(post_pdf["shard"].iloc[0])
+            import numpy as np
+            loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
+                   - shard * width)
+            return pd.DataFrame(
+                {"doc_id": hits(post_pdf, loc) + shard * width})
+
+        ids = (post.groupBy("shard")
+               .cogroup(allowed.groupBy("shard"))
+               .applyInPandas(fnf, "doc_id long"))
+    else:
+        def fn(key_, post_pdf):
+            import pandas as pd
+            if len(post_pdf) == 0:
+                return pd.DataFrame({"doc_id": []})
+            shard = int(post_pdf["shard"].iloc[0])
+            return pd.DataFrame(
+                {"doc_id": hits(post_pdf) + shard * width})
+
+        ids = post.groupBy("shard").applyInPandas(fn, "doc_id long")
+    (corpus.join(ids, "doc_id")
+     .write.mode("overwrite").parquet(out_dir))
+    return spark.read.parquet(out_dir)

@@ -316,3 +316,47 @@ def test_significant_terms_min_fg(midx, oracle_idx, tok_rows):
     want = _ref_sig(oracle_idx, tok_rows, "rare0", 20, 10, min_fg=3)
     assert [(r["term"], r["fg_count"]) for r in rows] \
         == [(t, f) for t, f, _, _ in want]
+
+
+# ---- export_matches (match-set export sink) --------------------------
+
+
+def test_export_matches_or_and(midx, corpus_pdf, tok_rows, tmp_path):
+    for terms, mode in [(["hot0", "hot1"], "OR"), (["hot0", "hot1"], "AND")]:
+        out = M.export_matches(midx, " ".join(terms),
+                               str(tmp_path / f"x_{mode}"), mode=mode)
+        got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        assert got == _expect_ids(tok_rows, terms, mode), (terms, mode)
+        assert got, (terms, mode)  # fixture guarantees a non-empty set
+        # full stored row comes back (text equality spot check)
+        row = out.orderBy("doc_id").first()
+        assert row["text"] == corpus_pdf.iloc[row["doc_id"]]["text"]
+
+
+def test_export_matches_exclude_and_dv_filter(midx, corpus_pdf, tok_rows,
+                                              tmp_path):
+    out = M.export_matches(midx, "hot0", str(tmp_path / "xne"),
+                           exclude="mid1")
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == _expect_ids(tok_rows, ["hot0"], "OR", neg=["mid1"])
+    out = M.export_matches(midx, "hot0", str(tmp_path / "xdv"),
+                           dv_filter="role = 'user'")
+    got = sorted(r["doc_id"] for r in out.collect())
+    want = _expect_ids(tok_rows, ["hot0"], "OR", pdf=corpus_pdf,
+                       pred=lambda r: r["role"] == "user")
+    assert got == want
+
+
+def test_export_matches_columns(midx, tmp_path):
+    out = M.export_matches(midx, "hot0", str(tmp_path / "xc"),
+                           columns=("conv_id", "role"))
+    assert sorted(out.columns) == ["conv_id", "doc_id", "role"]
+    with pytest.raises(ValueError):
+        M.export_matches(midx, "hot0", str(tmp_path / "xbad"),
+                         columns=("nope",))
+
+
+def test_export_matches_empty_writes_schema(midx, tmp_path):
+    out = M.export_matches(midx, "nosuchterm", str(tmp_path / "xe"))
+    assert out.collect() == []
+    assert "doc_id" in out.columns and "text" in out.columns
