@@ -1236,6 +1236,11 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     driver-side via the memoized deletion-neighborhood lookup and ride
     the shared scan the same way — same frozen semantics as
     ``search_fuzzy`` (requires IndexConfig(fuzzy_edits>=max_edits)).
+
+    ``{"mode": "REGEXP"}`` entries (anchored pattern; optional
+    ``"max_expansions"`` default 64) expand driver-side via the
+    memoized literal-prefix-pushed lexicon scan — same frozen
+    semantics as ``search_regexp``.
     """
     import pandas as pd
     from pyspark.sql import Window
@@ -1262,6 +1267,11 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
             rows = expand_fuzzy(index, normalize_prefix(q["query"]),
                                 int(q.get("max_edits", 1)),
                                 int(q.get("max_expansions", 50)))
+            per_q[q["id"]] = {r["term"]: 1 for r in rows}
+            m = "OR"
+        elif m == "REGEXP":
+            rows = index.expand_regexp(q["query"],
+                                       int(q.get("max_expansions", 64)))
             per_q[q["id"]] = {r["term"]: 1 for r in rows}
             m = "OR"
         else:

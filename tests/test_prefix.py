@@ -274,3 +274,23 @@ def test_regexp_literal_prefix_pushdown(packed_index):
             .filter(F.col("term").rlike("^(?:hot[01])$")))
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "StartsWith" in plan and "PushedFilters" in plan
+
+
+def test_regexp_batch_entry_matches_single(packed_index):
+    qs = [{"id": "r1", "query": "hot[01]", "mode": "REGEXP"},
+          {"id": "r2", "query": "rare(0|1|2)", "mode": "REGEXP",
+           "max_expansions": 2},
+          {"id": "b1", "query": "hot0 mid1", "mode": "OR"}]
+    got = Q.search_batch(packed_index, qs, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.doc_id, r.score))
+    single = {
+        "r1": Q.search_regexp(packed_index, "hot[01]", k=10),
+        "r2": Q.search_regexp(packed_index, "rare(0|1|2)", k=10,
+                              max_expansions=2),
+        "b1": Q.search(packed_index, "hot0 mid1", k=10),
+    }
+    for qid, df in single.items():
+        want = [(r.doc_id, r.score) for r in df.collect()]
+        assert by_q.get(qid, []) == want, qid
