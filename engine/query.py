@@ -1872,8 +1872,9 @@ def facets(index, query: str, fields, mode: str = "OR",
            max_expansions: int = 64) -> DataFrame:
     """Faceted search over the packed index (see _facets_impl). Plans are
     memoized per argument tuple (_plan_cached). ``mode="PREFIX"`` facets
-    a wildcard query: the expansion (same frozen cap rule as
-    search_prefix; ``max_expansions``) matches as OR."""
+    a wildcard query and ``mode="REGEXP"`` an anchored regexp query: the
+    expansion (same frozen cap rules as search_prefix / search_regexp;
+    ``max_expansions``) matches as OR."""
     _warn_if_stale(index)
     fields = tuple(fields)
     key = ("fc", query, fields, mode.upper(), doc_filter, top_values,
@@ -1932,6 +1933,12 @@ def _facets_impl(index, query: str, fields: list, mode: str = "OR",
         # wildcard facets: the capped expansion (frozen search_prefix
         # rule, memoized lexicon range scan) matches as OR
         rows = index.expand_prefix(normalize_prefix(query), max_expansions)
+        qtf = {r["term"]: 1 for r in rows}
+        mode = "OR"
+    elif mode == "REGEXP":
+        # regexp facets: same driver-side-expansion pattern (frozen
+        # search_regexp cap, literal-prefix-pushed lexicon scan)
+        rows = index.expand_regexp(query, max_expansions)
         qtf = {r["term"]: 1 for r in rows}
         mode = "OR"
     else:

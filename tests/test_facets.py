@@ -114,3 +114,15 @@ def test_facets_prefix_equals_expanded_or(packed_index):
     a = Q.facets(packed_index, "rare*", ["role", "tool"], mode="PREFIX")
     b = Q.facets(packed_index, " ".join(terms), ["role", "tool"], mode="OR")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_facets_regexp_equals_expanded_or(packed_index):
+    """mode=REGEXP == mode=OR over the explicit expansion (same frozen
+    equivalence as PREFIX facets, through expand_regexp's cap)."""
+    terms = [r["term"] for r in packed_index.expand_regexp("rare[0-9]", 64)]
+    assert len(terms) > 1
+    a = Q.facets(packed_index, "rare[0-9]", ["role", "tool"],
+                 mode="REGEXP")
+    b = Q.facets(packed_index, " ".join(terms), ["role", "tool"],
+                 mode="OR")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
