@@ -768,6 +768,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = Q.search_regexp(idx, "[bs][a-z]+", k=10, max_expansions=4)
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def bm25_synonyms(spark, sf):
+        # query-time synonym expansion: 'fast slow' with fast->{slow}
+        # merges to qtf {fast:1, slow:2} — identical to typing
+        # 'fast slow slow' (the bm25_qtf rule); the twin repeats the term
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search_synonyms(idx, "fast slow", {"fast": ["slow"]},
+                                k=10)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
     def export_matches_q(spark, sf):
         # match-set EXPORT (not top-k): every doc matching 'hash AND
         # vector' under doc_filter lang='en', written distributed to
@@ -1201,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_regexp": bm25_regexp,
         "bm25_regexp_capped": bm25_regexp_capped,
         "export_matches": export_matches_q,
+        "bm25_synonyms": bm25_synonyms,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -1644,6 +1655,7 @@ def oracle_sql() -> dict[str, str]:
                                         max_edits=2, n=3),
         "significant_terms": _sig_terms_sql(["spark", "join"],
                                             n=8, sample=50),
+        "bm25_synonyms": _bm25_sql(["fast", "slow", "slow"], "OR"),
         "bm25_regexp": _bm25_regexp_sql("s(park|can)"),
         "bm25_regexp_capped": _bm25_regexp_sql("[bs][a-z]+",
                                                max_expansions=4),

@@ -130,6 +130,17 @@ def cmd_search(args) -> int:
             r["term"] for r in expand_fuzzy(
                 idx, Q.normalize_prefix(args.query), args.max_edits,
                 args.max_expansions))
+    elif args.synonyms:
+        if mode_up != "OR" or after is not None:
+            print("--synonyms needs --mode OR (synonym groups make AND "
+                  "arity ill-defined) and no --after", file=sys.stderr)
+            return 2
+        syns = json.loads(args.synonyms)
+        top = Q.search_synonyms(idx, args.query, syns, k=args.k,
+                                use_wand=False if args.no_wand else "auto",
+                                exclude=args.exclude,
+                                doc_filter=args.filter,
+                                dv_filter=args.dv_filter, boost=boost)
     elif after is not None:
         top = Q.search_after(idx, args.query, k=args.k, mode=args.mode,
                              after=after, exclude=args.exclude,
@@ -373,6 +384,9 @@ def main(argv=None) -> int:
                    choices=["OR", "AND", "PHRASE", "PREFIX", "FUZZY",
                             "REGEXP", "or", "and", "phrase", "prefix",
                             "fuzzy", "regexp"])
+    s.add_argument("--synonyms",
+                   help='query-time synonym groups as JSON, e.g. '
+                        '\'{"fast": ["quick"]}\' (OR mode only)')
     s.add_argument("--max-expansions", type=int, default=64,
                    help="PREFIX/FUZZY mode: expansion cap (PREFIX: "
                         "highest-df terms kept; FUZZY: closest first)")

@@ -355,6 +355,57 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
         dv_filter=dv_filter, boost=boost))
 
 
+def search_synonyms(index, query: str, synonyms: dict, k: int = 10,
+                    use_wand: "bool | str" = "auto",
+                    exclude: str | None = None,
+                    doc_filter: str | None = None,
+                    dv_filter: str | None = None,
+                    boost: dict | None = None) -> DataFrame:
+    """BM25 top-k with query-time synonym expansion (the Lucene/ES
+    synonym-filter pattern, query side).
+
+    Frozen semantics: the query analyzes as usual (qtf per token); each
+    analyzed token ``t`` then contributes its qtf to every member of its
+    synonym group ``[t] + synonyms[t]`` — so the final query-term weight
+    of a term is the SUM of the qtfs of all tokens it is a synonym of,
+    identical to typing the expansion out with repeats (the bm25_qtf
+    rule). Synonym strings must be single analyzer tokens and match the
+    STORED vocabulary verbatim (the multi-term-query rule; they are NOT
+    re-analyzed). OR semantics only — a synonym group makes per-term AND
+    arity ill-defined (Lucene's SynonymQuery is likewise a disjunction).
+    ``exclude``/``doc_filter``/``dv_filter``/``boost`` and WAND routing
+    compose exactly as in ``search``; the scoring job is the unchanged
+    single-job plan with the merged qtf override.
+    """
+    import re
+    from .config import TOKEN_PATTERN
+    _warn_if_stale(index)
+    for t, syns in synonyms.items():
+        for s in [t, *syns]:
+            if not re.fullmatch(TOKEN_PATTERN, s or ""):
+                raise ValueError(
+                    f"synonym entries must be single [a-z0-9]+ tokens "
+                    f"(got {s!r} in group {t!r})")
+    syn_key = tuple(sorted((t, tuple(sorted(set(v))))
+                           for t, v in synonyms.items()))
+    key = ("syn", query, syn_key, k, repr(use_wand), exclude, doc_filter,
+           dv_filter, _boost_key(boost))
+
+    def build():
+        qtf = query_terms(query, index.cfg.analyzer)
+        merged: dict = {}
+        for t, n in qtf.items():
+            for u in {t, *synonyms.get(t, ())}:
+                merged[u] = merged.get(u, 0) + n
+        if not merged:
+            return _empty_topk(index.spark)
+        return _search_impl(index, "", k, "OR", use_wand, exclude,
+                            doc_filter, qtf_override=merged,
+                            dv_filter=dv_filter, boost=boost)
+
+    return _plan_cached(index, key, build)
+
+
 def search_after(index, query: str, k: int = 10, mode: str = "OR",
                  after: "tuple[float, int] | None" = None,
                  exclude: str | None = None,

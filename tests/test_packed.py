@@ -258,3 +258,42 @@ def test_custom_analyzer_end_to_end(spark, corpus_df, corpus_pdf, tmp_path):
     want = [(dd, round(s, 9)) for dd, s in
             oracle.search("rare5 mid2 queries", 10, "OR")]
     assert got == want
+
+
+# ---- query-time synonym expansion (search_synonyms) ------------------
+
+
+def test_synonyms_equal_typed_expansion(packed_index, oracle_idx):
+    """fast->{slow} over 'fast slow' merges to qtf {fast:1, slow:2} ==
+    typing 'fast slow slow' (the qtf rule); also a two-group case."""
+    a = Q.search_synonyms(packed_index, "hot0 mid1",
+                          {"hot0": ["mid1"]}, k=10).collect()
+    want = oracle_idx.search("hot0 mid1 mid1", k=10)
+    assert [r.doc_id for r in a] == [d for d, _ in want]
+    for r, (_, s) in zip(a, want):
+        assert abs(r.score - s) <= 1e-9
+    b = Q.search_synonyms(packed_index, "hot0 rare3",
+                          {"hot0": ["hot1"], "rare3": ["rare4"]},
+                          k=10).collect()
+    want = oracle_idx.search("hot0 hot1 rare3 rare4", k=10)
+    assert [r.doc_id for r in b] == [d for d, _ in want]
+
+
+def test_synonyms_compose_exclude(packed_index, oracle_idx):
+    got = [r.doc_id for r in Q.search_synonyms(
+        packed_index, "rare3", {"rare3": ["rare4"]}, k=10,
+        exclude="mid1").collect()]
+    ranked = oracle_idx.search("rare3 rare4", k=len(oracle_idx.dl))
+    drop = {d for d, _ in oracle_idx.postings.get("mid1", ())}
+    want = [d for d, _ in ranked if d not in drop][:10]
+    assert got == want
+
+
+def test_synonyms_validation_and_empty(packed_index):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="single"):
+        Q.search_synonyms(packed_index, "hot0", {"hot0": ["two words"]})
+    with _pt.raises(ValueError, match="single"):
+        Q.search_synonyms(packed_index, "hot0", {"HOT0!": ["hot1"]})
+    assert Q.search_synonyms(packed_index, "nosuchterm",
+                             {"x1": ["y1"]}, k=5).collect() == []
