@@ -768,6 +768,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = Q.search_regexp(idx, "[bs][a-z]+", k=10, max_expansions=4)
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def index_stats_q(spark, sf):
+        # the _stats endpoint: n_docs/n_deleted from the manifest,
+        # n_terms/n_postings (Σdf) / n_tokens (Σcf) from ONE lexicon
+        # aggregation — the twin recomputes all five first-principles
+        from engine.build import index_stats
+        idx = _packed_index(spark, sf)
+        return index_stats(idx)
+
     def bm25_synonyms(spark, sf):
         # query-time synonym expansion: 'fast slow' with fast->{slow}
         # merges to qtf {fast:1, slow:2} — identical to typing
@@ -1212,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_regexp_capped": bm25_regexp_capped,
         "export_matches": export_matches_q,
         "bm25_synonyms": bm25_synonyms,
+        "index_stats": index_stats_q,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -1656,6 +1665,17 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": _sig_terms_sql(["spark", "join"],
                                             n=8, sample=50),
         "bm25_synonyms": _bm25_sql(["fast", "slow", "slow"], "OR"),
+        "index_stats": f"""
+            WITH tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM ({toks_cte}) GROUP BY doc_id, term
+            )
+            SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                   count(DISTINCT term)::BIGINT AS n_terms,
+                   count(*)::BIGINT AS n_postings,
+                   sum(tf)::BIGINT AS n_tokens,
+                   0::BIGINT AS n_deleted
+            FROM tf""",
         "bm25_regexp": _bm25_regexp_sql("s(park|can)"),
         "bm25_regexp_capped": _bm25_regexp_sql("[bs][a-z]+",
                                                max_expansions=4),

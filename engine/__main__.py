@@ -250,6 +250,16 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Index statistics (build.index_stats — manifest scalars + one
+    lexicon aggregation)."""
+    from .build import index_stats, load_index
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    print(json.dumps(index_stats(idx).first().asDict(), default=str))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Match-set export (matchops.export_matches — every matching doc
     written to parquet, fully distributed; prints the row count)."""
@@ -499,6 +509,11 @@ def main(argv=None) -> int:
     sg.add_argument("--max-edits", type=int, default=1)
     sg.add_argument("--n", type=int, default=3)
     sg.set_defaults(fn=cmd_suggest)
+    si = sub.add_parser("stats",
+                        help="index statistics (docs/terms/postings/"
+                             "tokens/deleted)")
+    si.add_argument("--index-dir", required=True)
+    si.set_defaults(fn=cmd_stats)
     xp = sub.add_parser("export",
                         help="export EVERY matching doc to parquet "
                              "(distributed match-set dump, not top-k)")

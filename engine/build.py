@@ -727,3 +727,27 @@ def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
                        del_epoch=int(man.del_epoch or 0),
                        n_ids=int(man.n_ids or 0),
                        fuzzy_edits=int(man.fuzzy_edits or 0))
+
+
+def index_stats(index) -> "DataFrame":
+    """Index statistics (the ES ``_stats`` / ``_count`` endpoint family):
+    one row ``(n_docs, n_terms, n_postings, n_tokens, n_deleted)``.
+
+    ``n_docs``/``n_deleted`` come from the manifest (driver-side);
+    ``n_terms`` (vocabulary size), ``n_postings`` (sum of df — posting
+    count) and ``n_tokens`` (sum of cf — total indexed token count) come
+    from ONE aggregation over the lexicon's (df, cf) columns — a
+    vocab-scaled two-column scan, never a corpus or postings read. The
+    identities n_postings = Σdf and n_tokens = Σcf hold by construction
+    of the lexicon build (D6) and are what the DuckDB oracle twin
+    recomputes first-principles from the raw text.
+    """
+    lex = index.lexicon()
+    return (lex.agg(
+        F.count("term").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum("cf").cast("long").alias("n_tokens"))
+        .select(F.lit(int(index.n_docs)).cast("long").alias("n_docs"),
+                "n_terms", "n_postings", "n_tokens",
+                F.lit(int(getattr(index, "n_deleted", 0) or 0))
+                .cast("long").alias("n_deleted")))

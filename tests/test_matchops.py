@@ -360,3 +360,32 @@ def test_export_matches_empty_writes_schema(midx, tmp_path):
     out = M.export_matches(midx, "nosuchterm", str(tmp_path / "xe"))
     assert out.collect() == []
     assert "doc_id" in out.columns and "text" in out.columns
+
+
+# ---- index_stats ------------------------------------------------------
+
+
+def test_index_stats_first_principles(midx, corpus_pdf):
+    from engine.build import index_stats
+    r = one(index_stats(midx))
+    toks = [tokenize_py(t, DEFAULT.analyzer) for t in corpus_pdf.text]
+    assert r["n_docs"] == len(toks)
+    assert r["n_terms"] == len({t for ts in toks for t in ts})
+    assert r["n_postings"] == sum(len(set(ts)) for ts in toks)
+    assert r["n_tokens"] == sum(len(ts) for ts in toks)
+    assert r["n_deleted"] == 0
+
+
+def test_index_stats_tracks_deletes(spark, midx, tmp_path):
+    import shutil
+    from engine.build import index_stats, load_index
+    from engine.deletes import delete_docs
+    d = str(tmp_path / "st")
+    shutil.copytree(midx.index_dir, d)
+    idx = load_index(spark, d)
+    gone = delete_docs(idx, "role = 'tool'")
+    r = one(index_stats(idx))
+    assert r["n_deleted"] == gone
+    # lexicon-derived stats stay the last build's until purge (the
+    # same frozen rule BM25 stats follow)
+    assert r["n_docs"] == midx.n_docs
