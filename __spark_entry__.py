@@ -768,6 +768,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = Q.search_regexp(idx, "[bs][a-z]+", k=10, max_expansions=4)
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def match_pct_ts(spark, sf):
+        # exact PERCENTILE_DISC over the match set's ts docvalues — the
+        # rule (min v with cum >= ceil(p*n)) is written out identically
+        # in the twin, never a dialect-specific quantile built-in
+        from engine.matchops import match_percentiles
+        idx = _packed_index(spark, sf)
+        return match_percentiles(idx, "spark join", "ts",
+                                 ps=(0.5, 0.9, 0.99))
+
     def index_stats_q(spark, sf):
         # the _stats endpoint: n_docs/n_deleted from the manifest,
         # n_terms/n_postings (Σdf) / n_tokens (Σcf) from ONE lexicon
@@ -1221,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_matches": export_matches_q,
         "bm25_synonyms": bm25_synonyms,
         "index_stats": index_stats_q,
+        "match_pct_ts": match_pct_ts,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -1665,6 +1675,23 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": _sig_terms_sql(["spark", "join"],
                                             n=8, sample=50),
         "bm25_synonyms": _bm25_sql(["fast", "slow", "slow"], "OR"),
+        "match_pct_ts": f"""
+            WITH t AS ({toks_cte}),
+            m AS (
+              SELECT DISTINCT doc_id FROM t
+              WHERE term IN ('spark', 'join')
+            ),
+            vals AS (
+              SELECT ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS v
+              FROM m
+            ),
+            n AS (SELECT count(*)::BIGINT AS c FROM vals),
+            h AS (SELECT v, count(*)::BIGINT AS cnt FROM vals GROUP BY v),
+            c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h)
+            SELECT q.p::DOUBLE AS p,
+                   (SELECT min(v) FROM c, n
+                    WHERE cum >= ceil(q.p * n.c))::BIGINT AS value
+            FROM (VALUES (0.5), (0.9), (0.99)) q(p) ORDER BY p""",
         "index_stats": f"""
             WITH tf AS (
               SELECT doc_id, term, count(*)::BIGINT AS tf

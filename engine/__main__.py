@@ -250,6 +250,22 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_percentiles(args) -> int:
+    """Exact discrete percentiles of a docvalue column over the match
+    set (matchops.match_percentiles)."""
+    from .build import load_index
+    from .matchops import match_percentiles
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    ps = tuple(float(x) for x in args.ps.split(","))
+    out = match_percentiles(idx, args.query, args.field, ps=ps,
+                            mode=args.mode, exclude=args.exclude,
+                            dv_filter=args.dv_filter)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index statistics (build.index_stats — manifest scalars + one
     lexicon aggregation)."""
@@ -509,6 +525,18 @@ def main(argv=None) -> int:
     sg.add_argument("--max-edits", type=int, default=1)
     sg.add_argument("--n", type=int, default=3)
     sg.set_defaults(fn=cmd_suggest)
+    pc = sub.add_parser("percentiles",
+                        help="exact discrete percentiles of a docvalue "
+                             "column over the match set")
+    pc.add_argument("--index-dir", required=True)
+    pc.add_argument("--query", required=True)
+    pc.add_argument("--field", required=True)
+    pc.add_argument("--ps", default="0.5,0.9,0.99",
+                    help="comma-separated percentiles in (0,1]")
+    pc.add_argument("--mode", default="OR", choices=["OR", "AND"])
+    pc.add_argument("--exclude")
+    pc.add_argument("--dv-filter")
+    pc.set_defaults(fn=cmd_percentiles)
     si = sub.add_parser("stats",
                         help="index statistics (docs/terms/postings/"
                              "tokens/deleted)")

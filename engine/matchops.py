@@ -740,3 +740,131 @@ def export_matches(index, query: str, out_dir: str, mode: str = "OR",
     (corpus.join(ids, "doc_id")
      .write.mode("overwrite").parquet(out_dir))
     return spark.read.parquet(out_dir)
+
+
+PCT_SCHEMA = "p double, value long"
+
+
+def match_percentiles(index, query: str, field: str, ps=(0.5, 0.9, 0.99),
+                      mode: str = "OR", exclude: str | None = None,
+                      dv_filter: str | None = None) -> DataFrame:
+    """EXACT discrete percentiles of a STORED docvalue column over the
+    match set (the ES `percentiles` aggregation, exact instead of
+    t-digest — e.g. "median / p99 turn timestamp among turns mentioning
+    X").
+
+    Frozen PERCENTILE_DISC rule, written out identically on both sides
+    of the oracle gate (never a built-in quantile whose indexing rule
+    might differ by dialect): for each ``p`` in (0, 1],
+
+        value(p) = min v such that cum_count(v) >= ceil(p * n)
+
+    over the sorted non-NULL value multiset (timestamps at the frozen
+    whole-second grain, like every docvalue aggregate). Returns one row
+    ``(p, value)`` per requested percentile, value NULL when the match
+    set has no values. Only timestamp/integer columns (exact int64s —
+    the engine's bit-reproducibility contract).
+
+    Plan: the same pruned-scan + shared-arity kernel as match_count;
+    each shard task emits its OWN (value, count) histogram rows
+    (shuffle bounded by distinct values per shard — the exact-answer
+    floor, same as match_cardinality); one hash aggregation merges, and
+    the cumulative walk runs driver-side over the DISTINCT-VALUE
+    histogram (metadata-sized for the bounded-cardinality fields
+    percentiles make sense on; a unique-per-doc field degrades to the
+    match-set size, at which point use match_stats or a sample).
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    ps = tuple(float(p) for p in ps)
+    if not ps or any(not (0.0 < p <= 1.0) for p in ps):
+        raise ValueError(f"percentiles must lie in (0, 1]: {ps}")
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"percentile field {field!r} is not a docvalue column of "
+            f"this index (stored: {list(index.doc_values or ())})")
+    from .docvalues import dv_path
+    schema = pads.dataset(dv_path(index.index_dir),
+                          format="parquet", partitioning="hive").schema
+    ftype = schema.field(field).type
+    is_ts = pa.types.is_timestamp(ftype)
+    if not (is_ts or pa.types.is_integer(ftype)):
+        raise ValueError(
+            f"match_percentiles({field!r}): only timestamp/integer "
+            f"docvalue columns are supported (stored type {ftype})")
+    key = ("mpct", query, field, ps, mode, exclude, dv_filter)
+
+    def build():
+        import math
+        spark = index.spark
+        empty = spark.createDataFrame(
+            [(p, None) for p in ps], PCT_SCHEMA)
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:
+            return empty
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+            from .docvalues import _load_shard
+            empty_ = pd.DataFrame({"v": [], "cnt": []})
+            if len(post_pdf) == 0:
+                return empty_
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty_
+            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+            if slice_tbl is None or slice_tbl.num_rows == 0:
+                return empty_
+            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+            col = slice_tbl.column(field)
+            nulls = col.is_null().to_numpy(zero_copy_only=False)
+            idx_ = np.searchsorted(sloc, hit)
+            ok = idx_ < sloc.size
+            ok[ok] &= sloc[idx_[ok]] == hit[ok]
+            rows = idx_[ok]
+            rows = rows[~nulls[rows]]
+            if rows.size == 0:
+                return empty_
+            if is_ts:
+                micros = pc.fill_null(
+                    pc.cast(col, _pa.timestamp("us")).cast(_pa.int64()),
+                    0).to_numpy(zero_copy_only=False)
+                vals = np.floor_divide(micros[rows], 1_000_000)
+            else:
+                vals = pc.fill_null(col, 0).to_numpy(
+                    zero_copy_only=False).astype(np.int64)[rows]
+            uv, cnt = np.unique(vals, return_counts=True)
+            return pd.DataFrame({"v": uv.astype(np.int64),
+                                 "cnt": cnt.astype(np.int64)})
+
+        hist = (post.groupBy("shard").applyInPandas(fn, "v long, cnt long")
+                .groupBy("v").agg(F.sum("cnt").alias("cnt"))
+                .orderBy("v").collect())
+        if not hist:
+            return empty
+        n = sum(r["cnt"] for r in hist)
+        out, cum, i = [], 0, 0
+        targets = sorted(range(len(ps)), key=lambda j: ps[j])
+        vals_sorted = [(r["v"], r["cnt"]) for r in hist]
+        res = {}
+        for j in targets:
+            need = math.ceil(ps[j] * n)
+            while cum < need and i < len(vals_sorted):
+                cum += vals_sorted[i][1]
+                i += 1
+            res[j] = vals_sorted[i - 1][0] if i > 0 else vals_sorted[0][0]
+        out = [(ps[j], int(res[j])) for j in range(len(ps))]
+        return spark.createDataFrame(out, PCT_SCHEMA)
+
+    return _plan_cached(index, key, build)

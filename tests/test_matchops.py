@@ -389,3 +389,54 @@ def test_index_stats_tracks_deletes(spark, midx, tmp_path):
     # lexicon-derived stats stay the last build's until purge (the
     # same frozen rule BM25 stats follow)
     assert r["n_docs"] == midx.n_docs
+
+
+# ---- match_percentiles (exact PERCENTILE_DISC) ------------------------
+
+
+def _ref_pct(vals, ps):
+    import math
+    vals = sorted(vals)
+    n = len(vals)
+    out = []
+    for p in ps:
+        # min v with cum_count(v) >= ceil(p*n) == element at rank
+        # ceil(p*n) (1-based) in the sorted multiset
+        out.append((p, int(vals[math.ceil(p * n) - 1])))
+    return out
+
+
+@pytest.mark.parametrize("terms,mode,ps", [
+    (["hot0", "hot1"], "OR", (0.5, 0.9, 0.99)),
+    (["hot0", "hot1"], "AND", (0.25, 0.5, 0.75, 1.0)),
+    (["rare0"], "OR", (0.5,)),
+])
+def test_match_percentiles_reference(midx, corpus_pdf, tok_rows,
+                                     terms, mode, ps):
+    ids = _expect_ids(tok_rows, terms, mode)
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64)
+    got = [(r["p"], r["value"]) for r in
+           M.match_percentiles(midx, " ".join(terms), "ts", ps=ps,
+                               mode=mode).collect()]
+    assert got == _ref_pct(secs, ps)
+
+
+def test_match_percentiles_filters_empty_validation(midx, corpus_pdf,
+                                                    tok_rows):
+    ids = _expect_ids(tok_rows, ["hot0"], "OR", pdf=corpus_pdf,
+                      pred=lambda r: r.role == "user", neg=["mid1"])
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64)
+    got = [(r["p"], r["value"]) for r in
+           M.match_percentiles(midx, "hot0", "ts", ps=(0.5, 1.0),
+                               exclude="mid1",
+                               dv_filter="role = 'user'").collect()]
+    assert got == _ref_pct(secs, (0.5, 1.0))
+    rows = M.match_percentiles(midx, "nosuchterm", "ts",
+                               ps=(0.5,)).collect()
+    assert [(r["p"], r["value"]) for r in rows] == [(0.5, None)]
+    with pytest.raises(ValueError, match="lie in"):
+        M.match_percentiles(midx, "hot0", "ts", ps=(0.0,))
+    with pytest.raises(ValueError, match="timestamp/integer"):
+        M.match_percentiles(midx, "hot0", "role")
