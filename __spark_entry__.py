@@ -288,10 +288,12 @@ def _batch_mixed_sql(k: int = 10) -> str:
 
 
 def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str,
-                 exclude: str | None = None) -> DataFrame:
+                 exclude: str | None = None,
+                 min_match: int | None = None) -> DataFrame:
     from engine import query as Q
     idx = _packed_index(spark, sf_dir)
-    top = Q.search(idx, query, k=10, mode=mode, exclude=exclude)
+    top = Q.search(idx, query, k=10, mode=mode, exclude=exclude,
+                   min_match=min_match)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -555,7 +557,8 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               exclude: list[str] | None = None,
               where: str | None = None, offset: int = 0,
               boost_mult: str | None = None,
-              corpus_where: str | None = None) -> str:
+              corpus_where: str | None = None,
+              min_match: int | None = None) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
@@ -584,6 +587,10 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
     qtf_rows = ", ".join(f"('{t}', {n}::DOUBLE)" for t, n in sorted(qtf.items()))
     n_distinct = len(qtf)
     and_filter = f"HAVING count(*) = {n_distinct}" if mode == "AND" else ""
+    if mode == "OR" and min_match and min_match > 1:
+        # minimum_should_match twin: the scored CTE groups per (doc,
+        # term), so count(*) IS the distinct-matching-term count
+        and_filter = f"HAVING count(*) >= {min_match}"
     where_clause = (f"WHERE tf.doc_id IN (SELECT doc_id FROM documents "
                     f"WHERE {where})" if where else "")
     src = (f"(SELECT * FROM documents WHERE {corpus_where})"
@@ -692,6 +699,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_not(spark, sf):
         # boolean NOT: rank for "spark join", excluding docs with "hash"
         return _bm25_engine(spark, sf, "spark join", "OR", exclude="hash")
+
+    def bm25_msm(spark, sf):
+        # minimum_should_match: >= 2 of the 3 distinct terms must match
+        # (the ES bool-query floor; survivor scores are plain OR scores)
+        return _bm25_engine(spark, sf, "spark join fast", "OR", min_match=2)
 
     def bm25_page2(spark, sf):
         # cursor pagination: page 1's last (score, doc_id) verbatim ->
@@ -1217,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and": bm25_and,
         "bm25_qtf": bm25_qtf,
         "bm25_not": bm25_not,
+        "bm25_msm": bm25_msm,
         "bm25_page2": bm25_page2,
         "bm25_prefix": bm25_prefix,
         "bm25_prefix_capped": bm25_prefix_capped,
@@ -1663,6 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and": _bm25_sql(["hash", "join", "merge"], "AND"),
         "bm25_qtf": _bm25_sql(["spark", "spark", "vector"], "OR"),
         "bm25_not": _bm25_sql(["join", "spark"], "OR", exclude=["hash"]),
+        "bm25_msm": _bm25_sql(["spark", "join", "fast"], "OR", min_match=2),
         "bm25_page2": _bm25_sql(["spark", "join", "fast"], "OR", offset=10),
         "bm25_prefix": _bm25_prefix_sql("s"),
         "bm25_prefix_capped": _bm25_prefix_sql("s", max_expansions=3),

@@ -73,6 +73,11 @@ def cmd_search(args) -> int:
                  "half_life_days": args.boost_half_life_days,
                  "now": args.boost_now}
     mode_up = args.mode.upper()
+    if args.min_match and (mode_up != "OR" or after is not None
+                           or args.synonyms or args.sort_by):
+        print("--min-match needs plain --mode OR (no --after/--synonyms/"
+              "--sort-by)", file=sys.stderr)
+        return 2
     if (boost or args.sort_by) and mode_up in ("PHRASE", "PREFIX", "FUZZY",
                                                "REGEXP"):
         print("--boost-*/--sort-by need --mode OR|AND "
@@ -150,7 +155,8 @@ def cmd_search(args) -> int:
         top = Q.search(idx, args.query, k=args.k, mode=args.mode,
                        use_wand=False if args.no_wand else "auto",
                        exclude=args.exclude, doc_filter=args.filter,
-                       dv_filter=args.dv_filter, boost=boost)
+                       dv_filter=args.dv_filter, boost=boost,
+                       min_match=args.min_match)
     if args.snippets:
         out = Q.materialize_snippets(idx, top, snippet_query,
                                      window=args.snippet_window)
@@ -420,6 +426,9 @@ def main(argv=None) -> int:
                    help="FUZZY mode: Levenshtein radius (needs an index "
                         "with fuzzy_edits >= this)")
     s.add_argument("--no-wand", action="store_true")
+    s.add_argument("--min-match", type=int, default=None,
+                   help="minimum_should_match: a doc needs at least this "
+                        "many distinct query terms (OR mode only)")
     s.add_argument("--after", default=None,
                    help="cursor pagination: 'score,doc_id' of the last "
                         "row of the previous page (verbatim)")

@@ -47,12 +47,17 @@ class OracleIndex:
             return math.log(1.0 + x)
         return math.log(x)  # classic okapi
 
-    def search(self, query: str, k: int = 10, mode: str = "OR") -> list[tuple[int, float]]:
+    def search(self, query: str, k: int = 10, mode: str = "OR",
+               min_match: int = 1) -> list[tuple[int, float]]:
         """Exact BM25 top-k; ties broken by ascending doc_id.
 
         mode=OR: disjunctive. mode=AND: only docs containing ALL distinct
         query terms (conjunctive posting-list intersection). Query-term
         weight = qtf (repeated query terms count multiply).
+
+        ``min_match`` (OR only): minimum_should_match — a doc needs at
+        least this many DISTINCT query terms present to qualify (the ES
+        bool-query rule; scores of survivors are the plain OR scores).
         """
         qtf = Counter(t for t in tokenize_py(query, self.acfg))
         terms = sorted(qtf)  # ascending term order == frozen summation order
@@ -72,5 +77,8 @@ class OracleIndex:
         if mode.upper() == "AND":
             need = len(known)
             scores = {d: s for d, s in scores.items() if seen_count[d] == need}
+        elif min_match > 1:
+            scores = {d: s for d, s in scores.items()
+                      if seen_count[d] >= min_match}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

@@ -137,7 +137,7 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
 def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                             n_required, neg_terms=frozenset(),
                             allowed_loc=None, cursor=None, boost_vec=None,
-                            denied_loc=None):
+                            denied_loc=None, min_match=1):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
     Per-posting document lengths come from the inlined ``dls`` stream and
@@ -199,6 +199,12 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
         cnt[~allow] = -1
     if mode == "AND":
         hit = np.flatnonzero(cnt == n_required)
+    elif min_match > 1:
+        # minimum_should_match (OR only): a doc qualifies with at least
+        # min_match DISTINCT query terms present; survivor scores are
+        # the plain OR scores (cnt already counts distinct terms —
+        # doc_ids are unique within one (term, shard) row)
+        hit = np.flatnonzero(cnt >= min_match)
     else:
         hit = np.flatnonzero(cnt > 0)
     if hit.size == 0:
@@ -344,15 +350,19 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
            exclude: str | None = None,
            doc_filter: str | None = None,
            dv_filter: str | None = None,
-           boost: dict | None = None) -> DataFrame:
+           boost: dict | None = None,
+           min_match: int | None = None) -> DataFrame:
     """BM25 top-k over the packed index (see _search_impl for the full
-    plan notes). Plans are memoized per argument tuple (_plan_cached)."""
+    plan notes). Plans are memoized per argument tuple (_plan_cached).
+
+    ``min_match``: minimum_should_match (OR mode only) — a doc must
+    contain at least this many DISTINCT query terms to qualify."""
     _warn_if_stale(index)
     key = ("s", query, k, mode.upper(), repr(use_wand), exclude, doc_filter,
-           dv_filter, _boost_key(boost))
+           dv_filter, _boost_key(boost), min_match)
     return _plan_cached(index, key, lambda: _search_impl(
         index, query, k, mode, use_wand, exclude, doc_filter,
-        dv_filter=dv_filter, boost=boost))
+        dv_filter=dv_filter, boost=boost, min_match=min_match))
 
 
 def search_synonyms(index, query: str, synonyms: dict, k: int = 10,
@@ -831,7 +841,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  qtf_override: dict | None = None,
                  cursor: "tuple[float, int] | None" = None,
                  dv_filter: str | None = None,
-                 boost: dict | None = None) -> DataFrame:
+                 boost: dict | None = None,
+                 min_match: int | None = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -880,6 +891,15 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     # per-doc multiplier).
     bst = _norm_boost(index, boost)
     _require_dv(index, dv_filter)
+    # minimum_should_match (ES bool-query rule, OR only): normalized to
+    # an int >= 2 or None (1 is the plain OR contract). AND arity is
+    # already exact, so combining the two is ill-defined -> rejected.
+    mm = None
+    if min_match is not None and int(min_match) > 1:
+        if mode != "OR":
+            raise ValueError("min_match applies to OR queries only "
+                             "(AND already requires every term)")
+        mm = int(min_match)
     acfg = index.cfg.analyzer
     # qtf_override: pre-resolved {term: weight} (search_prefix expansion)
     # — terms are stored-vocabulary entries, not analyzer input
@@ -902,6 +922,12 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     n_required = len(terms)
     scan_terms = sorted(set(known) | set(neg))
     buckets = sorted({lex[t]["bucket"] for t in scan_terms})
+    if mm is not None:
+        if mm > len(known):
+            return empty  # fewer known terms than the floor: no doc can hit
+        use_wand = False  # a match-count floor invalidates WAND's theta
+        #                   pruning (its heap would seed from docs the
+        #                   floor later rejects) -> exhaustive only
     if neg:
         use_wand = False  # NOT queries score via the exhaustive path
     if bst is not None:
@@ -994,7 +1020,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                                             mode, width, n_required,
                                             neg_set, allowed_loc=loc,
                                             cursor=cursor,
-                                            boost_vec=_boost_vec(shard))
+                                            boost_vec=_boost_vec(shard),
+                                            min_match=mm or 1)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -1041,7 +1068,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                 allowed_loc=_dv_allowed(shard),
                 cursor=cursor, boost_vec=_boost_vec(shard),
                 denied_loc=(del_locs(shard) if del_locs is not None
-                            else None))
+                            else None),
+                min_match=mm or 1)
             return r if r is not None else pd.DataFrame(
                 {"doc_id": [], "score": []})
 
@@ -1088,7 +1116,8 @@ def wand_routes(index, query: str) -> bool:
 def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        cfg: dict, k: int, width: int, use_wand: bool,
                        allowed_loc=None, negs: dict | None = None,
-                       phrases: dict | None = None, denied_loc=None):
+                       phrases: dict | None = None, denied_loc=None,
+                       msm: dict | None = None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -1186,7 +1215,9 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                 r.insert(0, "qid", qid)
                 outs.append(r)
             continue
-        if use_wand and mode == "OR" and len(terms_here) > 1 and not q_negs:
+        q_mm = msm.get(qid, 1) if msm else 1
+        if (use_wand and mode == "OR" and len(terms_here) > 1
+                and not q_negs and q_mm <= 1):
             mass = sum(decoded[t][0].size for t in terms_here)
             seed = min(decoded[t][0].size for t in terms_here)
             if use_wand is True or (mass >= WAND_MIN_SHARD_POSTINGS
@@ -1207,6 +1238,11 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
         touched = np.unique(np.concatenate(locs))
         if mode == "AND":
             hit = touched[cnt[touched] == len(qt)]
+        elif q_mm > 1:
+            # minimum_should_match entry: same distinct-term floor as
+            # the single-query scorer (WAND is skipped for these — the
+            # floor invalidates theta pruning)
+            hit = touched[cnt[touched] >= q_mm]
         else:
             hit = touched        # every touched doc has cnt > 0
         if allow is not None:
@@ -1337,8 +1373,20 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     negs = {q["id"]: sorted(set(tokenize_py(q.get("exclude"), acfg))
                             - set(per_q.get(q["id"], ())))
             for q in queries if q.get("exclude")}
+    # optional per-entry "min_match" (minimum_should_match, OR-family
+    # entries only — PREFIX/FUZZY/REGEXP expansions are OR queries too,
+    # where the floor counts matched EXPANSION terms, the ES rule)
+    msm = {}
+    for q in queries:
+        m_ = int(q.get("min_match", 1))
+        if m_ > 1:
+            if modes[q["id"]] != "OR":
+                raise ValueError(
+                    f"min_match on {q['id']!r}: OR-family entries only")
+            msm[q["id"]] = m_
     per_q = {qid: qt for qid, qt in per_q.items() if qt}
     negs = {qid: ts for qid, ts in negs.items() if qid in per_q and ts}
+    msm = {qid: m_ for qid, m_ in msm.items() if qid in per_q}
     phrases = {qid: seq for qid, seq in phrases.items() if qid in per_q}
     if not per_q:
         return _empty_topk(spark, with_qid=True)
@@ -1405,7 +1453,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                     loc = np.setdiff1d(loc, dl_)
             r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
                                    width, wand_mode, allowed_loc=loc,
-                                   negs=negs, phrases=phrases)
+                                   negs=negs, phrases=phrases, msm=msm)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -1423,7 +1471,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                    allowed_loc=_dv_loc(shard),
                                    denied_loc=(del_locs(shard)
                                                if del_locs is not None
-                                               else None))
+                                               else None),
+                                   msm=msm)
             return r if r is not None else pd.DataFrame(
                 {"qid": [], "doc_id": [], "score": []})
 
