@@ -971,6 +971,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _packed_index(spark, sf, positions=True)
         return Q.search_phrase(idx, "table hash", k=10)
 
+    def phrase_sloppy(spark, sf):
+        # sloppy phrase (proximity): terms in order with total span
+        # <= (len-1) + slop positions; n_phrase counts matching anchors
+        # of the first term (engine/query.py _phrase_hits slop path —
+        # greedy leftmost == existence, one searchsorted per term)
+        from engine import query as Q
+        idx = _packed_index(spark, sf, positions=True)
+        return Q.search_phrase(idx, "table hash", k=10, slop=3)
+
     def bm25_filtered(spark, sf):
         # query-time doc_filter over a stored-corpus metadata column
         # (lang rides through the adapter as an extra column): candidate
@@ -1266,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": bm25_incremental,
         "bm25_hybrid": bm25_hybrid,
         "phrase_search": phrase_search,
+        "phrase_sloppy": phrase_sloppy,
         "bm25_filtered": bm25_filtered,
         "bm25_dv_filtered": bm25_dv_filtered,
         "bm25_recency_boost": bm25_recency_boost,
@@ -1321,15 +1331,32 @@ SELECT doc_id, ({recon})::BIGINT AS simhash FROM s"""
 
 
 def _phrase_sql(terms: list[str], k: int = 10,
-                exclude: list[str] | None = None) -> str:
+                exclude: list[str] | None = None,
+                slop: int = 0) -> str:
     """DuckDB twin of search_phrase: sliding-window adjacency count over
     the SAME analyzer token list (frozen post-analyzer adjacency
     contract); integer counts -> exact compare. ``exclude``: NOT twin
     (drop docs containing any excluded term; positive-wins — a phrase
-    term never excludes)."""
+    term never excludes).
+
+    ``slop`` > 0 switches the anchor condition to the frozen sloppy rule
+    (engine/query.py _phrase_hits): remaining terms in order at strictly
+    increasing positions, total span <= (len-1) + slop. The twin writes
+    the ENGINE's greedy-leftmost chain out literally — each next
+    position is ``prev + nullif(list_position(toks[(prev+1):], t), 0)``
+    (NULL propagates when a term is absent after prev) — which equals
+    existence because greedy minimizes the final position per anchor."""
     L = len(terms)
-    conds = " AND ".join(
-        f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms))
+    if slop > 0 and L > 1:
+        p = "i"
+        for t in terms[1:]:
+            p = f"({p} + nullif(list_position(toks[({p}+1):], '{t}'), 0))"
+        conds = (f"toks[i] = '{terms[0]}' AND "
+                 f"coalesce({p} - i <= {L - 1 + slop}, false)")
+        L = 1  # anchors range over the whole list; the span check gates
+    else:
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms))
     not_clause = ""
     if exclude:
         negs = ", ".join(f"'{t}'" for t in sorted(set(exclude) - set(terms)))
@@ -1839,6 +1866,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_hybrid": _bm25_sql(["hash", "merge", "scan"], "OR",
                                  where="lang = 'en'"),
         "phrase_search": _phrase_sql(["table", "hash"], 10),
+        "phrase_sloppy": _phrase_sql(["table", "hash"], 10, slop=3),
         "bm25_filtered": _bm25_sql(["spark", "join", "fast"], "OR",
                                    where="lang = 'en'"),
         "bm25_dv_filtered": _bm25_sql(

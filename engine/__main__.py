@@ -73,6 +73,9 @@ def cmd_search(args) -> int:
                  "half_life_days": args.boost_half_life_days,
                  "now": args.boost_now}
     mode_up = args.mode.upper()
+    if args.slop and mode_up != "PHRASE":
+        print("--slop needs --mode PHRASE", file=sys.stderr)
+        return 2
     if args.min_match and (mode_up != "OR" or after is not None
                            or args.synonyms or args.sort_by):
         print("--min-match needs plain --mode OR (no --after/--synonyms/"
@@ -103,7 +106,8 @@ def cmd_search(args) -> int:
                   file=sys.stderr)
             return 2
         top = Q.search_phrase(idx, args.query, k=args.k,
-                              doc_filter=args.filter, exclude=args.exclude)
+                              doc_filter=args.filter, exclude=args.exclude,
+                              slop=args.slop)
     elif args.mode.upper() == "PREFIX":
         top = Q.search_prefix(idx, args.query, k=args.k,
                               max_expansions=args.max_expansions,
@@ -426,6 +430,9 @@ def main(argv=None) -> int:
                    help="FUZZY mode: Levenshtein radius (needs an index "
                         "with fuzzy_edits >= this)")
     s.add_argument("--no-wand", action="store_true")
+    s.add_argument("--slop", type=int, default=0,
+                   help="PHRASE mode: proximity tolerance — terms in "
+                        "order within span (len-1)+slop (0 = exact)")
     s.add_argument("--min-match", type=int, default=None,
                    help="minimum_should_match: a doc needs at least this "
                         "many distinct query terms (OR mode only)")

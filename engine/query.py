@@ -1117,7 +1117,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        cfg: dict, k: int, width: int, use_wand: bool,
                        allowed_loc=None, negs: dict | None = None,
                        phrases: dict | None = None, denied_loc=None,
-                       msm: dict | None = None):
+                       msm: dict | None = None, slops: dict | None = None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -1204,7 +1204,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             neg_loc = (np.unique(np.concatenate(
                 [decoded[t][0] for t in q_negs])) if q_negs else None)
             hit = _phrase_hits(seq, dec, k, width,
-                               allow_mask=allow, neg_loc=neg_loc)
+                               allow_mask=allow, neg_loc=neg_loc,
+                               slop=(slops.get(qid, 0) if slops else 0))
             if hit is not None:
                 udocs, counts = hit
                 # score = n_phrase as double (exact for any real count) —
@@ -1366,6 +1367,10 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
         modes[q["id"]] = m
     phrases = {q["id"]: tokenize_py(q["query"], acfg) for q in queries
                if q["mode"].upper() == "PHRASE"}
+    # optional per-entry "slop" (sloppy phrase — same frozen in-order
+    # span rule as search_phrase(slop=)); only meaningful on PHRASE rows
+    slops = {q["id"]: int(q.get("slop", 0)) for q in queries
+             if q["mode"].upper() == "PHRASE" and int(q.get("slop", 0)) > 0}
     if phrases and not index.cfg.index_positions:
         raise ValueError("query set contains PHRASE entries but the index "
                          "was built without positions "
@@ -1388,6 +1393,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     negs = {qid: ts for qid, ts in negs.items() if qid in per_q and ts}
     msm = {qid: m_ for qid, m_ in msm.items() if qid in per_q}
     phrases = {qid: seq for qid, seq in phrases.items() if qid in per_q}
+    slops = {qid: s_ for qid, s_ in slops.items() if qid in phrases}
     if not per_q:
         return _empty_topk(spark, with_qid=True)
     # ONE memoized lexicon lookup for the union of all query + NOT terms;
@@ -1453,7 +1459,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                     loc = np.setdiff1d(loc, dl_)
             r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
                                    width, wand_mode, allowed_loc=loc,
-                                   negs=negs, phrases=phrases, msm=msm)
+                                   negs=negs, phrases=phrases, msm=msm,
+                                   slops=slops)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -1472,7 +1479,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                    denied_loc=(del_locs(shard)
                                                if del_locs is not None
                                                else None),
-                                   msm=msm)
+                                   msm=msm, slops=slops)
             return r if r is not None else pd.DataFrame(
                 {"qid": [], "doc_id": [], "score": []})
 
@@ -1500,7 +1507,8 @@ def _decode_occurrences(pdf, i: int, start: int):
 
 
 def _phrase_hits(seq: list, dec: dict, k: int, width: int,
-                 allowed_loc=None, neg_loc=None, allow_mask=None):
+                 allowed_loc=None, neg_loc=None, allow_mask=None,
+                 slop: int = 0):
     """Shared phrase-match kernel (single-query and batch paths — ONE
     definition of the frozen consecutive-positions semantics): intersects
     per-offset (doc, pos - offset) key sets over per-term (occ_loc, pos)
@@ -1510,12 +1518,49 @@ def _phrase_hits(seq: list, dec: dict, k: int, width: int,
     width-sized boolean mask — the batch scorer builds it ONCE per shard
     task and shares it across the whole query set); ``neg_loc``:
     shard-local offsets of docs containing any excluded term (NOT — same
-    contract as search(exclude=...))."""
+    contract as search(exclude=...)).
+
+    ``slop`` (sloppy phrase, frozen semantics): an occurrence of the
+    FIRST term at position p1 matches iff the remaining terms appear IN
+    ORDER at strictly increasing positions p2 < ... < pL with total span
+    pL - p1 <= (L-1) + slop; n_phrase counts matching anchors. Greedy
+    leftmost choice of each next position minimizes pL for a fixed
+    anchor, so greedy existence == existence — the matcher is one
+    np.searchsorted per non-anchor term over composite (doc, pos) keys,
+    vectorized across every anchor of the shard at once. slop=0 is
+    exactly the consecutive contract (greedy earliest-next either lands
+    adjacent or overshoots the span), kept on the intersect fast path."""
     import numpy as np
+    if any(t not in dec for t in seq):
+        return None  # a phrase term absent in this shard
+    if slop > 0 and len(seq) > 1:
+        keys = {}
+        for t in set(seq):
+            occ_loc, pos = dec[t]
+            kk = (occ_loc << np.int64(32)) | pos
+            keys[t] = np.sort(kk)
+        cur = keys[seq[0]]
+        anchor_doc = (cur >> np.int64(32)).astype(np.int64)
+        anchor_pos = (cur & np.int64(0xFFFFFFFF))
+        for t in seq[1:]:
+            kt = keys[t]
+            idx = np.searchsorted(kt, cur, side="right")
+            ok = idx < kt.size
+            nxt = kt[np.minimum(idx, kt.size - 1)]
+            ok &= (nxt >> np.int64(32)) == anchor_doc
+            cur, anchor_doc = nxt[ok], anchor_doc[ok]
+            anchor_pos = anchor_pos[ok]
+            if cur.size == 0:
+                return None
+        span = (cur & np.int64(0xFFFFFFFF)) - anchor_pos
+        m = span <= (len(seq) - 1 + slop)
+        if not m.any():
+            return None
+        udocs, counts = np.unique(anchor_doc[m], return_counts=True)
+        return _phrase_topk(udocs, counts, k, width,
+                            allowed_loc, neg_loc, allow_mask)
     keys = None
     for off, t in enumerate(seq):
-        if t not in dec:
-            return None  # term absent in this shard
         occ_loc, pos = dec[t]
         m = pos >= off
         cand = (occ_loc[m] << np.int64(32)) | (pos[m] - off)
@@ -1526,6 +1571,14 @@ def _phrase_hits(seq: list, dec: dict, k: int, width: int,
             return None
     locs = (keys >> np.int64(32)).astype(np.int64)
     udocs, counts = np.unique(locs, return_counts=True)
+    return _phrase_topk(udocs, counts, k, width,
+                        allowed_loc, neg_loc, allow_mask)
+
+
+def _phrase_topk(udocs, counts, k, width, allowed_loc, neg_loc, allow_mask):
+    """Shared tail of the phrase kernels: NOT / doc_filter masks + the
+    tie-safe (count desc, doc-offset asc) top-k cut."""
+    import numpy as np
     if neg_loc is not None and neg_loc.size and udocs.size:
         negmask = np.zeros(width, dtype=bool)
         negmask[neg_loc] = True
@@ -1548,18 +1601,24 @@ def _phrase_hits(seq: list, dec: dict, k: int, width: int,
 
 def search_phrase(index, phrase: str, k: int = 10,
                   doc_filter: str | None = None,
-                  exclude: str | None = None) -> DataFrame:
+                  exclude: str | None = None,
+                  slop: int = 0) -> DataFrame:
     """Phrase search (see _search_phrase_impl for the full contract and
-    plan notes). Plans are memoized per argument tuple (_plan_cached)."""
+    plan notes). Plans are memoized per argument tuple (_plan_cached).
+
+    ``slop``: proximity tolerance — the phrase terms must appear in
+    order with total span <= (len-1) + slop positions (0 = exact
+    consecutive phrase, the default)."""
     _warn_if_stale(index)
-    key = ("p", phrase, k, doc_filter, exclude)
+    key = ("p", phrase, k, doc_filter, exclude, slop)
     return _plan_cached(index, key, lambda: _search_phrase_impl(
-        index, phrase, k, doc_filter, exclude))
+        index, phrase, k, doc_filter, exclude, slop))
 
 
 def _search_phrase_impl(index, phrase: str, k: int = 10,
                         doc_filter: str | None = None,
-                        exclude: str | None = None) -> DataFrame:
+                        exclude: str | None = None,
+                        slop: int = 0) -> DataFrame:
     """Exact phrase query over a positions-enabled packed index
     (IndexConfig.index_positions=True) — beyond-spec extension (VERDICT r2
     'What's missing #4': the most common next ask of a search engine).
@@ -1593,6 +1652,8 @@ def _search_phrase_impl(index, phrase: str, k: int = 10,
     if not index.cfg.index_positions:
         raise ValueError("index was built without positions "
                          "(IndexConfig.index_positions=True required)")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     acfg = index.cfg.analyzer
     seq = tokenize_py(phrase, acfg)  # order matters; duplicates kept
     empty = spark.range(0).select(
@@ -1645,7 +1706,8 @@ def _search_phrase_impl(index, phrase: str, k: int = 10,
         neg_loc = (np.unique(np.concatenate(neg_locs)) if neg_locs
                    else np.empty(0, dtype=np.int64))
         hit = _phrase_hits(seq, dec, k, width,
-                           allowed_loc=allowed_loc, neg_loc=neg_loc)
+                           allowed_loc=allowed_loc, neg_loc=neg_loc,
+                           slop=slop)
         if hit is None:
             return out_empty
         udocs, counts = hit
