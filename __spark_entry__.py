@@ -289,11 +289,12 @@ def _batch_mixed_sql(k: int = 10) -> str:
 
 def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str,
                  exclude: str | None = None,
-                 min_match: int | None = None) -> DataFrame:
+                 min_match: int | None = None,
+                 term_boosts: dict | None = None) -> DataFrame:
     from engine import query as Q
     idx = _packed_index(spark, sf_dir)
     top = Q.search(idx, query, k=10, mode=mode, exclude=exclude,
-                   min_match=min_match)
+                   min_match=min_match, term_boosts=term_boosts)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -558,7 +559,8 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               where: str | None = None, offset: int = 0,
               boost_mult: str | None = None,
               corpus_where: str | None = None,
-              min_match: int | None = None) -> str:
+              min_match: int | None = None,
+              weights: dict | None = None) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
@@ -584,7 +586,12 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
     if exclude:
         exclude = sorted(set(exclude) - set(qtf))
     terms_in = ", ".join(f"'{t}'" for t in sorted(qtf))
-    qtf_rows = ", ".join(f"('{t}', {n}::DOUBLE)" for t, n in sorted(qtf.items()))
+    # ``weights``: term_boosts twin (engine/query.py _apply_term_boosts)
+    # — the boost is a pure qtf multiplier, applied here to the same
+    # float64 product the engine computes (repr round-trips the value)
+    qtf_rows = ", ".join(
+        f"('{t}', {float(n) * float((weights or {}).get(t, 1.0))!r}::DOUBLE)"
+        for t, n in sorted(qtf.items()))
     n_distinct = len(qtf)
     and_filter = f"HAVING count(*) = {n_distinct}" if mode == "AND" else ""
     if mode == "OR" and min_match and min_match > 1:
@@ -704,6 +711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minimum_should_match: >= 2 of the 3 distinct terms must match
         # (the ES bool-query floor; survivor scores are plain OR scores)
         return _bm25_engine(spark, sf, "spark join fast", "OR", min_match=2)
+
+    def bm25_term_boosts(spark, sf):
+        # per-term query boosting (term^w): weights multiply each term's
+        # qtf factor (engine/query.py _apply_term_boosts); the twin
+        # applies the same float64 product to its qtf VALUES rows
+        return _bm25_engine(spark, sf, "spark join fast", "OR",
+                            term_boosts={"join": 2.5, "fast": 0.5})
 
     def bm25_page2(spark, sf):
         # cursor pagination: page 1's last (score, doc_id) verbatim ->
@@ -1239,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_qtf": bm25_qtf,
         "bm25_not": bm25_not,
         "bm25_msm": bm25_msm,
+        "bm25_term_boosts": bm25_term_boosts,
         "bm25_page2": bm25_page2,
         "bm25_prefix": bm25_prefix,
         "bm25_prefix_capped": bm25_prefix_capped,
@@ -1704,6 +1719,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_qtf": _bm25_sql(["spark", "spark", "vector"], "OR"),
         "bm25_not": _bm25_sql(["join", "spark"], "OR", exclude=["hash"]),
         "bm25_msm": _bm25_sql(["spark", "join", "fast"], "OR", min_match=2),
+        "bm25_term_boosts": _bm25_sql(["spark", "join", "fast"], "OR",
+                                      weights={"join": 2.5, "fast": 0.5}),
         "bm25_page2": _bm25_sql(["spark", "join", "fast"], "OR", offset=10),
         "bm25_prefix": _bm25_prefix_sql("s"),
         "bm25_prefix_capped": _bm25_prefix_sql("s", max_expansions=3),

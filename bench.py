@@ -184,6 +184,9 @@ def main():
             dt, _ = tbest(lambda: Q.search_phrase(
                 pidx, "w001 w002 w003", k=10).collect())
             queries["phrase_3term"] = round(dt, 4)
+            dt, _ = tbest(lambda: Q.search_phrase(
+                pidx, "hot0 hot1", k=10, slop=3).collect())
+            queries["phrase_sloppy"] = round(dt, 4)
 
         # r4: Block-Max WAND at its design geometry (VERDICT r3 next #4):
         # ONE big scoring shard (n_slices=1), fine 32-posting blocks, and
@@ -479,6 +482,7 @@ def main():
                                  "batch_query_set_cold",
                                  "positions_index_build",
                                  "phrase_2term", "phrase_3term",
+                                 "phrase_sloppy",
                                  "search_filtered", "search_snippets",
                                  "search_facets",
                                  "search_prefix", "search_prefix_cold",

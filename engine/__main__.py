@@ -76,6 +76,21 @@ def cmd_search(args) -> int:
     if args.slop and mode_up != "PHRASE":
         print("--slop needs --mode PHRASE", file=sys.stderr)
         return 2
+    term_boosts = None
+    if args.boost_term:
+        if mode_up not in ("OR", "AND") or after is not None \
+                or args.synonyms:
+            print("--boost-term needs plain --mode OR/AND (no --after/"
+                  "--synonyms)", file=sys.stderr)
+            return 2
+        term_boosts = {}
+        for spec in args.boost_term:
+            t, _, w = spec.partition("=")
+            if not _ or not t:
+                print(f"--boost-term wants term=weight (got {spec!r})",
+                      file=sys.stderr)
+                return 2
+            term_boosts[t] = float(w)
     if args.min_match and (mode_up != "OR" or after is not None
                            or args.synonyms or args.sort_by):
         print("--min-match needs plain --mode OR (no --after/--synonyms/"
@@ -160,7 +175,7 @@ def cmd_search(args) -> int:
                        use_wand=False if args.no_wand else "auto",
                        exclude=args.exclude, doc_filter=args.filter,
                        dv_filter=args.dv_filter, boost=boost,
-                       min_match=args.min_match)
+                       min_match=args.min_match, term_boosts=term_boosts)
     if args.snippets:
         out = Q.materialize_snippets(idx, top, snippet_query,
                                      window=args.snippet_window)
@@ -433,6 +448,10 @@ def main(argv=None) -> int:
     s.add_argument("--slop", type=int, default=0,
                    help="PHRASE mode: proximity tolerance — terms in "
                         "order within span (len-1)+slop (0 = exact)")
+    s.add_argument("--boost-term", action="append", metavar="TERM=W",
+                   help="per-term query boost (term^w — weight "
+                        "multiplies the term's score contribution); "
+                        "repeatable, OR/AND modes")
     s.add_argument("--min-match", type=int, default=None,
                    help="minimum_should_match: a doc needs at least this "
                         "many distinct query terms (OR mode only)")

@@ -327,6 +327,43 @@ def _boost_key(boost: "dict | None"):
     return tuple(sorted(boost.items())) if boost else None
 
 
+def _apply_term_boosts(qtf: dict, term_boosts: "dict | None") -> dict:
+    """Per-term query boosting (the Lucene/ES ``term^w`` query rule):
+    each weight multiplies its term's query-term-frequency factor, so a
+    boosted term's per-doc contribution scales by exactly ``w`` — qtf is
+    already a pure multiplier in the frozen score (bm25_score_col /
+    _score_shard_exhaustive), so no scorer change is needed and the
+    frozen per-term summation order is untouched.
+
+    Weights must be finite and > 0 (zero/negative would break ranking
+    monotonicity and WAND's upper bounds); keys must be analyzed terms
+    PRESENT in the query — a boost on an absent term is a caller bug,
+    not a no-op. Rank-safe under WAND routing: the block upper bound
+    (engine/wand.py _ub) scales by the same qtf factor, so block bounds
+    stay exact upper bounds and boosted OR queries keep Block-Max
+    pruning."""
+    if not term_boosts:
+        return qtf
+    import math
+    import re
+
+    from .config import TOKEN_PATTERN
+    for t, w in term_boosts.items():
+        if not re.fullmatch(TOKEN_PATTERN, t or ""):
+            raise ValueError("term_boosts keys must be single analyzer "
+                             f"tokens (got {t!r})")
+        w = float(w)
+        if not math.isfinite(w) or w <= 0:
+            raise ValueError(f"term_boosts[{t!r}] must be finite and > 0 "
+                             f"(got {w})")
+    unknown = sorted(set(term_boosts) - set(qtf))
+    if unknown:
+        raise ValueError(f"term_boosts for terms not in the query: "
+                         f"{unknown}")
+    return {t: float(n) * float(term_boosts.get(t, 1.0))
+            for t, n in qtf.items()}
+
+
 def _del_closure(index):
     """Per-shard tombstone lookup for the scorer tasks (engine/deletes.py)
     — ONE definition shared by every query surface. Returns None when the
@@ -351,18 +388,24 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
            doc_filter: str | None = None,
            dv_filter: str | None = None,
            boost: dict | None = None,
-           min_match: int | None = None) -> DataFrame:
+           min_match: int | None = None,
+           term_boosts: dict | None = None) -> DataFrame:
     """BM25 top-k over the packed index (see _search_impl for the full
     plan notes). Plans are memoized per argument tuple (_plan_cached).
 
     ``min_match``: minimum_should_match (OR mode only) — a doc must
-    contain at least this many DISTINCT query terms to qualify."""
+    contain at least this many DISTINCT query terms to qualify.
+
+    ``term_boosts``: {term: weight} per-term query boosting (the ES
+    ``term^w`` rule — see _apply_term_boosts for the frozen contract);
+    composes with every other option and keeps WAND routing."""
     _warn_if_stale(index)
     key = ("s", query, k, mode.upper(), repr(use_wand), exclude, doc_filter,
-           dv_filter, _boost_key(boost), min_match)
+           dv_filter, _boost_key(boost), min_match, _boost_key(term_boosts))
     return _plan_cached(index, key, lambda: _search_impl(
         index, query, k, mode, use_wand, exclude, doc_filter,
-        dv_filter=dv_filter, boost=boost, min_match=min_match))
+        dv_filter=dv_filter, boost=boost, min_match=min_match,
+        term_boosts=term_boosts))
 
 
 def search_synonyms(index, query: str, synonyms: dict, k: int = 10,
@@ -842,7 +885,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  cursor: "tuple[float, int] | None" = None,
                  dv_filter: str | None = None,
                  boost: dict | None = None,
-                 min_match: int | None = None) -> DataFrame:
+                 min_match: int | None = None,
+                 term_boosts: dict | None = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -908,6 +952,10 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     empty = _empty_topk(spark)
     if not qtf:
         return empty
+    # per-term query boosting (term^w): a pure qtf multiplier — applied
+    # before the lexicon lookup so WAND bounds, routing, and every
+    # downstream path see the boosted weights transparently
+    qtf = _apply_term_boosts(qtf, term_boosts)
     neg = sorted(set(tokenize_py(exclude, acfg)) - set(qtf)) if exclude else []
     terms = sorted(qtf)
     lex = index.lookup_terms(sorted(set(terms) | set(neg)))
@@ -1329,6 +1377,11 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     ``"max_expansions"`` default 64) expand driver-side via the
     memoized literal-prefix-pushed lexicon scan — same frozen
     semantics as ``search_regexp``.
+
+    An entry may carry ``"boosts"`` ({term: weight} — the frozen term^w
+    rule of ``search(term_boosts=)``); weights multiply that entry's
+    qtf only, so boosted and unboosted queries share the scan and the
+    decode cache unchanged.
     """
     import pandas as pd
     from pyspark.sql import Window
@@ -1365,6 +1418,16 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
         else:
             per_q[q["id"]] = query_terms(q["query"], acfg)
         modes[q["id"]] = m
+        # optional per-entry "boosts" ({term: weight} — same frozen
+        # term^w rule as search(term_boosts=)); weights multiply the
+        # entry's qtf (for PREFIX/FUZZY/REGEXP: the expansion terms)
+        b = q.get("boosts")
+        if b:
+            if q["mode"].upper() == "PHRASE":
+                raise ValueError(f"boosts on {q['id']!r}: PHRASE entries "
+                                 "rank by n_phrase, not BM25")
+            if per_q[q["id"]]:
+                per_q[q["id"]] = _apply_term_boosts(per_q[q["id"]], b)
     phrases = {q["id"]: tokenize_py(q["query"], acfg) for q in queries
                if q["mode"].upper() == "PHRASE"}
     # optional per-entry "slop" (sloppy phrase — same frozen in-order
