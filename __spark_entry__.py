@@ -560,7 +560,8 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               boost_mult: str | None = None,
               corpus_where: str | None = None,
               min_match: int | None = None,
-              weights: dict | None = None) -> str:
+              weights: dict | None = None,
+              collapse_field: str | None = None) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
@@ -631,11 +632,29 @@ scored AS (
   {where_clause}
   GROUP BY tf.doc_id {and_filter}
 )
-SELECT doc_id,
-       round(score{f' * ({boost_mult})' if boost_mult else ''}, 6) AS score
+{_collapse_tail(collapse_field, exclude, k) if collapse_field else f'''SELECT doc_id,
+       round(score{f" * ({boost_mult})" if boost_mult else ""}, 6) AS score
 FROM scored
 {_not_in_clause(exclude)}
-ORDER BY score DESC, doc_id ASC LIMIT {k}{f' OFFSET {offset}' if offset else ''}
+ORDER BY score DESC, doc_id ASC LIMIT {k}{f" OFFSET {offset}" if offset else ""}
+'''}"""
+
+
+def _collapse_tail(field: str, exclude: list[str] | None, k: int) -> str:
+    """Field-collapsing twin (engine/query.py search_collapsed): one row
+    per distinct ``field`` value — the group's best doc under the frozen
+    (score desc, doc_id asc) order — groups ranked by that
+    representative; NULL keys excluded (the frozen contract)."""
+    nc = _not_in_clause(exclude)
+    nc = f" AND {nc[6:]}" if nc else ""  # WHERE -> AND (composed below)
+    return f"""
+SELECT group_key, doc_id, round(score, 6) AS score FROM (
+  SELECT CAST(d.{field} AS VARCHAR) AS group_key, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.{field}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE d.{field} IS NOT NULL{nc}
+) WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -718,6 +737,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # applies the same float64 product to its qtf VALUES rows
         return _bm25_engine(spark, sf, "spark join fast", "OR",
                             term_boosts={"join": 2.5, "fast": 0.5})
+
+    def bm25_collapse(spark, sf):
+        # field collapsing (ES collapse): top groups by their best doc —
+        # one row per distinct lang, ranked by the group representative
+        # (engine/query.py search_collapsed; NULL keys excluded)
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search_collapsed(idx, "spark join fast", "lang", k=10)
+        return top.select("group_key", "doc_id",
+                          F.round("score", 6).alias("score"))
 
     def bm25_page2(spark, sf):
         # cursor pagination: page 1's last (score, doc_id) verbatim ->
@@ -1254,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not": bm25_not,
         "bm25_msm": bm25_msm,
         "bm25_term_boosts": bm25_term_boosts,
+        "bm25_collapse": bm25_collapse,
         "bm25_page2": bm25_page2,
         "bm25_prefix": bm25_prefix,
         "bm25_prefix_capped": bm25_prefix_capped,
@@ -1721,6 +1751,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_msm": _bm25_sql(["spark", "join", "fast"], "OR", min_match=2),
         "bm25_term_boosts": _bm25_sql(["spark", "join", "fast"], "OR",
                                       weights={"join": 2.5, "fast": 0.5}),
+        "bm25_collapse": _bm25_sql(["spark", "join", "fast"], "OR",
+                                   collapse_field="lang"),
         "bm25_page2": _bm25_sql(["spark", "join", "fast"], "OR", offset=10),
         "bm25_prefix": _bm25_prefix_sql("s"),
         "bm25_prefix_capped": _bm25_prefix_sql("s", max_expansions=3),

@@ -110,7 +110,19 @@ def cmd_search(args) -> int:
               "--dv-filter/--exclude but not --boost-*/--after",
               file=sys.stderr)
         return 2
-    if args.sort_by:
+    if args.collapse and (args.sort_by or boost or after is not None
+                          or args.synonyms or args.min_match
+                          or mode_up not in ("OR", "AND")):
+        print("--collapse needs plain --mode OR/AND (no --sort-by/"
+              "--boost-*/--after/--synonyms/--min-match)", file=sys.stderr)
+        return 2
+    if args.collapse:
+        top = Q.search_collapsed(idx, args.query, args.collapse, k=args.k,
+                                 mode=args.mode, exclude=args.exclude,
+                                 doc_filter=args.filter,
+                                 dv_filter=args.dv_filter,
+                                 term_boosts=term_boosts)
+    elif args.sort_by:
         top = Q.search_sorted(idx, args.query, args.sort_by, k=args.k,
                               mode=args.mode, ascending=args.asc,
                               exclude=args.exclude,
@@ -452,6 +464,10 @@ def main(argv=None) -> int:
                    help="per-term query boost (term^w — weight "
                         "multiplies the term's score contribution); "
                         "repeatable, OR/AND modes")
+    s.add_argument("--collapse", metavar="FIELD",
+                   help="field collapsing: one result per distinct "
+                        "value of a stored docvalue FIELD — groups "
+                        "ranked by their best doc (OR/AND modes)")
     s.add_argument("--min-match", type=int, default=None,
                    help="minimum_should_match: a doc needs at least this "
                         "many distinct query terms (OR mode only)")

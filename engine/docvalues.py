@@ -149,6 +149,32 @@ def recency_multiplier(index_dir: str, shard: int, gen: int, width: int,
     return m
 
 
+def group_values(index_dir: str, shard: int, gen: int, field: str,
+                 loc):
+    """Collapse-key values for the given shard-local offsets: object
+    ndarray of STRINGS aligned with ``loc`` (the field's Arrow string
+    rendering — collapse keys are categorical by design), None where the
+    offset has no docvalue row or a NULL value (collapse EXCLUDES those
+    docs — grouping by unknown key is undefined, the search_sorted NULL
+    rule). Used by search_collapsed's per-shard best-per-group gather."""
+    import numpy as np
+    out = np.full(len(loc), None, dtype=object)
+    slice_tbl = _load_shard(index_dir, shard, gen)
+    if slice_tbl is None or slice_tbl.num_rows == 0:
+        return out
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+    vals = pc.cast(slice_tbl.column(field),
+                   pa.string()).to_numpy(zero_copy_only=False)
+    # sloc is written sorted; map loc -> value via searchsorted
+    idx = np.searchsorted(sloc, loc)
+    ok = (idx < sloc.size)
+    ok[ok] &= sloc[idx[ok]] == np.asarray(loc)[ok]
+    out[ok] = vals[idx[ok]]
+    return out
+
+
 def sort_values(index_dir: str, shard: int, gen: int, field: str,
                 loc):
     """Sort-key values for the given shard-local offsets: float64 array

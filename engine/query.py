@@ -137,7 +137,8 @@ def search_flat(idx: FlatIndex, query: str, k: int = 10,
 def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                             n_required, neg_terms=frozenset(),
                             allowed_loc=None, cursor=None, boost_vec=None,
-                            denied_loc=None, min_match=1):
+                            denied_loc=None, min_match=1,
+                            collapse_vals=None):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
     Per-posting document lengths come from the inlined ``dls`` stream and
@@ -230,6 +231,34 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
         hit = hit[(s < cs) | ((s == cs) & (ds > cd))]
         if hit.size == 0:
             return None
+    if collapse_vals is not None:
+        # field collapsing (ES collapse): reduce the shard's hits to the
+        # best doc per collapse key under the frozen (score desc, doc_id
+        # asc) order, then emit the shard's top-k GROUPS. Per-shard top-k
+        # groups is globally sufficient: if a global top-k group were
+        # outside its best-doc shard's top-k, that shard would hold k
+        # groups whose shard-best — hence global best — beats it,
+        # contradicting its global rank. Docs with a NULL/absent key are
+        # EXCLUDED (the search_sorted NULL rule).
+        vals = collapse_vals(hit)  # object ndarray of str|None
+        ok = np.asarray(vals != None, dtype=bool)  # noqa: E711 — elementwise
+        hit, vals = hit[ok], vals[ok]
+        if hit.size == 0:
+            return None
+        s = acc[hit]
+        ordr = np.lexsort((hit, -s))  # score desc, then doc asc
+        h, s2, v2 = hit[ordr], s[ordr], vals[ordr]
+        uv, first = np.unique(v2, return_index=True)
+        # first = index of each group's FIRST row in the (score desc,
+        # doc asc) ordering == its best doc; full sort is fine here
+        # (one row per group survives the reduction)
+        bh, bs = h[first], s2[first]
+        cut = np.lexsort((bh, -bs))[:k]
+        import pandas as pd
+        return pd.DataFrame({
+            "group_key": uv[cut].astype(object),
+            "doc_id": (bh[cut] + start).astype(np.int64),
+            "score": bs[cut]})
     # tie-SAFE per-shard top-k (r4): argpartition alone kept an arbitrary
     # subset of k-boundary score ties — codec.topk_tiebreak widens to the
     # tying ids and applies the frozen (score desc, doc_id asc) order
@@ -494,6 +523,42 @@ def search_after(index, query: str, k: int = 10, mode: str = "OR",
     return _plan_cached(index, key, lambda: _search_impl(
         index, query, k, mode, False, exclude, doc_filter, cursor=cur,
         dv_filter=dv_filter, boost=boost))
+
+
+def search_collapsed(index, query: str, field: str, k: int = 10,
+                     mode: str = "OR",
+                     exclude: str | None = None,
+                     doc_filter: str | None = None,
+                     dv_filter: str | None = None,
+                     term_boosts: dict | None = None) -> DataFrame:
+    """Field collapsing (the ES ``collapse`` pattern): the top-k GROUPS
+    for ``query``, one row per distinct value of the stored docvalue
+    column ``field`` — each group represented by its best-scoring doc
+    under the frozen (score desc, doc_id asc) order, groups ranked by
+    that representative. Returns (group_key string, doc_id, score);
+    ``group_key`` is the field's Arrow string rendering (collapse keys
+    are categorical by design — use string/int fields).
+
+    Frozen contract: docs with a NULL/absent field value are EXCLUDED
+    (grouping by unknown key is undefined — the search_sorted NULL
+    rule); scores are the unchanged frozen BM25 scores.
+
+    Plan: the per-shard scorer reduces its hits to best-doc-per-group
+    (vectorized lexsort + first-occurrence cut over the shard's cached
+    docvalue slice — zero corpus scan, zero extra shuffle) and emits its
+    top-k GROUPS; per-shard top-k groups is globally sufficient (if a
+    global top-k group were outside its best-doc shard's per-shard
+    top-k, that shard would hold k groups whose global best beats it —
+    contradiction), so <= k rows per shard feed a tiny window
+    (row_number per group) + TakeOrderedAndProject. Routes exhaustive
+    (the reduction needs every hit's score); ``exclude``/``doc_filter``/
+    ``dv_filter``/``term_boosts`` compose exactly as in ``search``."""
+    _warn_if_stale(index)
+    key = ("col", query, field, k, mode.upper(), exclude, doc_filter,
+           dv_filter, _boost_key(term_boosts))
+    return _plan_cached(index, key, lambda: _search_impl(
+        index, query, k, mode, False, exclude, doc_filter,
+        dv_filter=dv_filter, term_boosts=term_boosts, collapse=field))
 
 
 def search_sorted(index, query: str, field: str, k: int = 10,
@@ -886,7 +951,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  dv_filter: str | None = None,
                  boost: dict | None = None,
                  min_match: int | None = None,
-                 term_boosts: dict | None = None) -> DataFrame:
+                 term_boosts: dict | None = None,
+                 collapse: str | None = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -935,6 +1001,21 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     # per-doc multiplier).
     bst = _norm_boost(index, boost)
     _require_dv(index, dv_filter)
+    # field collapsing (ES collapse, see search_collapsed): the kernel
+    # reduces each shard's hits to best-doc-per-group before its top-k
+    # cut, so every hit's score must exist -> exhaustive only; cursor
+    # pagination over groups is undefined (a group's best doc moves
+    # between pages) -> rejected
+    if collapse is not None:
+        if collapse not in (index.doc_values or ()):
+            raise ValueError(
+                f"collapse field {collapse!r} is not a docvalue column of "
+                f"this index (stored: {list(index.doc_values or ())}; "
+                f"build with IndexConfig(doc_values=...))")
+        if cursor is not None:
+            raise ValueError("collapse does not compose with search_after "
+                             "cursors")
+        use_wand = False
     # minimum_should_match (ES bool-query rule, OR only): normalized to
     # an int >= 2 or None (1 is the plain OR contract). AND arity is
     # already exact, so combining the two is ill-defined -> rejected.
@@ -950,6 +1031,11 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     qtf = dict(qtf_override) if qtf_override is not None \
         else query_terms(query, acfg)
     empty = _empty_topk(spark)
+    if collapse is not None:
+        empty = spark.range(0).select(
+            F.lit("").alias("group_key"),
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).cast("double").alias("score"))
     if not qtf:
         return empty
     # per-term query boosting (term^w): a pure qtf multiplier — applied
@@ -1035,6 +1121,35 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
         return recency_multiplier(dv_dir, shard, dv_gen, width,
                                   bst[0], bst[1], bst[2])
 
+    def _grp_closure(shard: int):
+        if collapse is None:
+            return None
+
+        def g(loc):
+            from .docvalues import group_values
+            return group_values(dv_dir, shard, dv_gen, collapse, loc)
+
+        return g
+
+    out_schema = ("group_key string, doc_id long, score double"
+                  if collapse is not None else "doc_id long, score double")
+    out_cols = (["group_key", "doc_id", "score"] if collapse is not None
+                else ["doc_id", "score"])
+
+    def _finish(scored: DataFrame) -> DataFrame:
+        """Global tail: plain top-k, or — when collapsing — one winner
+        per group (row_number over the frozen order; per-shard emissions
+        are <= k rows each, so the window input is tiny) then top-k
+        groups."""
+        if collapse is None:
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from pyspark.sql import Window
+        w = (Window.partitionBy("group_key")
+             .orderBy(F.desc("score"), F.asc("doc_id")))
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
     # tombstones (engine/deletes.py): None when the index has none
     del_locs = _del_closure(index)
 
@@ -1047,7 +1162,7 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
         def fn2(key, post_pdf, allowed_pdf):
             import numpy as np
             import pandas as pd
-            empty_r = pd.DataFrame({"doc_id": [], "score": []})
+            empty_r = pd.DataFrame({c: [] for c in out_cols})
             if len(post_pdf) == 0 or len(allowed_pdf) == 0:
                 return empty_r  # no postings / no doc passes the filter
             shard = int(post_pdf["shard"].iloc[0])
@@ -1069,13 +1184,15 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                                             neg_set, allowed_loc=loc,
                                             cursor=cursor,
                                             boost_vec=_boost_vec(shard),
-                                            min_match=mm or 1)
+                                            min_match=mm or 1,
+                                            collapse_vals=_grp_closure(
+                                                shard))
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
                   .cogroup(allowed.groupBy("shard"))
-                  .applyInPandas(fn2, "doc_id long, score double"))
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                  .applyInPandas(fn2, out_schema))
+        return _finish(scored)
 
     if use_wand and mode == "OR":
         from .wand import score_shard_wand as scorer_fn
@@ -1108,7 +1225,7 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
         def fn(key, post_pdf):
             import pandas as pd
             if len(post_pdf) == 0:
-                return pd.DataFrame({"doc_id": [], "score": []})
+                return pd.DataFrame({c: [] for c in out_cols})
             shard = int(post_pdf["shard"].iloc[0])
             r = _score_shard_exhaustive(
                 post_pdf, qtfs, idfs, cfgd, k, mode,
@@ -1117,13 +1234,14 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                 cursor=cursor, boost_vec=_boost_vec(shard),
                 denied_loc=(del_locs(shard) if del_locs is not None
                             else None),
-                min_match=mm or 1)
+                min_match=mm or 1,
+                collapse_vals=_grp_closure(shard))
             return r if r is not None else pd.DataFrame(
-                {"doc_id": [], "score": []})
+                {c: [] for c in out_cols})
 
     scored = (post.groupBy("shard")
-              .applyInPandas(fn, "doc_id long, score double"))
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+              .applyInPandas(fn, out_schema))
+    return _finish(scored)
 
 
 # WAND routing cost gate (shared by the single-query and batch paths).
