@@ -124,6 +124,25 @@ def test_composes_exclude_dvfilter_boosts(cidx):
     assert got == want[:10]
 
 
+def test_collapse_plan_pruned(cidx):
+    """Plan guard: the collapse job is STILL the single pruned postings
+    scan (bucket partition filter, term pushdown, no WAND columns) —
+    group values come from the in-task docvalue slice, never a
+    Spark-side corpus scan — ending in the tiny window + top-k."""
+    import re
+    idx, _ = cidx
+    out = Q.search_collapsed(idx, "hot0 rare3", "role", k=10)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert re.search(r"PartitionFilters: \[.*bucket.*IN", plan), plan
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(term", plan), plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(schemas) == 1 and "doc_ids" in schemas[0], schemas
+    assert "blocks" not in schemas[0]  # exhaustive: no WAND columns
+    assert "text" not in plan  # zero corpus scan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_validation(cidx):
     idx, _ = cidx
     with pytest.raises(ValueError, match="docvalue"):
