@@ -124,6 +124,26 @@ def test_composes_exclude_dvfilter_boosts(cidx):
     assert got == want[:10]
 
 
+def test_composes_doc_filter(cidx):
+    """collapse through the doc_filter cogroup path (fn2): result ==
+    pure-Python reduction of the filtered full ranking."""
+    idx, pdf = cidx
+    vals = {i: str(v) for i, v in enumerate(pdf["role"])}
+    full = Q.search(idx, "hot0 rare3", k=10 ** 9,
+                    doc_filter="turn_idx >= 2").collect()
+    seen, want = set(), []
+    for r in full:
+        g = vals.get(r.doc_id)
+        if g is None or g in seen:
+            continue
+        seen.add(g)
+        want.append((g, r.doc_id, r.score))
+    got = [(r.group_key, r.doc_id, r.score)
+           for r in Q.search_collapsed(idx, "hot0 rare3", "role", k=10,
+                                       doc_filter="turn_idx >= 2").collect()]
+    assert got == want[:10] and got
+
+
 def test_collapse_plan_pruned(cidx):
     """Plan guard: the collapse job is STILL the single pruned postings
     scan (bucket partition filter, term pushdown, no WAND columns) —
