@@ -330,6 +330,9 @@ def main():
             dt, _ = tbest(lambda: Q.search_sorted(
                 dvx, "hot0 hot1", "ts", k=10, mode="AND").collect())
             queries["search_sorted_recent"] = round(dt, 4)
+            dt, _ = tbest(lambda: Q.search_collapsed(
+                dvx, "hot0 hot1", "role", k=10).collect())
+            queries["search_collapsed"] = round(dt, 4)
             dt, _ = tbest(lambda: Q.search_batch(
                 dvx, QUERY_SET, k=10, dv_filter="role = 'user'").collect())
             queries["batch_dv_filtered"] = round(dt, 4)
@@ -494,6 +497,7 @@ def main():
                                  "wand_kernel_speedup",
                                  "dv_index_build", "search_dv_filtered",
                                  "search_boosted", "search_sorted_recent",
+                                 "search_collapsed",
                                  "batch_dv_filtered",
                                  "delete_mark", "search_deleted",
                                  "purge_wall", "search_purged",
