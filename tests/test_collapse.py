@@ -163,6 +163,28 @@ def test_collapse_plan_pruned(cidx):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_collapse_respects_tombstones(spark, tmp_path):
+    """Deleted docs can never represent (or count for) a group: the
+    collapsed result equals the reduction of the post-delete ranking."""
+    from engine.build import build_index
+    from engine.deletes import delete_docs
+    idx = build_index(spark, spark_transcripts(spark, 120),
+                      str(tmp_path / "del"),
+                      cfg=IndexConfig(doc_values=("role", "turn_idx")))
+    pdf = make_transcripts(120)
+    n = delete_docs(idx, "turn_idx = 0")
+    assert n > 0
+    vals = {i: str(v) for i, v in enumerate(pdf["role"])}
+    got = [(r.group_key, r.doc_id, r.score)
+           for r in Q.search_collapsed(idx, "hot0 rare3", "role",
+                                       k=10).collect()]
+    want = _collapse_want(idx, "hot0 rare3", vals, k=10)  # search() sees
+    assert got == want                       # the same tombstones
+    deleted = {i for i, t in enumerate(pdf["turn_idx"]) if t == 0}
+    for _, d, _ in got:
+        assert d not in deleted
+
+
 def test_validation(cidx):
     idx, _ = cidx
     with pytest.raises(ValueError, match="docvalue"):
