@@ -133,6 +133,30 @@ def _packed_index(spark: SparkSession, sf_dir: str, positions: bool = False):
     return _PACKED_IDX_CACHE[key]
 
 
+_MULTI_IDX_CACHE: dict = {}
+
+
+def _multi_indexes(spark: SparkSession, sf_dir: str):
+    """Two member indexes over a conv_id prefix split of documents (the
+    federated-search gate, engine/multi.py): the split is by stable
+    corpus order, so member doc_ids map to the table's doc_ids by offset
+    (member 0: identity; member 1: + n_docs(member 0))."""
+    import tempfile
+    from engine.build import build_index
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MULTI_IDX_CACHE:
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        corpus = _corpus_from_documents(docs)
+        cut = f"conv-{n // 2:012d}"  # zero-padded: string order == id order
+        a = build_index(spark, corpus.filter(F.col("conv_id") < cut),
+                        tempfile.mkdtemp(prefix="entry_midx_a_"))
+        b = build_index(spark, corpus.filter(F.col("conv_id") >= cut),
+                        tempfile.mkdtemp(prefix="entry_midx_b_"))
+        _MULTI_IDX_CACHE[key] = (a, b)
+    return _MULTI_IDX_CACHE[key]
+
+
 _STREAM_IDX_CACHE: dict = {}
 
 
@@ -258,6 +282,8 @@ _BATCH_MIXED_SET = [
     {"id": "m3", "query": "table hash", "mode": "PHRASE"},
     {"id": "m4", "query": "spark join", "mode": "OR", "exclude": "hash"},
     {"id": "m5", "query": "spark", "mode": "PHRASE", "exclude": "join"},
+    {"id": "m6", "mode": "BOOL", "must": "spark", "should": "join fast",
+     "min_should_match": 1},
 ]
 
 
@@ -274,8 +300,16 @@ _BATCH_SNIP_SET = [
 def _batch_mixed_sql(k: int = 10) -> str:
     parts = []
     for q in _BATCH_MIXED_SET:
-        terms = q["query"].split()
         excl = q["exclude"].split() if q.get("exclude") else None
+        if q["mode"] == "BOOL":
+            must = q.get("must", "").split()
+            terms = must + q.get("should", "").split()
+            sub = _bm25_sql(terms, "OR", k, exclude=excl, must_terms=must,
+                            min_should=int(q.get("min_should_match", 0)))
+            parts.append(f"SELECT '{q['id']}' AS qid, doc_id, score "
+                         f"FROM ({sub})")
+            continue
+        terms = q["query"].split()
         if q["mode"] == "PHRASE":
             sub = _phrase_sql(terms, k, exclude=excl)
             sel = (f"SELECT '{q['id']}' AS qid, doc_id, "
@@ -295,6 +329,16 @@ def _bm25_engine(spark: SparkSession, sf_dir: str, query: str, mode: str,
     idx = _packed_index(spark, sf_dir)
     top = Q.search(idx, query, k=10, mode=mode, exclude=exclude,
                    min_match=min_match, term_boosts=term_boosts)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_bool_engine(spark: SparkSession, sf_dir: str, must: str,
+                      should: str, msm: int | None = None,
+                      exclude: str | None = None) -> DataFrame:
+    from engine import query as Q
+    idx = _packed_index(spark, sf_dir)
+    top = Q.search_bool(idx, must, should, k=10, min_should_match=msm,
+                        exclude=exclude)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -561,7 +605,9 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               corpus_where: str | None = None,
               min_match: int | None = None,
               weights: dict | None = None,
-              collapse_field: str | None = None) -> str:
+              collapse_field: str | None = None,
+              must_terms: list | None = None,
+              min_should: int = 0) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
@@ -595,6 +641,16 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
         for t, n in sorted(qtf.items()))
     n_distinct = len(qtf)
     and_filter = f"HAVING count(*) = {n_distinct}" if mode == "AND" else ""
+    if must_terms:
+        # bool-query twin (engine/query.py search_bool): every distinct
+        # must term present AND >= min_should of the remaining (should)
+        # terms; the scored CTE groups per (doc, term), so conditional
+        # counts ARE the per-clause distinct-term counts
+        m_in = ", ".join(f"'{t}'" for t in sorted(set(must_terms)))
+        and_filter = (
+            f"HAVING count(CASE WHEN term IN ({m_in}) THEN 1 END) = "
+            f"{len(set(must_terms))} AND count(CASE WHEN term NOT IN "
+            f"({m_in}) THEN 1 END) >= {min_should}")
     if mode == "OR" and min_match and min_match > 1:
         # minimum_should_match twin: the scored CTE groups per (doc,
         # term), so count(*) IS the distinct-matching-term count
@@ -730,6 +786,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minimum_should_match: >= 2 of the 3 distinct terms must match
         # (the ES bool-query floor; survivor scores are plain OR scores)
         return _bm25_engine(spark, sf, "spark join fast", "OR", min_match=2)
+
+    def bm25_multi(spark, sf):
+        # federated multi-index search (engine/multi.py): two member
+        # indexes over a stable-order split of the corpus must rank
+        # BIT-IDENTICALLY to one index over the union (global df/N/avgdl
+        # from driver-side metadata) — the oracle is the plain
+        # single-corpus BM25 twin; member ids map back by offset
+        from engine.multi import search_multi
+        a, b = _multi_indexes(spark, sf)
+        top = search_multi([a, b], "spark join fast", k=10)
+        gid = (F.col("doc_id")
+               + F.when(F.col("index_id") == 1,
+                        F.lit(a.n_docs)).otherwise(F.lit(0)))
+        return top.select(gid.alias("doc_id"),
+                          F.round("score", 6).alias("score"))
+
+    def bm25_bool(spark, sf):
+        # ES bool query (engine/query.py search_bool): must="spark"
+        # required, should="join fast" optional-but-scoring — the doc
+        # set is exactly the "spark" match set, ranked with the should
+        # contributions added (ES default min_should_match=0 with must)
+        return _bm25_bool_engine(spark, sf, "spark", "join fast")
+
+    def bm25_bool_msm(spark, sf):
+        # bool query with a BINDING should floor: must="spark" AND at
+        # least 2 of {join, fast, vector} present; survivor scores are
+        # the plain OR sum over all four terms
+        return _bm25_bool_engine(spark, sf, "spark", "join fast vector",
+                                 msm=2)
 
     def bm25_term_boosts(spark, sf):
         # per-term query boosting (term^w): weights multiply each term's
@@ -1282,6 +1367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_qtf": bm25_qtf,
         "bm25_not": bm25_not,
         "bm25_msm": bm25_msm,
+        "bm25_multi": bm25_multi,
+        "bm25_bool": bm25_bool,
+        "bm25_bool_msm": bm25_bool_msm,
         "bm25_term_boosts": bm25_term_boosts,
         "bm25_collapse": bm25_collapse,
         "bm25_page2": bm25_page2,
@@ -1749,6 +1837,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_qtf": _bm25_sql(["spark", "spark", "vector"], "OR"),
         "bm25_not": _bm25_sql(["join", "spark"], "OR", exclude=["hash"]),
         "bm25_msm": _bm25_sql(["spark", "join", "fast"], "OR", min_match=2),
+        "bm25_multi": _bm25_sql(["spark", "join", "fast"], "OR"),
+        "bm25_bool": _bm25_sql(["spark", "join", "fast"], "OR",
+                               must_terms=["spark"]),
+        "bm25_bool_msm": _bm25_sql(["spark", "join", "fast", "vector"],
+                                   "OR", must_terms=["spark"],
+                                   min_should=2),
         "bm25_term_boosts": _bm25_sql(["spark", "join", "fast"], "OR",
                                       weights={"join": 2.5, "fast": 0.5}),
         "bm25_collapse": _bm25_sql(["spark", "join", "fast"], "OR",

@@ -58,6 +58,16 @@ def cmd_search(args) -> int:
     from .build import load_index
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
+    bool_q = any(x is not None for x in
+                 (args.must, args.should, args.min_should_match))
+    if bool_q and args.query is not None:
+        print("--must/--should/--min-should-match replace --query "
+              "(the ES bool-query form)", file=sys.stderr)
+        return 2
+    if not bool_q and args.query is None:
+        print("--query is required (or use --must/--should)",
+              file=sys.stderr)
+        return 2
     snippet_query = args.query
     after = None
     if args.after:
@@ -116,7 +126,20 @@ def cmd_search(args) -> int:
         print("--collapse needs plain --mode OR/AND (no --sort-by/"
               "--boost-*/--after/--synonyms/--min-match)", file=sys.stderr)
         return 2
-    if args.collapse:
+    if bool_q:
+        if (mode_up != "OR" or after is not None or args.synonyms
+                or args.sort_by or boost or term_boosts or args.collapse
+                or args.min_match or args.slop):
+            print("--must/--should compose with --exclude/--filter/"
+                  "--dv-filter/--snippets/--text only", file=sys.stderr)
+            return 2
+        top = Q.search_bool(idx, args.must or "", args.should or "",
+                            k=args.k,
+                            min_should_match=args.min_should_match,
+                            exclude=args.exclude, doc_filter=args.filter,
+                            dv_filter=args.dv_filter)
+        snippet_query = " ".join(x for x in (args.must, args.should) if x)
+    elif args.collapse:
         top = Q.search_collapsed(idx, args.query, args.collapse, k=args.k,
                                  mode=args.mode, exclude=args.exclude,
                                  doc_filter=args.filter,
@@ -213,6 +236,22 @@ def cmd_search_batch(args) -> int:
         out = Q.materialize_snippets_batch(idx, out, qset,
                                            window=args.snippet_window)
     for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_search_multi(args) -> int:
+    """Federated search (engine/multi.py): one BM25 ranking with exact
+    global stats across several packed indexes (daily partitions,
+    per-tenant indexes, base + delta)."""
+    from .build import load_index
+    from .multi import search_multi
+    spark = _spark(args)
+    idxs = [load_index(spark, d) for d in args.index_dirs.split(",")]
+    top = search_multi(idxs, args.query, k=args.k, mode=args.mode,
+                       use_wand=False if args.no_wand else "auto",
+                       exclude=args.exclude)
+    for r in top.collect():
         print(json.dumps(r.asDict(), default=str))
     return 0
 
@@ -441,7 +480,16 @@ def main(argv=None) -> int:
     b.set_defaults(fn=cmd_build)
     s = sub.add_parser("search", help="BM25 top-k search")
     s.add_argument("--index-dir", required=True)
-    s.add_argument("--query", required=True)
+    s.add_argument("--query", default=None,
+                   help="query text (required unless --must/--should "
+                        "are given — the ES bool-query form)")
+    s.add_argument("--must", default=None,
+                   help="bool query: terms ALL required (scores count)")
+    s.add_argument("--should", default=None,
+                   help="bool query: optional terms that add score")
+    s.add_argument("--min-should-match", type=int, default=None,
+                   help="bool query: distinct --should terms required "
+                        "(default 0 with --must, else 1)")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", default="OR",
                    choices=["OR", "AND", "PHRASE", "PREFIX", "FUZZY",
@@ -520,6 +568,19 @@ def main(argv=None) -> int:
                          "pruned-scan job for the whole set)")
     sb.add_argument("--snippet-window", type=int, default=3)
     sb.set_defaults(fn=cmd_search_batch)
+    sm = sub.add_parser("search-multi",
+                        help="one BM25 ranking with exact GLOBAL stats "
+                             "across several indexes (daily partitions, "
+                             "base + delta) — engine/multi.py")
+    sm.add_argument("--index-dirs", required=True,
+                    help="comma-separated packed index directories")
+    sm.add_argument("--query", required=True)
+    sm.add_argument("--k", type=int, default=10)
+    sm.add_argument("--mode", default="OR", choices=["OR", "AND",
+                                                     "or", "and"])
+    sm.add_argument("--exclude", default=None)
+    sm.add_argument("--no-wand", action="store_true")
+    sm.set_defaults(fn=cmd_search_multi)
     fc = sub.add_parser("facets",
                         help="facet-value counts over a query's FULL "
                              "match set (one GROUPING SETS pass for all "

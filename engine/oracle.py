@@ -82,3 +82,61 @@ class OracleIndex:
                       if seen_count[d] >= min_match}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def search_bool(self, must: str, should: str = "", k: int = 10,
+                    min_should_match: int | None = None,
+                    exclude: str | None = None) -> list[tuple[int, float]]:
+        """ES bool query (frozen semantics, mirrored by the engine):
+
+        - a doc qualifies iff EVERY distinct ``must`` term is present AND
+          at least ``min_should_match`` distinct ``should`` terms are
+          present (default 0 when must clauses exist, else 1 — the ES
+          default rule) AND no ``exclude`` (must_not) term is present;
+        - the score is the plain BM25 OR sum over must UNION should terms
+          (both clause kinds contribute; qtf merges by occurrence count
+          across both clause texts; a term in both clauses counts as
+          must for the arity test);
+        - a must term absent from the corpus, or a floor above the number
+          of known should terms, makes the result empty.
+        """
+        m_qtf = Counter(tokenize_py(must, self.acfg))
+        s_qtf = Counter(tokenize_py(should, self.acfg))
+        must_set = set(m_qtf)
+        should_set = set(s_qtf) - must_set
+        qtf = m_qtf + s_qtf
+        if not qtf:
+            return []
+        msm = (min_should_match if min_should_match is not None
+               else (0 if must_set else 1))
+        if must_set - set(self.postings):
+            return []  # a required term is absent from the corpus
+        known_should = [t for t in should_set if t in self.postings]
+        if msm > len(known_should):
+            return []
+        neg = sorted((set(tokenize_py(exclude, self.acfg)) - set(qtf))
+                     if exclude else ())
+        banned: set[int] = set()
+        for t in neg:
+            banned.update(d for d, _ in self.postings.get(t, ()))
+        terms = sorted(qtf)
+        scores: dict[int, float] = {}
+        cnt_must: dict[int, int] = {}
+        cnt_should: dict[int, int] = {}
+        k1, b = self.cfg.k1, self.cfg.b
+        for term in terms:
+            if term not in self.postings:
+                continue
+            w_idf = self.idf(term)
+            for doc_id, tf in self.postings[term]:
+                denom = tf + k1 * (1.0 - b + b * self.dl[doc_id] / self.avgdl)
+                s = qtf[term] * w_idf * (tf * (k1 + 1.0)) / denom
+                scores[doc_id] = scores.get(doc_id, 0.0) + s
+                tgt = cnt_must if term in must_set else cnt_should
+                tgt[doc_id] = tgt.get(doc_id, 0) + 1
+        n_must = len(must_set)
+        scores = {d: s for d, s in scores.items()
+                  if cnt_must.get(d, 0) == n_must
+                  and cnt_should.get(d, 0) >= msm
+                  and d not in banned}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]

@@ -138,7 +138,8 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                             n_required, neg_terms=frozenset(),
                             allowed_loc=None, cursor=None, boost_vec=None,
                             denied_loc=None, min_match=1,
-                            collapse_vals=None):
+                            collapse_vals=None,
+                            must_terms=frozenset(), min_should=0):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
     Per-posting document lengths come from the inlined ``dls`` stream and
@@ -153,6 +154,13 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
     ``n_required`` is the number of DISTINCT query terms; AND keeps docs
     hitting all of them (a globally-absent term makes the count
     unreachable, so AND with an unknown term is naturally empty).
+
+    ``must_terms``/``min_should`` (ES bool query, see ``search_bool``):
+    when ``must_terms`` is non-empty a doc qualifies iff it contains
+    EVERY must term and at least ``min_should`` of the remaining
+    (should) query terms; the score stays the plain OR sum over all
+    present query terms (both clause kinds contribute) — the frozen
+    per-term ascending summation order is unchanged.
     """
     import numpy as np
     from . import codec as C
@@ -162,6 +170,7 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
     start = shard * width
     acc = np.zeros(width, dtype=np.float64)
     cnt = np.zeros(width, dtype=np.int32)
+    cntm = np.zeros(width, dtype=np.int32) if must_terms else None
     negmask = np.zeros(width, dtype=bool) if neg_terms else None
     k1, b, avgdl = cfg["k1"], cfg["b"], cfg["avgdl"]
     order = np.argsort(post_pdf["term"].to_numpy(object))  # ascending terms
@@ -183,6 +192,8 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                    / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
         acc[loc] += contrib   # doc_ids unique within one (term, shard) row
         cnt[loc] += 1
+        if cntm is not None and term in must_terms:
+            cntm[loc] += 1
     if negmask is not None:
         cnt[negmask] = -1     # excluded docs can never hit
     if denied_loc is not None and denied_loc.size:
@@ -198,7 +209,15 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
         allow = np.zeros(width, dtype=bool)
         allow[allowed_loc] = True
         cnt[~allow] = -1
-    if mode == "AND":
+    if cntm is not None:
+        # bool query: every must term present AND >= min_should of the
+        # should terms. cnt counts ALL distinct present query terms, so
+        # cnt - cntm is the should-count; an exclusion/filter/tombstone
+        # sets cnt to -1, which fails (cnt - cntm >= min_should) for any
+        # doc whose cntm == n_must (min_should >= 0) — the masks compose.
+        hit = np.flatnonzero((cntm == len(must_terms))
+                             & ((cnt - cntm) >= min_should))
+    elif mode == "AND":
         hit = np.flatnonzero(cnt == n_required)
     elif min_match > 1:
         # minimum_should_match (OR only): a doc qualifies with at least
@@ -486,6 +505,65 @@ def search_synonyms(index, query: str, synonyms: dict, k: int = 10,
                             dv_filter=dv_filter, boost=boost)
 
     return _plan_cached(index, key, build)
+
+
+def search_bool(index, must: str, should: str = "", k: int = 10,
+                min_should_match: int | None = None,
+                exclude: str | None = None,
+                doc_filter: str | None = None,
+                dv_filter: str | None = None) -> DataFrame:
+    """ES bool query in ONE search job: ``must`` (every distinct term
+    required), ``should`` (optional terms that still contribute score),
+    ``exclude`` (must_not), ``doc_filter``/``dv_filter`` (the non-scoring
+    filter clause). Frozen semantics (mirrored by OracleIndex.search_bool
+    and the DuckDB gate twin):
+
+    - a doc qualifies iff ALL must terms are present, at least
+      ``min_should_match`` distinct should terms are present (ES default
+      rule: 0 when must clauses exist, else 1), and no exclude term is
+      present;
+    - the score is the plain BM25 OR sum over must UNION should terms —
+      both clause kinds contribute, qtf merges by occurrence count across
+      the two clause texts, and a term appearing in both clauses counts
+      as must for the arity test;
+    - an unknown must term, or a floor above the number of known should
+      terms, returns empty.
+
+    Plan: the single pruned-scan job of ``search`` with a second per-doc
+    distinct-term counter in the shard kernel (`must` membership); the
+    arity constraint invalidates WAND's theta pruning, so bool queries
+    route exhaustive (the same rule as min_match). Pure-should input
+    degenerates to ``search(mode=OR, min_match=...)`` and keeps that
+    path's WAND routing."""
+    from collections import Counter
+    _warn_if_stale(index)
+    acfg = index.cfg.analyzer
+    m_qtf = Counter(tokenize_py(must, acfg))
+    s_qtf = Counter(tokenize_py(should, acfg))
+    if not m_qtf:
+        # no must clauses: ES semantics degrade to plain OR with the
+        # floor (default 1) — reuse search()'s plan cache + WAND routing
+        mm = min_should_match if (min_should_match or 0) > 1 else None
+        return search(index, should, k=k, mode="OR", exclude=exclude,
+                      doc_filter=doc_filter, dv_filter=dv_filter,
+                      min_match=mm)
+    must_set = frozenset(m_qtf)
+    msm = int(min_should_match) if min_should_match is not None \
+        else 0
+    if msm < 0:
+        raise ValueError("min_should_match must be >= 0")
+    n_should = len(set(s_qtf) - must_set)
+    if msm > n_should:
+        # floor above the number of DISTINCT should terms given: even a
+        # doc containing every should term cannot reach it
+        return _empty_topk(index.spark)
+    merged = dict(m_qtf + s_qtf)
+    key = ("bool", tuple(sorted(merged.items())), tuple(sorted(must_set)),
+           k, msm, exclude, doc_filter, dv_filter)
+    return _plan_cached(index, key, lambda: _search_impl(
+        index, "", k, "OR", False, exclude, doc_filter,
+        qtf_override=merged, dv_filter=dv_filter,
+        must_terms=must_set, min_should=msm))
 
 
 def search_after(index, query: str, k: int = 10, mode: str = "OR",
@@ -952,7 +1030,9 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  boost: dict | None = None,
                  min_match: int | None = None,
                  term_boosts: dict | None = None,
-                 collapse: str | None = None) -> DataFrame:
+                 collapse: str | None = None,
+                 must_terms: "frozenset | None" = None,
+                 min_should: int = 0) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -1050,6 +1130,19 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
         return empty  # a required term is absent from the corpus
     if not known:
         return empty
+    mst = frozenset()
+    if must_terms:
+        # bool query (search_bool): every must term is required, so an
+        # unknown must term empties the result; a should floor above the
+        # number of KNOWN should terms is unreachable. The arity
+        # constraints invalidate WAND's theta pruning (same argument as
+        # min_match) -> exhaustive only.
+        if must_terms - set(known):
+            return empty
+        if min_should > sum(1 for t in known if t not in must_terms):
+            return empty
+        mst = frozenset(must_terms)
+        use_wand = False
     neg = [t for t in neg if t in lex]  # absent NOT-terms exclude nothing
     qtfs = {t: float(qtf[t]) for t in known}
     idfs = {t: float(lex[t]["idf"]) for t in known}
@@ -1186,7 +1279,9 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                                             boost_vec=_boost_vec(shard),
                                             min_match=mm or 1,
                                             collapse_vals=_grp_closure(
-                                                shard))
+                                                shard),
+                                            must_terms=mst,
+                                            min_should=min_should)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -1235,7 +1330,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                 denied_loc=(del_locs(shard) if del_locs is not None
                             else None),
                 min_match=mm or 1,
-                collapse_vals=_grp_closure(shard))
+                collapse_vals=_grp_closure(shard),
+                must_terms=mst, min_should=min_should)
             return r if r is not None else pd.DataFrame(
                 {c: [] for c in out_cols})
 
@@ -1283,7 +1379,9 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        cfg: dict, k: int, width: int, use_wand: bool,
                        allowed_loc=None, negs: dict | None = None,
                        phrases: dict | None = None, denied_loc=None,
-                       msm: dict | None = None, slops: dict | None = None):
+                       msm: dict | None = None, slops: dict | None = None,
+                       musts: dict | None = None,
+                       minsh: dict | None = None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -1352,6 +1450,10 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
         allow[denied_loc] = False
     acc = np.zeros(width, dtype=np.float64)
     cnt = np.zeros(width, dtype=np.int32)
+    # BOOL entries (search_bool semantics) need a second distinct-term
+    # counter for the must clause; allocated once per shard task and
+    # reset at touched positions like acc/cnt
+    cntm = np.zeros(width, dtype=np.int32) if musts else None
     outs = []
     if use_wand:  # "auto" or True
         from .wand import score_shard_wand
@@ -1360,6 +1462,9 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
         if not terms_here:
             continue
         mode = modes[qid]
+        q_must = musts.get(qid) if musts else None
+        if q_must is not None and any(t not in decoded for t in q_must):
+            continue  # a must term has no postings in this shard
         q_negs = [t for t in (negs.get(qid, ()) if negs else ())
                   if t in decoded]
         if mode == "PHRASE":
@@ -1384,7 +1489,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             continue
         q_mm = msm.get(qid, 1) if msm else 1
         if (use_wand and mode == "OR" and len(terms_here) > 1
-                and not q_negs and q_mm <= 1):
+                and not q_negs and q_mm <= 1 and q_must is None):
             mass = sum(decoded[t][0].size for t in terms_here)
             seed = min(decoded[t][0].size for t in terms_here)
             if use_wand is True or (mass >= WAND_MIN_SHARD_POSTINGS
@@ -1401,9 +1506,19 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             loc = decoded[t][0]
             acc[loc] += _contrib(t, float(qt[t]))
             cnt[loc] += 1
+            if q_must is not None and t in q_must:
+                cntm[loc] += 1
             locs.append(loc)
         touched = np.unique(np.concatenate(locs))
-        if mode == "AND":
+        if q_must is not None:
+            # bool entry: every must term present AND >= min_should of
+            # the remaining (should) terms — same frozen rule as the
+            # single-query kernel (_score_shard_exhaustive)
+            cm = cntm[touched]
+            hit = touched[(cm == len(q_must))
+                          & ((cnt[touched] - cm)
+                             >= (minsh.get(qid, 0) if minsh else 0))]
+        elif mode == "AND":
             hit = touched[cnt[touched] == len(qt)]
         elif q_mm > 1:
             # minimum_should_match entry: same distinct-term floor as
@@ -1427,6 +1542,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             outs.append(r)
         acc[touched] = 0.0       # reset ONLY touched positions
         cnt[touched] = 0
+        if q_must is not None:
+            cntm[touched] = 0
     return pd.concat(outs) if outs else None
 
 
@@ -1510,6 +1627,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     # the shared scan/scorer as ordinary OR queries with qtf=1 per
     # matched term — the expansion never touches the postings job
     per_q, modes = {}, {}
+    musts, minsh, bool_floor = {}, {}, {}
     for q in queries:
         m = q["mode"].upper()
         if m == "PREFIX":
@@ -1532,6 +1650,27 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
             rows = index.expand_regexp(q["query"],
                                        int(q.get("max_expansions", 64)))
             per_q[q["id"]] = {r["term"]: 1 for r in rows}
+            m = "OR"
+        elif m == "BOOL":
+            # ES bool entry (same frozen semantics as search_bool): keys
+            # "must"/"should" + optional "min_should_match" (default 0
+            # when must clauses exist, else 1 — the ES rule). qtf merges
+            # by occurrence count across both clause texts; a term in
+            # both clauses counts as must for the arity test. Bool
+            # entries route exhaustive (the min_match argument).
+            from collections import Counter
+            mq = Counter(tokenize_py(q.get("must", ""), acfg))
+            sq = Counter(tokenize_py(q.get("should", ""), acfg))
+            per_q[q["id"]] = dict(mq + sq)
+            if mq:
+                musts[q["id"]] = frozenset(mq)
+                minsh[q["id"]] = int(q.get("min_should_match", 0))
+                if minsh[q["id"]] > len(set(sq) - set(mq)):
+                    per_q[q["id"]] = {}  # unreachable floor: empty entry
+            else:
+                m_ = int(q.get("min_should_match", 1))
+                if m_ > 1:
+                    bool_floor[q["id"]] = m_  # pure-should: plain OR floor
             m = "OR"
         else:
             per_q[q["id"]] = query_terms(q["query"], acfg)
@@ -1570,6 +1709,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                 raise ValueError(
                     f"min_match on {q['id']!r}: OR-family entries only")
             msm[q["id"]] = m_
+    msm.update(bool_floor)  # pure-should BOOL entries are OR + floor
     per_q = {qid: qt for qid, qt in per_q.items() if qt}
     negs = {qid: ts for qid, ts in negs.items() if qid in per_q and ts}
     msm = {qid: m_ for qid, m_ in msm.items() if qid in per_q}
@@ -1582,7 +1722,25 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     lex = index.lookup_terms(sorted(
         {t for qt in per_q.values() for t in qt}
         | {t for ts in negs.values() for t in ts}))
-    scan_terms = sorted(t for t in lex)
+    # bool entries: an unknown must term, or a should floor above the
+    # KNOWN should-term count, empties that entry globally (the same
+    # rule search_bool applies driver-side)
+    for qid in [q_ for q_ in per_q if q_ in musts]:
+        known_q = [t for t in per_q[qid] if t in lex]
+        if (musts[qid] - set(known_q)
+                or minsh[qid] > sum(1 for t in known_q
+                                    if t not in musts[qid])):
+            del per_q[qid]
+    if musts:
+        musts = {qid: v for qid, v in musts.items() if qid in per_q}
+        minsh = {qid: v for qid, v in minsh.items() if qid in per_q}
+        negs = {qid: ts for qid, ts in negs.items() if qid in per_q}
+        if not per_q:
+            return _empty_topk(spark, with_qid=True)
+    scan_terms = sorted(
+        t for t in lex
+        if t in {u for qt in per_q.values() for u in qt}
+        | {u for ts in negs.values() for u in ts})
     if not scan_terms:
         return _empty_topk(spark, with_qid=True)
     idfs = {t: float(lex[t]["idf"]) for t in scan_terms}
@@ -1641,7 +1799,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
             r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
                                    width, wand_mode, allowed_loc=loc,
                                    negs=negs, phrases=phrases, msm=msm,
-                                   slops=slops)
+                                   slops=slops, musts=musts, minsh=minsh)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -1660,7 +1818,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                    denied_loc=(del_locs(shard)
                                                if del_locs is not None
                                                else None),
-                                   msm=msm, slops=slops)
+                                   msm=msm, slops=slops,
+                                   musts=musts, minsh=minsh)
             return r if r is not None else pd.DataFrame(
                 {"qid": [], "doc_id": [], "score": []})
 
@@ -2160,7 +2319,10 @@ def materialize_snippets_batch(index, topk: DataFrame,
 
     from .analyzer import tokenize_expr
     acfg = index.cfg.analyzer
-    qterms = {q["id"]: sorted(set(tokenize_py(q["query"], acfg)))
+    qterms = {q["id"]: sorted(set(tokenize_py(
+                  q.get("query") or " ".join(
+                      filter(None, (q.get("must"), q.get("should")))),
+                  acfg)))
               for q in queries}
     rows, small = _collect_topk(index, topk)
     rank_cols = [c for c in topk.columns if c != "doc_id"]
