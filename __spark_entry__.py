@@ -787,6 +787,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the ES bool-query floor; survivor scores are plain OR scores)
         return _bm25_engine(spark, sf, "spark join fast", "OR", min_match=2)
 
+    def term_vectors(spark, sf):
+        # per-doc term vector (engine/query.py term_vectors — the ES
+        # _termvectors endpoint): (term, tf, df, cf, idf) for doc 7 from
+        # ONE pruned corpus read + one term-pushed lexicon lookup; the
+        # twin recomputes all five values from the raw corpus text, so
+        # the row cross-checks the stored lexicon against first
+        # principles
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        tv = Q.term_vectors(idx, 7)
+        return tv.select("term", "tf", "df", "cf",
+                         F.round("idf", 6).alias("idf"))
+
     def bm25_multi(spark, sf):
         # federated multi-index search (engine/multi.py): two member
         # indexes over a stable-order split of the corpus must rank
@@ -1367,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_qtf": bm25_qtf,
         "bm25_not": bm25_not,
         "bm25_msm": bm25_msm,
+        "term_vectors": term_vectors,
         "bm25_multi": bm25_multi,
         "bm25_bool": bm25_bool,
         "bm25_bool_msm": bm25_bool_msm,
@@ -1837,6 +1851,25 @@ def oracle_sql() -> dict[str, str]:
         "bm25_qtf": _bm25_sql(["spark", "spark", "vector"], "OR"),
         "bm25_not": _bm25_sql(["join", "spark"], "OR", exclude=["hash"]),
         "bm25_msm": _bm25_sql(["spark", "join", "fast"], "OR", min_match=2),
+        "term_vectors": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT term, count(*)::BIGINT AS tf FROM toks WHERE doc_id = 7
+  GROUP BY term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS cf
+  FROM toks GROUP BY term
+),
+stats AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT t.term, t.tf, d.df, d.cf,
+       round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) AS idf
+FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+ORDER BY term
+""",
         "bm25_multi": _bm25_sql(["spark", "join", "fast"], "OR"),
         "bm25_bool": _bm25_sql(["spark", "join", "fast"], "OR",
                                must_terms=["spark"]),

@@ -240,6 +240,17 @@ def cmd_search_batch(args) -> int:
     return 0
 
 
+def cmd_term_vectors(args) -> int:
+    """Per-document term vector (the ES `_termvectors` endpoint)."""
+    from . import query as Q
+    from .build import load_index
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    for r in Q.term_vectors(idx, args.doc_id).collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_search_multi(args) -> int:
     """Federated search (engine/multi.py): one BM25 ranking with exact
     global stats across several packed indexes (daily partitions,
@@ -581,6 +592,13 @@ def main(argv=None) -> int:
     sm.add_argument("--exclude", default=None)
     sm.add_argument("--no-wand", action="store_true")
     sm.set_defaults(fn=cmd_search_multi)
+    tv = sub.add_parser("term-vectors",
+                        help="per-doc term vector: (term, tf, df, cf, "
+                             "idf) — one pruned corpus read + one "
+                             "lexicon lookup")
+    tv.add_argument("--index-dir", required=True)
+    tv.add_argument("--doc-id", type=int, required=True)
+    tv.set_defaults(fn=cmd_term_vectors)
     fc = sub.add_parser("facets",
                         help="facet-value counts over a query's FULL "
                              "match set (one GROUPING SETS pass for all "

@@ -1020,6 +1020,46 @@ def explain_score(index, query: str, doc_id: int) -> DataFrame:
     return _plan_cached(index, key, build)
 
 
+def term_vectors(index, doc_id: int) -> DataFrame:
+    """Per-document term vector (the ES ``_termvectors`` endpoint): one
+    row per distinct analyzer term of the document —
+    ``(term, tf, df, cf, idf)``, term ascending. ``tf`` is the term's
+    in-document frequency; ``df``/``cf``/``idf`` are the CURRENT
+    corpus-wide lexicon statistics (so the endpoint doubles as an
+    integrity probe: the oracle twin recomputes all five values from the
+    raw corpus text).
+
+    Plan (the 100 TB argument): the doc's text comes from ONE pruned
+    corpus read (<= 1 row — ``_corpus_pruned`` inverts the id to
+    stored-column predicates, parquet row-group stats prune the scan),
+    re-analyzed driver-side with the frozen tokenizer (metadata-sized:
+    one document); per-term stats come from ONE term-pushed lexicon
+    lookup (<= |doc vocab| rows). The result is a driver-built local
+    relation — no corpus-scale job anywhere."""
+    _warn_if_stale(index)
+    doc_id = int(doc_id)
+    spark = index.spark
+    schema = "term string, tf long, df long, cf long, idf double"
+    if not (0 <= doc_id < int(index.n_ids or index.n_docs)):
+        raise ValueError(f"doc_id {doc_id} out of range "
+                         f"[0, {int(index.n_ids or index.n_docs)})")
+    rows = (_corpus_pruned(index, [doc_id])
+            .select("doc_id", "text").collect())
+    if not rows:
+        return spark.createDataFrame([], schema)
+    from collections import Counter
+    tf = Counter(tokenize_py(rows[0]["text"], index.cfg.analyzer))
+    if not tf:
+        return spark.createDataFrame([], schema)
+    lex = {r["term"]: r for r in
+           index.lexicon().filter(F.col("term").isin(sorted(tf)))
+           .select("term", "df", "cf", "idf").collect()}
+    out = [(t, int(n), int(lex[t]["df"]), int(lex[t]["cf"]),
+            float(lex[t]["idf"]))
+           for t, n in sorted(tf.items()) if t in lex]
+    return spark.createDataFrame(out, schema)
+
+
 def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  use_wand: "bool | str" = "auto",
                  exclude: str | None = None,
