@@ -714,6 +714,28 @@ SELECT group_key, doc_id, round(score, 6) AS score FROM (
 """
 
 
+def _match_ranges_sql(term: str, edges: list[int]) -> str:
+    """DuckDB twin of engine.matchops.match_ranges: the frozen half-open
+    rule (bucket = searchsorted(edges, v, right)) as a CASE chain of
+    ``v < e`` tests; NULL lo/hi on the unbounded ends; empty buckets
+    emit no row."""
+    when_b = " ".join(f"WHEN s < {e} THEN {i}" for i, e in enumerate(edges))
+    lo = ("CASE b " + " ".join(f"WHEN {i + 1} THEN {e}"
+                               for i, e in enumerate(edges)) + " END")
+    hi = ("CASE b " + " ".join(f"WHEN {i} THEN {e}"
+                               for i, e in enumerate(edges)) + " END")
+    return f"""
+WITH m AS (
+  SELECT doc_id, ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS s
+  FROM documents
+  WHERE len(list_intersect({_TOK_SQL}, ['{term}'])) > 0),
+b AS (SELECT CASE {when_b} ELSE {len(edges)} END AS b FROM m)
+SELECT ({lo})::BIGINT AS lo, ({hi})::BIGINT AS hi,
+       count(*)::BIGINT AS n_docs
+FROM b GROUP BY b ORDER BY b
+"""
+
+
 def _not_in_clause(exclude: list[str] | None) -> str:
     if not exclude:
         return ""
@@ -1310,6 +1332,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("sum_val", 6).alias("sum_val"),
                         F.round("avg_val", 6).alias("avg_val"))
 
+    def match_ranges_ts(spark, sf):
+        # range aggregation (ES `range` agg — arbitrary bucket edges
+        # where match_histogram is fixed-interval): matching-doc counts
+        # per half-open ts bucket; per-shard in-task bincount, shuffle
+        # volume <= n_edges+1 rows per shard (engine/matchops.py
+        # match_ranges)
+        from engine.matchops import match_ranges
+        idx = _packed_index(spark, sf)
+        edges = [_TS_EPOCH0 + d * 86400 for d in (45, 90, 135)]
+        return match_ranges(idx, "spark", "ts", edges)
+
+    def facet_stats_lang(spark, sf):
+        # terms agg + stats sub-aggregation (ES aggs-in-aggs): per lang
+        # among docs matching "spark" — count + min/max/sum/avg of the
+        # stored ts docvalue, reduced per group IN-TASK over each
+        # shard's own columnar slice (engine/matchops.py facet_stats)
+        from engine.matchops import facet_stats
+        idx = _packed_index(spark, sf)
+        s = facet_stats(idx, "spark", "lang", "ts")
+        return s.select("facet_value", "n_docs", "n_with_value",
+                        F.round("min_val", 6).alias("min_val"),
+                        F.round("max_val", 6).alias("max_val"),
+                        F.round("sum_val", 6).alias("sum_val"),
+                        F.round("avg_val", 6).alias("avg_val"))
+
     def match_histogram_q(spark, sf):
         # date-histogram over the match set: docs matching the OR query
         # counted per 30-day bucket of the stored ts docvalue (floor
@@ -1440,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_cardinality": match_cardinality_q,
         "bm25_explain": bm25_explain,
         "match_stats_ts": match_stats_ts,
+        "match_ranges_ts": match_ranges_ts,
+        "facet_stats_lang": facet_stats_lang,
         "match_histogram": match_histogram_q,
         "more_like_this": more_like_this_q,
     }
@@ -2135,6 +2184,22 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
                    round(sum(s)::DOUBLE, 6) AS sum_val,
                    round(sum(s)::DOUBLE / count(*), 6) AS avg_val
             FROM m""",
+        "match_ranges_ts": _match_ranges_sql(
+            "spark", [_TS_EPOCH0 + d * 86400 for d in (45, 90, 135)]),
+        "facet_stats_lang": f"""
+            WITH m AS (
+              SELECT doc_id, lang,
+                     ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS s
+              FROM documents
+              WHERE len(list_intersect({_TOK_SQL}, ['spark'])) > 0)
+            SELECT lang AS facet_value, count(*)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_with_value,
+                   round(min(s)::DOUBLE, 6) AS min_val,
+                   round(max(s)::DOUBLE, 6) AS max_val,
+                   round(sum(s)::DOUBLE, 6) AS sum_val,
+                   round(sum(s)::DOUBLE / count(*), 6) AS avg_val
+            FROM m GROUP BY lang
+            ORDER BY n_docs DESC, facet_value ASC""",
         "match_histogram": f"""
             WITH m AS (
               SELECT doc_id,

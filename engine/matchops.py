@@ -511,6 +511,251 @@ def match_histogram(index, query: str, field: str, interval_s: int,
     return _plan_cached(index, key, build)
 
 
+def match_ranges(index, query: str, field: str, edges,
+                 mode: str = "OR", exclude: str | None = None,
+                 dv_filter: str | None = None) -> DataFrame:
+    """Range aggregation over the match set (the ES `range` agg —
+    arbitrary bucket boundaries where ``match_histogram`` is
+    fixed-interval): doc counts per half-open bucket of a STORED
+    timestamp/integer docvalue column.
+
+    ``edges``: sorted distinct ints (epoch SECONDS for timestamp
+    columns). n edges define n+1 buckets: ``(-inf, e0), [e0, e1), ...,
+    [e_{n-1}, +inf)`` — the frozen half-open rule (value v lands in
+    bucket ``searchsorted(edges, v, right)``; the SQL twin replicates it
+    with a CASE chain of ``v < e`` tests). Returns ``(lo, hi, n_docs)``
+    ordered by bucket position, NULL lo/hi on the unbounded ends; empty
+    buckets emit no row; NULL/absent values contribute nothing.
+
+    Plan: identical to ``match_histogram`` — pruned scan + shared arity
+    kernel, each shard bincounts its OWN docvalue slice in-task and
+    emits one (bucket, partial) row per non-empty bucket (shuffle volume
+    <= n+1 rows per shard), one narrow final aggregation, then a
+    broadcast join against the <= n+1-row driver-built edge table."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    edges = [int(e) for e in edges]
+    if not edges or sorted(set(edges)) != edges:
+        raise ValueError("edges must be a non-empty sorted list of "
+                         "distinct integers")
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"range field {field!r} is not a docvalue column of this "
+            f"index (stored: {list(index.doc_values or ())})")
+    from .docvalues import dv_path
+    schema = pads.dataset(dv_path(index.index_dir),
+                          format="parquet", partitioning="hive").schema
+    ftype = schema.field(field).type
+    is_ts = pa.types.is_timestamp(ftype)
+    if not (is_ts or pa.types.is_integer(ftype)):
+        raise ValueError(
+            f"match_ranges({field!r}): only timestamp/integer docvalue "
+            f"columns are supported; stored type is {ftype}")
+    key = ("mr", query, field, tuple(edges), mode, exclude, dv_filter)
+
+    def build():
+        spark = index.spark
+        out_schema = "lo long, hi long, n_docs long"
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:
+            return spark.createDataFrame([], out_schema)
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+        n_edges = len(edges)
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+            from .docvalues import _load_shard
+            empty = pd.DataFrame({"b": [], "n": []})
+            if len(post_pdf) == 0:
+                return empty
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty
+            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+            if slice_tbl is None or slice_tbl.num_rows == 0:
+                return empty
+            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+            col = slice_tbl.column(field)
+            nulls = col.is_null().to_numpy(zero_copy_only=False)
+            if is_ts:
+                micros = pc.fill_null(
+                    pc.cast(col, _pa.timestamp("us")).cast(_pa.int64()),
+                    0).to_numpy(zero_copy_only=False)
+                vals = np.floor_divide(micros, 1_000_000)
+            else:
+                vals = pc.fill_null(col, 0).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            idx_ = np.searchsorted(sloc, hit)
+            ok = idx_ < sloc.size
+            ok[ok] &= sloc[idx_[ok]] == hit[ok]
+            rows = idx_[ok]
+            rows = rows[~nulls[rows]]
+            if rows.size == 0:
+                return empty
+            b = np.searchsorted(np.asarray(edges, dtype=np.int64),
+                                vals[rows], side="right")
+            cnt = np.bincount(b, minlength=n_edges + 1)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame({"b": nz.astype(np.int64),
+                                 "n": cnt[nz].astype(np.int64)})
+
+        partial = post.groupBy("shard").applyInPandas(fn, "b long, n long")
+        # <= n+1-row driver-built edge table; the broadcast join decorates
+        # bucket ids with their bounds (NULL on the unbounded ends)
+        bounds = spark.createDataFrame(
+            [(i,
+              edges[i - 1] if i > 0 else None,
+              edges[i] if i < n_edges else None)
+             for i in range(n_edges + 1)],
+            "b long, lo long, hi long")
+        return (partial.groupBy("b")
+                .agg(F.sum("n").cast("long").alias("n_docs"))
+                .join(F.broadcast(bounds), "b")
+                .orderBy("b").select("lo", "hi", "n_docs"))
+
+    return _plan_cached(index, key, build)
+
+
+def facet_stats(index, query: str, group_field: str, stat_field: str,
+                mode: str = "OR", exclude: str | None = None,
+                dv_filter: str | None = None) -> DataFrame:
+    """Terms aggregation with a stats sub-aggregation (the ES
+    ``aggs: {terms: {field: g}, aggs: {stats: {field: v}}}`` pattern —
+    "per language: how many matching turns, and their time range"):
+    for each distinct value of ``group_field`` among the matching docs,
+    the count plus min/max/sum/avg of ``stat_field``.
+
+    Returns ``(facet_value, n_docs, n_with_value, min_val, max_val,
+    sum_val, avg_val)`` ordered (n_docs desc, facet_value asc) — the
+    facets() presentation order. ``facet_value`` is the group value cast
+    to string; docs with a NULL group value aggregate into a NULL row
+    (SQL GROUP BY semantics, the facets() rule); NULL stat values are
+    excluded from the value stats but counted in ``n_docs``. Stat
+    columns are gated to timestamp/integer exactly like ``match_stats``
+    (exact int64 reduction; timestamps at whole-second precision).
+
+    Plan: pruned scan + shared arity kernel; each shard task reduces its
+    OWN docvalue slice per group in-task (pandas groupby over <= |shard
+    hits| rows) and emits one partial row per (group, shard) — shuffle
+    volume is groups-per-shard, never docs; one narrow final hash
+    aggregation over group values."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    for f_ in (group_field, stat_field):
+        if f_ not in (index.doc_values or ()):
+            raise ValueError(
+                f"{f_!r} is not a docvalue column of this index "
+                f"(stored: {list(index.doc_values or ())})")
+    from .docvalues import dv_path
+    schema = pads.dataset(dv_path(index.index_dir),
+                          format="parquet", partitioning="hive").schema
+    stype = schema.field(stat_field).type
+    is_ts = pa.types.is_timestamp(stype)
+    if not (is_ts or pa.types.is_integer(stype)):
+        raise ValueError(
+            f"facet_stats(stat_field={stat_field!r}): only timestamp/"
+            f"integer docvalue columns are supported; stored type is "
+            f"{stype}")
+    key = ("fs", query, group_field, stat_field, mode, exclude, dv_filter)
+
+    def build():
+        spark = index.spark
+        out_schema = ("facet_value string, n_docs long, n_with_value long, "
+                      "min_val double, max_val double, sum_val double, "
+                      "avg_val double")
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:
+            return spark.createDataFrame([], out_schema)
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+        cols = ["g", "n", "nv", "mn", "mx", "sm"]
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+            from .docvalues import _load_shard
+            empty = pd.DataFrame({c: [] for c in cols})
+            if len(post_pdf) == 0:
+                return empty
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty
+            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+            if slice_tbl is None or slice_tbl.num_rows == 0:
+                return empty
+            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+            gcol = pc.cast(slice_tbl.column(group_field), _pa.string())
+            scol = slice_tbl.column(stat_field)
+            snull = scol.is_null().to_numpy(zero_copy_only=False)
+            if is_ts:
+                micros = pc.fill_null(
+                    pc.cast(scol, _pa.timestamp("us")).cast(_pa.int64()),
+                    0).to_numpy(zero_copy_only=False)
+                vals = np.floor_divide(micros, 1_000_000)
+            else:
+                vals = pc.fill_null(scol, 0).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            idx_ = np.searchsorted(sloc, hit)
+            ok = idx_ < sloc.size
+            ok[ok] &= sloc[idx_[ok]] == hit[ok]
+            rows = idx_[ok]
+            if rows.size == 0:
+                return empty
+            pdf = pd.DataFrame({
+                "g": gcol.take(_pa.array(rows)).to_pandas().astype(object),
+                "v": vals[rows],
+                "has": ~snull[rows]})
+            # per-(group, shard) partials; dropna=False keeps the NULL
+            # group row (SQL GROUP BY semantics, the facets() rule)
+            out = []
+            for g, grp in pdf.groupby("g", dropna=False, sort=False):
+                v = grp["v"][grp["has"]]
+                out.append((None if pd.isna(g) else g, len(grp), len(v),
+                            int(v.min()) if len(v) else 0,
+                            int(v.max()) if len(v) else 0,
+                            int(v.sum()) if len(v) else 0))
+            return pd.DataFrame(out, columns=cols)
+
+        partial = post.groupBy("shard").applyInPandas(
+            fn, "g string, n long, nv long, mn long, mx long, sm long")
+        agg = (partial.groupBy("g")
+               .agg(F.sum("n").cast("long").alias("n_docs"),
+                    F.sum("nv").cast("long").alias("_nv"),
+                    F.min(F.when(F.col("nv") > 0, F.col("mn"))).alias("_mn"),
+                    F.max(F.when(F.col("nv") > 0, F.col("mx"))).alias("_mx"),
+                    F.sum(F.when(F.col("nv") > 0, F.col("sm"))).alias("_sm")))
+        return (agg.select(
+            F.col("g").alias("facet_value"), "n_docs",
+            F.col("_nv").alias("n_with_value"),
+            F.col("_mn").cast("double").alias("min_val"),
+            F.col("_mx").cast("double").alias("max_val"),
+            F.col("_sm").cast("double").alias("sum_val"),
+            F.when(F.col("_nv") > 0,
+                   F.col("_sm").cast("double") / F.col("_nv"))
+            .alias("avg_val"))
+            .orderBy(F.desc("n_docs"), F.asc_nulls_first("facet_value")))
+
+    return _plan_cached(index, key, build)
+
+
 def mlt_terms(index, doc_id: int, max_terms: int = 16) -> list[str]:
     """The frozen more-like-this term selection: the source doc's
     distinct analyzer terms scored tf x idf (corpus-global idf, the
