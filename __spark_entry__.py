@@ -1367,6 +1367,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_histogram(idx, "spark join", "ts", 30 * 86400,
                                mode="OR")
 
+    def histogram_pipeline_q(spark, sf):
+        # pipeline aggs over the date histogram (ES cumulative_sum +
+        # derivative with min_doc_count:0 densification): weekly buckets
+        # of the "spark join" match set, plus running total and
+        # bucket-over-bucket delta (NULL on the first bucket) — exact
+        # int64s end-to-end; the window runs over the bucket axis (time-
+        # range-bounded), never the corpus
+        from engine.matchops import match_histogram_pipeline
+        idx = _packed_index(spark, sf)
+        return match_histogram_pipeline(idx, "spark join", "ts",
+                                        7 * 86400, mode="OR")
+
     def more_like_this_q(spark, sf):
         # MLT: top-8 tf x idf terms of doc 3 (frozen deterministic cap:
         # tf*idf desc, term asc) scored as BM25 OR with qtf=1, source doc
@@ -1490,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_ranges_ts": match_ranges_ts,
         "facet_stats_lang": facet_stats_lang,
         "match_histogram": match_histogram_q,
+        "histogram_pipeline": histogram_pipeline_q,
         "more_like_this": more_like_this_q,
     }
 
@@ -2210,6 +2223,31 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
             SELECT (s // {30 * 86400}) * {30 * 86400} AS bucket_start,
                    count(*)::BIGINT AS n_docs
             FROM m GROUP BY 1 ORDER BY 1""",
+        "histogram_pipeline": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS s
+              FROM documents
+              WHERE len(list_intersect({_TOK_SQL},
+                                       ['join', 'spark'])) > 0),
+            h AS (
+              SELECT (s // {7 * 86400}) * {7 * 86400} AS b,
+                     count(*)::BIGINT AS n
+              FROM m GROUP BY 1),
+            g AS (
+              SELECT unnest(generate_series((SELECT min(b) FROM h),
+                                            (SELECT max(b) FROM h),
+                                            {7 * 86400})) AS bucket_start),
+            d AS (
+              SELECT g.bucket_start,
+                     coalesce(h.n, 0)::BIGINT AS n_docs
+              FROM g LEFT JOIN h ON h.b = g.bucket_start)
+            SELECT bucket_start, n_docs,
+                   (sum(n_docs) OVER (ORDER BY bucket_start))::BIGINT
+                     AS cum_docs,
+                   (n_docs - lag(n_docs) OVER (ORDER BY bucket_start))
+                     ::BIGINT AS delta_docs
+            FROM d ORDER BY bucket_start""",
         "more_like_this": _mlt_sql(3, 8, 10),
         # tombstoned (not yet purged): candidates restricted, stats global
         "bm25_deleted": _bm25_sql(["vector", "window", "merge"], "OR",

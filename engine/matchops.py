@@ -511,6 +511,63 @@ def match_histogram(index, query: str, field: str, interval_s: int,
     return _plan_cached(index, key, build)
 
 
+PIPELINE_SCHEMA = ("bucket_start long, n_docs long, cum_docs long, "
+                   "delta_docs long")
+
+
+def match_histogram_pipeline(index, query: str, field: str, interval_s: int,
+                             mode: str = "OR", exclude: str | None = None,
+                             dv_filter: str | None = None) -> DataFrame:
+    """Pipeline aggregations over the date histogram (the ES
+    ``cumulative_sum`` + ``derivative`` pipeline aggs, with the parent
+    ``date_histogram``'s empty-bucket densification): every bucket from
+    the first to the last NON-EMPTY bucket is emitted (``n_docs = 0``
+    fills the gaps — ES ``min_doc_count: 0``), plus ``cum_docs`` (the
+    running total of ``n_docs``) and ``delta_docs`` (``n_docs`` minus
+    the previous bucket's; NULL on the first bucket — the ES derivative
+    contract, which is only well-defined over a gap-free bucket axis).
+
+    Returns ``(bucket_start, n_docs, cum_docs, delta_docs)`` ordered by
+    ``bucket_start``; all counts exact int64.
+
+    Plan (the 100 TB argument): the heavy work is ``match_histogram``'s
+    unchanged one-job plan — pruned postings scan, per-shard IN-TASK
+    histogramming, shuffle bounded by buckets-per-shard. Densification
+    and the two window columns run over that RESULT, a relation bounded
+    by ``(max - min) / interval_s`` rows — the queried time range, never
+    the corpus — so the ``sequence``/``explode`` grid and the
+    single-partition window cost metadata. (A corpus 100x larger with
+    the same time span yields the same number of bucket rows.)
+    """
+    h = match_histogram(index, query, field, interval_s, mode, exclude,
+                        dv_filter)
+    key = ("mhp", query, field, int(interval_s), mode.upper(), exclude,
+           dv_filter)
+
+    def build():
+        from pyspark.sql import Window
+        step = int(interval_s)
+        grid = (h.agg(F.min("bucket_start").alias("lo"),
+                      F.max("bucket_start").alias("hi"))
+                .where(F.col("lo").isNotNull())
+                .select(F.explode(F.sequence("lo", "hi", F.lit(step)))
+                        .alias("bucket_start")))
+        dense = (grid.join(h, "bucket_start", "left")
+                 .select("bucket_start",
+                         F.coalesce("n_docs", F.lit(0)).cast("long")
+                         .alias("n_docs")))
+        w = Window.orderBy("bucket_start")
+        return (dense
+                .withColumn("cum_docs",
+                            F.sum("n_docs").over(w).cast("long"))
+                .withColumn("delta_docs",
+                            (F.col("n_docs") - F.lag("n_docs").over(w))
+                            .cast("long"))
+                .orderBy("bucket_start"))
+
+    return _plan_cached(index, key, build)
+
+
 def match_ranges(index, query: str, field: str, edges,
                  mode: str = "OR", exclude: str | None = None,
                  dv_filter: str | None = None) -> DataFrame:

@@ -194,6 +194,38 @@ def test_match_histogram_filters_compose(midx, corpus_pdf, tok_rows):
     assert got == want
 
 
+def test_match_histogram_pipeline(midx, corpus_pdf, tok_rows):
+    """Densified buckets + cumulative sum + derivative vs a pandas
+    reference built from the same raw timestamps."""
+    ids = _expect_ids(tok_rows, ["rare0", "rare1"], "OR")
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64)
+    interval = 3600
+    counts = {}
+    for s in (secs // interval) * interval:
+        counts[int(s)] = counts.get(int(s), 0) + 1
+    lo, hi = min(counts), max(counts)
+    grid = list(range(lo, hi + 1, interval))
+    n = [counts.get(b, 0) for b in grid]
+    cum = np.cumsum(n).tolist()
+    delta = [None] + [n[i] - n[i - 1] for i in range(1, len(n))]
+    rows = M.match_histogram_pipeline(midx, "rare0 rare1", "ts", interval,
+                                      mode="OR").collect()
+    assert [r.bucket_start for r in rows] == grid
+    assert [r.n_docs for r in rows] == n
+    assert [r.cum_docs for r in rows] == cum
+    assert [r.delta_docs for r in rows] == delta
+    # gaps exist in this corpus (otherwise densification is untested)
+    assert len(grid) > len(counts)
+
+
+def test_match_histogram_pipeline_empty(midx):
+    df = M.match_histogram_pipeline(midx, "nosuchterm", "ts", 3600)
+    assert df.count() == 0
+    assert df.columns == ["bucket_start", "n_docs", "cum_docs",
+                          "delta_docs"]
+
+
 def test_match_histogram_validation(midx):
     with pytest.raises(ValueError, match="positive"):
         M.match_histogram(midx, "hot0", "ts", 0)
