@@ -606,6 +606,7 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               min_match: int | None = None,
               weights: dict | None = None,
               collapse_field: str | None = None,
+              collapse_hits: int = 1,
               must_terms: list | None = None,
               min_should: int = 0) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
@@ -688,7 +689,7 @@ scored AS (
   {where_clause}
   GROUP BY tf.doc_id {and_filter}
 )
-{_collapse_tail(collapse_field, exclude, k) if collapse_field else f'''SELECT doc_id,
+{_collapse_tail(collapse_field, exclude, k, collapse_hits) if collapse_field else f'''SELECT doc_id,
        round(score{f" * ({boost_mult})" if boost_mult else ""}, 6) AS score
 FROM scored
 {_not_in_clause(exclude)}
@@ -696,13 +697,35 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 '''}"""
 
 
-def _collapse_tail(field: str, exclude: list[str] | None, k: int) -> str:
+def _collapse_tail(field: str, exclude: list[str] | None, k: int,
+                   n_hits: int = 1) -> str:
     """Field-collapsing twin (engine/query.py search_collapsed): one row
     per distinct ``field`` value — the group's best doc under the frozen
     (score desc, doc_id asc) order — groups ranked by that
-    representative; NULL keys excluded (the frozen contract)."""
+    representative; NULL keys excluded (the frozen contract).
+
+    ``n_hits > 1`` is the top-hits twin (engine/query.py
+    search_top_hits): the SAME top-k group selection, but each selected
+    group carries its own top-``n_hits`` docs."""
     nc = _not_in_clause(exclude)
     nc = f" AND {nc[6:]}" if nc else ""  # WHERE -> AND (composed below)
+    if n_hits > 1:
+        return f"""
+, j AS (
+  SELECT CAST(d.{field} AS VARCHAR) AS group_key, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.{field}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE d.{field} IS NOT NULL{nc}
+),
+g AS (
+  SELECT group_key FROM j WHERE rn = 1
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT j.group_key, j.doc_id, round(j.score, 6) AS score
+FROM j JOIN g USING (group_key) WHERE j.rn <= {n_hits}
+ORDER BY j.group_key, j.rn
+"""
     return f"""
 SELECT group_key, doc_id, round(score, 6) AS score FROM (
   SELECT CAST(d.{field} AS VARCHAR) AS group_key, s.doc_id, s.score,
@@ -865,6 +888,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from engine import query as Q
         idx = _packed_index(spark, sf)
         top = Q.search_collapsed(idx, "spark join fast", "lang", k=10)
+        return top.select("group_key", "doc_id",
+                          F.round("score", 6).alias("score"))
+
+    def bm25_top_hits(spark, sf):
+        # top-hits aggregation (ES top_hits under a terms bucket): top-3
+        # source groups by their best doc, each with its own top-3 docs
+        # under the frozen order (engine/query.py search_top_hits; the
+        # per-shard kernel emits bounded per-(group, shard) partials)
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search_top_hits(idx, "spark join fast", "source", k=3,
+                                hits_per_group=3)
         return top.select("group_key", "doc_id",
                           F.round("score", 6).alias("score"))
 
@@ -1445,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_msm": bm25_bool_msm,
         "bm25_term_boosts": bm25_term_boosts,
         "bm25_collapse": bm25_collapse,
+        "bm25_top_hits": bm25_top_hits,
         "bm25_page2": bm25_page2,
         "bm25_prefix": bm25_prefix,
         "bm25_prefix_capped": bm25_prefix_capped,
@@ -1942,6 +1978,9 @@ ORDER BY term
                                       weights={"join": 2.5, "fast": 0.5}),
         "bm25_collapse": _bm25_sql(["spark", "join", "fast"], "OR",
                                    collapse_field="lang"),
+        "bm25_top_hits": _bm25_sql(["spark", "join", "fast"], "OR", k=3,
+                                   collapse_field="source",
+                                   collapse_hits=3),
         "bm25_page2": _bm25_sql(["spark", "join", "fast"], "OR", offset=10),
         "bm25_prefix": _bm25_prefix_sql("s"),
         "bm25_prefix_capped": _bm25_prefix_sql("s", max_expansions=3),

@@ -138,7 +138,7 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                             n_required, neg_terms=frozenset(),
                             allowed_loc=None, cursor=None, boost_vec=None,
                             denied_loc=None, min_match=1,
-                            collapse_vals=None,
+                            collapse_vals=None, collapse_n=1,
                             must_terms=frozenset(), min_should=0):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
@@ -265,6 +265,26 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
         if hit.size == 0:
             return None
         s = acc[hit]
+        if collapse_n > 1:
+            # top_hits aggregation (search_top_hits): emit the shard's
+            # top-collapse_n docs of EVERY group present — the same
+            # per-(group, shard) emission bound as facet_stats (collapse
+            # keys are categorical by design), because a group outside
+            # this shard's top-k can still be a global top-k group whose
+            # 2nd..Nth hits live here. Global group selection happens in
+            # the finishing window over these bounded partials.
+            import pandas as pd
+            uv, inv = np.unique(vals, return_inverse=True)
+            ordr = np.lexsort((hit, -s, inv))  # group, score desc, doc asc
+            g, h2, s2 = inv[ordr], hit[ordr], s[ordr]
+            firsts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+            sizes = np.diff(np.r_[firsts, g.size])
+            grp_of = np.repeat(np.arange(firsts.size), sizes)
+            keep = (np.arange(g.size) - firsts[grp_of]) < collapse_n
+            return pd.DataFrame({
+                "group_key": uv[g[keep]].astype(object),
+                "doc_id": (h2[keep] + start).astype(np.int64),
+                "score": s2[keep]})
         ordr = np.lexsort((hit, -s))  # score desc, then doc asc
         h, s2, v2 = hit[ordr], s[ordr], vals[ordr]
         uv, first = np.unique(v2, return_index=True)
@@ -637,6 +657,45 @@ def search_collapsed(index, query: str, field: str, k: int = 10,
     return _plan_cached(index, key, lambda: _search_impl(
         index, query, k, mode, False, exclude, doc_filter,
         dv_filter=dv_filter, term_boosts=term_boosts, collapse=field))
+
+
+def search_top_hits(index, query: str, field: str, k: int = 10,
+                    hits_per_group: int = 3, mode: str = "OR",
+                    exclude: str | None = None,
+                    doc_filter: str | None = None,
+                    dv_filter: str | None = None,
+                    term_boosts: dict | None = None) -> DataFrame:
+    """Top-hits aggregation (the ES ``top_hits`` sub-agg under a
+    ``terms`` bucket — "per X, the N best matching docs"): the top-k
+    GROUPS by distinct value of the stored docvalue column ``field``
+    (ranked by each group's best doc, exactly ``search_collapsed``'s
+    group order), each carrying its own top-``hits_per_group`` docs
+    under the frozen (score desc, doc_id asc) order. Returns
+    (group_key, doc_id, score) rows ordered group-rank-major,
+    hit-rank-minor; scores are the unchanged frozen BM25 scores and
+    NULL-keyed docs are excluded (the collapse contract —
+    ``hits_per_group=1`` degenerates to ``search_collapsed``).
+
+    Plan: the per-shard scorer emits its top-N docs of EVERY group it
+    holds — per-(group, shard) bounded partials, the same emission class
+    as ``facet_stats`` (collapse keys are categorical by design; a group
+    outside one shard's local top-k can still be a global top-k group
+    whose trailing hits live there, so the n=1 per-shard-top-k-groups
+    cut is NOT sufficient for n > 1). A tiny window over those partials
+    takes each group's global top-N, ranks groups by their rank-1 row,
+    and a broadcast semi-join keeps the top-k groups. Routes exhaustive
+    (every hit's score is needed); ``exclude``/``doc_filter``/
+    ``dv_filter``/``term_boosts`` compose exactly as in ``search``."""
+    _warn_if_stale(index)
+    n = int(hits_per_group)
+    if n < 1:
+        raise ValueError("hits_per_group must be >= 1")
+    key = ("th", query, field, k, n, mode.upper(), exclude, doc_filter,
+           dv_filter, _boost_key(term_boosts))
+    return _plan_cached(index, key, lambda: _search_impl(
+        index, query, k, mode, False, exclude, doc_filter,
+        dv_filter=dv_filter, term_boosts=term_boosts, collapse=field,
+        collapse_n=n))
 
 
 def search_sorted(index, query: str, field: str, k: int = 10,
@@ -1070,7 +1129,7 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  boost: dict | None = None,
                  min_match: int | None = None,
                  term_boosts: dict | None = None,
-                 collapse: str | None = None,
+                 collapse: str | None = None, collapse_n: int = 1,
                  must_terms: "frozenset | None" = None,
                  min_should: int = 0) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
@@ -1279,6 +1338,19 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
         from pyspark.sql import Window
         w = (Window.partitionBy("group_key")
              .orderBy(F.desc("score"), F.asc("doc_id")))
+        if collapse_n > 1:
+            # top_hits: global top-collapse_n per group (window over the
+            # bounded per-(group, shard) partials), then top-k groups by
+            # their rank-1 representative; group order then hit order
+            ranked = (scored.withColumn("rn", F.row_number().over(w))
+                      .filter(F.col("rn") <= collapse_n))
+            reps = (ranked.filter(F.col("rn") == 1)
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                    .select("group_key", F.col("score").alias("_gs"),
+                            F.col("doc_id").alias("_gd")))
+            return (ranked.join(F.broadcast(reps), "group_key")
+                    .orderBy(F.desc("_gs"), F.asc("_gd"), F.asc("rn"))
+                    .select("group_key", "doc_id", "score"))
         return (scored.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1).drop("rn")
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
@@ -1320,6 +1392,7 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                                             min_match=mm or 1,
                                             collapse_vals=_grp_closure(
                                                 shard),
+                                            collapse_n=collapse_n,
                                             must_terms=mst,
                                             min_should=min_should)
             return r if r is not None else empty_r
@@ -1371,6 +1444,7 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                             else None),
                 min_match=mm or 1,
                 collapse_vals=_grp_closure(shard),
+                collapse_n=collapse_n,
                 must_terms=mst, min_should=min_should)
             return r if r is not None else pd.DataFrame(
                 {c: [] for c in out_cols})
