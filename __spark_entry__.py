@@ -608,7 +608,8 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               collapse_field: str | None = None,
               collapse_hits: int = 1,
               must_terms: list | None = None,
-              min_should: int = 0) -> str:
+              min_should: int = 0,
+              rank_only: bool = False) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
@@ -690,6 +691,11 @@ scored AS (
   GROUP BY tf.doc_id {and_filter}
 )
 {_collapse_tail(collapse_field, exclude, k, collapse_hits) if collapse_field else f'''SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+FROM scored
+{_not_in_clause(exclude)}
+QUALIFY rk <= {k}
+''' if rank_only else f'''SELECT doc_id,
        round(score{f" * ({boost_mult})" if boost_mult else ""}, 6) AS score
 FROM scored
 {_not_in_clause(exclude)}
@@ -756,6 +762,27 @@ b AS (SELECT CASE {when_b} ELSE {len(edges)} END AS b FROM m)
 SELECT ({lo})::BIGINT AS lo, ({hi})::BIGINT AS hi,
        count(*)::BIGINT AS n_docs
 FROM b GROUP BY b ORDER BY b
+"""
+
+
+def _rrf_sql(terms_a: list[str], terms_b: list[str], k: int = 10,
+             window: int = 50, rc: int = 60) -> str:
+    """DuckDB twin of engine.fusion.search_rrf over two BM25 retrievers:
+    each retriever's top-``window`` ranking (row_number under the frozen
+    (score desc, doc_id asc) order — the ``rank_only`` _bm25_sql tail),
+    fused as 1/(rc + rank) contributions summed in retriever order (the
+    same two-term float64 addition the engine performs), top-k by
+    (fused score desc, doc_id asc)."""
+    fused = (f"coalesce(1.0 / ({rc} + a.rk), 0.0) "
+             f"+ coalesce(1.0 / ({rc} + b.rk), 0.0)")
+    return f"""
+WITH a AS ({_bm25_sql(terms_a, "OR", k=window, rank_only=True)}),
+b AS ({_bm25_sql(terms_b, "OR", k=window, rank_only=True)})
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       round({fused}, 6) AS score
+FROM a FULL JOIN b ON a.doc_id = b.doc_id
+ORDER BY ({fused}) DESC, coalesce(a.doc_id, b.doc_id) ASC
+LIMIT {k}
 """
 
 
@@ -902,6 +929,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 hits_per_group=3)
         return top.select("group_key", "doc_id",
                           F.round("score", 6).alias("score"))
+
+    def bm25_rrf(spark, sf):
+        # reciprocal-rank fusion (the ES 8.x rrf retriever,
+        # engine/fusion.py): two BM25 retrievers' top-50 rankings fused
+        # as 1/(60 + rank) sums in retriever order — hybrid retrieval
+        # without score calibration; each retriever is its own unchanged
+        # one-job plan, the fusion is metadata-sized driver work
+        from engine.fusion import search_rrf
+        idx = _packed_index(spark, sf)
+        top = search_rrf(idx, [{"query": "spark join fast"},
+                               {"query": "vector hash"}],
+                         k=10, window=50)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
 
     def bm25_page2(spark, sf):
         # cursor pagination: page 1's last (score, doc_id) verbatim ->
@@ -1481,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_boosts": bm25_term_boosts,
         "bm25_collapse": bm25_collapse,
         "bm25_top_hits": bm25_top_hits,
+        "bm25_rrf": bm25_rrf,
         "bm25_page2": bm25_page2,
         "bm25_prefix": bm25_prefix,
         "bm25_prefix_capped": bm25_prefix_capped,
@@ -1981,6 +2022,8 @@ ORDER BY term
         "bm25_top_hits": _bm25_sql(["spark", "join", "fast"], "OR", k=3,
                                    collapse_field="source",
                                    collapse_hits=3),
+        "bm25_rrf": _rrf_sql(["spark", "join", "fast"],
+                             ["vector", "hash"], k=10, window=50),
         "bm25_page2": _bm25_sql(["spark", "join", "fast"], "OR", offset=10),
         "bm25_prefix": _bm25_prefix_sql("s"),
         "bm25_prefix_capped": _bm25_prefix_sql("s", max_expansions=3),
