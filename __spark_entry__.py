@@ -609,7 +609,8 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               collapse_hits: int = 1,
               must_terms: list | None = None,
               min_should: int = 0,
-              rank_only: bool = False) -> str:
+              rank_only: bool = False,
+              raw_score: bool = False) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
@@ -695,7 +696,11 @@ scored AS (
 FROM scored
 {_not_in_clause(exclude)}
 QUALIFY rk <= {k}
-''' if rank_only else f'''SELECT doc_id,
+''' if rank_only else f'''SELECT doc_id, score
+FROM scored
+{_not_in_clause(exclude)}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+''' if raw_score else f'''SELECT doc_id,
        round(score{f" * ({boost_mult})" if boost_mult else ""}, 6) AS score
 FROM scored
 {_not_in_clause(exclude)}
@@ -782,6 +787,26 @@ SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
        round({fused}, 6) AS score
 FROM a FULL JOIN b ON a.doc_id = b.doc_id
 ORDER BY ({fused}) DESC, coalesce(a.doc_id, b.doc_id) ASC
+LIMIT {k}
+"""
+
+
+def _rescore_sql(terms: list[str], rescore_terms: list[str], k: int = 10,
+                 window: int = 50, wq: float = 1.0,
+                 wr: float = 1.0) -> str:
+    """DuckDB twin of engine.rescore.search_rescore (score_mode total):
+    the primary query's top-``window`` (raw unrounded scores, frozen
+    order), LEFT JOINed to the secondary query's full raw score set
+    (global stats — candidate restriction never changes idf/N/avgdl),
+    combined as the engine's literal ``wq * p + wr * coalesce(s, 0)``
+    float64 expression, top-k by (combined desc, doc_id asc)."""
+    fused = f"{wq!r} * p.score + {wr!r} * coalesce(r.score, 0.0)"
+    return f"""
+WITH p AS ({_bm25_sql(terms, "OR", k=window, raw_score=True)}),
+r AS ({_bm25_sql(rescore_terms, "OR", k=10 ** 9, raw_score=True)})
+SELECT p.doc_id, round({fused}, 6) AS score
+FROM p LEFT JOIN r ON p.doc_id = r.doc_id
+ORDER BY ({fused}) DESC, p.doc_id ASC
 LIMIT {k}
 """
 
@@ -941,6 +966,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = search_rrf(idx, [{"query": "spark join fast"},
                                {"query": "vector hash"}],
                          k=10, window=50)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_rescore(spark, sf):
+        # ES rescore window (engine/rescore.py): primary top-50 re-ranked
+        # by adding the secondary query's BM25 (weighted 1x/2x), secondary
+        # scored ONLY over the window ids via a literal allowed-ids
+        # cogroup (zero corpus scan), combine driver-side over <= window
+        # rows — jobless local-relation result
+        from engine.rescore import search_rescore
+        idx = _packed_index(spark, sf)
+        top = search_rescore(idx, "spark join fast", "join fast",
+                             k=10, window=50,
+                             query_weight=1.0, rescore_weight=2.0)
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
     def bm25_page2(spark, sf):
@@ -1522,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_collapse": bm25_collapse,
         "bm25_top_hits": bm25_top_hits,
         "bm25_rrf": bm25_rrf,
+        "bm25_rescore": bm25_rescore,
         "bm25_page2": bm25_page2,
         "bm25_prefix": bm25_prefix,
         "bm25_prefix_capped": bm25_prefix_capped,
@@ -2024,6 +2063,9 @@ ORDER BY term
                                    collapse_hits=3),
         "bm25_rrf": _rrf_sql(["spark", "join", "fast"],
                              ["vector", "hash"], k=10, window=50),
+        "bm25_rescore": _rescore_sql(["spark", "join", "fast"],
+                                     ["join", "fast"], k=10, window=50,
+                                     wq=1.0, wr=2.0),
         "bm25_page2": _bm25_sql(["spark", "join", "fast"], "OR", offset=10),
         "bm25_prefix": _bm25_prefix_sql("s"),
         "bm25_prefix_capped": _bm25_prefix_sql("s", max_expansions=3),

@@ -1131,7 +1131,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  term_boosts: dict | None = None,
                  collapse: str | None = None, collapse_n: int = 1,
                  must_terms: "frozenset | None" = None,
-                 min_should: int = 0) -> DataFrame:
+                 min_should: int = 0,
+                 allowed_ids: "list[int] | None" = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -1358,8 +1359,16 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     # tombstones (engine/deletes.py): None when the index has none
     del_locs = _del_closure(index)
 
-    if doc_filter is not None:
-        allowed = _allowed_shards(index, doc_filter, width)
+    if doc_filter is not None or allowed_ids is not None:
+        if doc_filter is not None:
+            allowed = _allowed_shards(index, doc_filter, width)
+        else:
+            # explicit candidate ids (the rescore path, engine/rescore.py):
+            # the allowed side is a metadata-sized literal local relation —
+            # same cogrouped-mask plan as doc_filter, ZERO corpus scan
+            allowed = index.spark.createDataFrame(
+                [(int(d), int(d) // width) for d in allowed_ids],
+                "doc_id long, shard int")
         wand_on = bool(use_wand) and mode == "OR"
         if wand_on:
             from .wand import score_shard_wand
