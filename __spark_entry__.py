@@ -811,6 +811,37 @@ LIMIT {k}
 """
 
 
+def _groups_sql(terms: list[str], field: str, k: int = 10,
+                score_mode: str = "sum") -> str:
+    """DuckDB twin of engine.matchops.search_groups (ES has_child /
+    score_mode): per-doc raw BM25 scores joined to the group column,
+    NULL keys excluded, per-(group, shard) partials with the engine's
+    two-level left-fold sum contract (``list_reduce`` over doc_id-
+    ordered scores within a shard, then over shard-ordered partials —
+    a strict left fold, matching np.add.accumulate), top-k groups by
+    (score desc, group_key asc)."""
+    w = DEFAULT.docs_per_score_shard
+    expr = {"sum": "sm", "max": "mx", "avg": "sm / n_docs",
+            "count": "n_docs::DOUBLE"}[score_mode]
+    return f"""
+WITH s AS ({_bm25_sql(terms, "OR", k=10 ** 9, raw_score=True)}),
+ps AS (
+  SELECT d.{field} AS gk, s.doc_id // {w} AS shard, count(*) AS n,
+         list_reduce(list(s.score ORDER BY s.doc_id),
+                     (a, b) -> a + b) AS sm,
+         max(s.score) AS mx
+  FROM s JOIN documents d USING (doc_id)
+  WHERE d.{field} IS NOT NULL
+  GROUP BY gk, shard),
+agg AS (
+  SELECT gk, sum(n)::BIGINT AS n_docs, max(mx) AS mx,
+         list_reduce(list(sm ORDER BY shard), (a, b) -> a + b) AS sm
+  FROM ps GROUP BY gk)
+SELECT gk AS group_key, round({expr}, 6) AS score, n_docs
+FROM agg ORDER BY ({expr}) DESC, gk ASC LIMIT {k}
+"""
+
+
 def _not_in_clause(exclude: list[str] | None) -> str:
     if not exclude:
         return ""
@@ -980,6 +1011,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              k=10, window=50,
                              query_weight=1.0, rescore_weight=2.0)
         return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_groups(spark, sf):
+        # group-level ranked retrieval (engine/matchops.py search_groups
+        # — the ES has_child / score_mode pattern; over transcripts,
+        # field=conv_id is "rank CONVERSATIONS by their matching turns"):
+        # per-doc scores from the unchanged pruned-scan kernel at
+        # k=width, in-task per-(group, shard) partials over the cached
+        # docvalue slice, two-level left-fold sum (doc order within
+        # shard, shard order across) — a defined, reproducible float64
+        # order mirrored by the DuckDB list_reduce twin
+        from engine.matchops import search_groups
+        idx = _packed_index(spark, sf)
+        top = search_groups(idx, "spark join fast", "source", k=10,
+                            score_mode="sum")
+        return top.select("group_key",
+                          F.round("score", 6).alias("score"), "n_docs")
 
     def bm25_page2(spark, sf):
         # cursor pagination: page 1's last (score, doc_id) verbatim ->
@@ -1561,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_hits": bm25_top_hits,
         "bm25_rrf": bm25_rrf,
         "bm25_rescore": bm25_rescore,
+        "bm25_groups": bm25_groups,
         "bm25_page2": bm25_page2,
         "bm25_prefix": bm25_prefix,
         "bm25_prefix_capped": bm25_prefix_capped,
@@ -2066,6 +2114,8 @@ ORDER BY term
         "bm25_rescore": _rescore_sql(["spark", "join", "fast"],
                                      ["join", "fast"], k=10, window=50,
                                      wq=1.0, wr=2.0),
+        "bm25_groups": _groups_sql(["spark", "join", "fast"], "source",
+                                   k=10, score_mode="sum"),
         "bm25_page2": _bm25_sql(["spark", "join", "fast"], "OR", offset=10),
         "bm25_prefix": _bm25_prefix_sql("s"),
         "bm25_prefix_capped": _bm25_prefix_sql("s", max_expansions=3),

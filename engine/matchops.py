@@ -1170,3 +1170,151 @@ def match_percentiles(index, query: str, field: str, ps=(0.5, 0.9, 0.99),
         return spark.createDataFrame(out, PCT_SCHEMA)
 
     return _plan_cached(index, key, build)
+
+
+GROUPS_SCHEMA = "group_key string, score double, n_docs long"
+
+
+def search_groups(index, query: str, field: str, k: int = 10,
+                  score_mode: str = "max", mode: str = "OR",
+                  exclude: str | None = None,
+                  dv_filter: str | None = None) -> DataFrame:
+    """Group-level ranked retrieval — the ES parent-child / join-field
+    pattern (``has_child`` with ``score_mode``): rank the distinct
+    values of a stored docvalue ``field`` (e.g. ``conv_id`` — "find the
+    CONVERSATIONS whose turns best match Q") by an aggregate of their
+    matching docs' BM25 scores.
+
+    Frozen contract (mirrored by the DuckDB twin in
+    ``__spark_entry__._groups_sql``):
+
+    * the match set is ``search``'s exact match set (AND/OR arity, NOT
+      via ``exclude``, ``dv_filter``, tombstones); per-doc scores are
+      the kernel's frozen per-term-ascending BM25 sums — bit-identical
+      to ``search``'s;
+    * docs with a NULL/absent group key are EXCLUDED (the collapse /
+      search_sorted NULL rule);
+    * ``score_mode``: ``max`` = max over the group's matching docs
+      (order-free); ``count`` = the match count as double; ``sum`` =
+      LEFT-FOLD of the group's doc scores in doc_id order within each
+      doc-range shard, then left-fold of the per-shard partials in
+      shard order (shards are doc-id ranges, so the two-level fold IS
+      a defined, reproducible float64 order); ``avg`` = that sum
+      divided once by the count;
+    * result: top-``k`` groups under (score desc, group_key asc),
+      columns (group_key, score, n_docs).
+
+    Plan (the 100 TB argument): ``search``'s pruned postings scan (same
+    buckets/terms pushdown, dls stream included), ONE kernel pass per
+    doc-range shard scoring its dense accumulator exactly like
+    ``_score_shard_exhaustive`` (it IS that kernel at k=width — every
+    hit's score must exist, the collapse argument), then an in-task
+    pandas reduction over the shard's OWN docvalue slice emitting one
+    partial row per (group, shard) — shuffle volume is
+    groups-per-shard, never docs (the ``facet_stats`` emission class).
+    One narrow final hash aggregation; the shard-ordered sum fold is a
+    deterministic ``aggregate(array_sort(collect_list(...)))``
+    expression over those partials."""
+    from .query import (_score_shard_exhaustive, _warn_if_stale,
+                        _empty_topk)  # noqa: F401
+    _warn_if_stale(index)
+    mode = mode.upper()
+    score_mode = score_mode.lower()
+    if score_mode not in ("max", "sum", "avg", "count"):
+        raise ValueError(f"unknown score_mode {score_mode!r} "
+                         "(max | sum | avg | count)")
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"group field {field!r} is not a docvalue column of this "
+            f"index (stored: {list(index.doc_values or ())}; build with "
+            f"IndexConfig(doc_values=...))")
+    _require_dv(index, dv_filter)
+    key = ("sg", query, field, k, score_mode, mode, exclude, dv_filter)
+
+    def build():
+        spark = index.spark
+        empty = spark.createDataFrame([], GROUPS_SCHEMA)
+        acfg = index.cfg.analyzer
+        qtf = query_terms(query, acfg)
+        if not qtf:
+            return empty
+        neg = sorted(set(tokenize_py(exclude, acfg)) - set(qtf)) \
+            if exclude else []
+        terms = sorted(qtf)
+        lex = index.lookup_terms(sorted(set(terms) | set(neg)))
+        known = [t for t in terms if t in lex]
+        if not known or (mode == "AND" and len(known) < len(terms)):
+            return empty
+        neg = [t for t in neg if t in lex]
+        qtfs = {t: float(qtf[t]) for t in known}
+        idfs = {t: float(lex[t]["idf"]) for t in known}
+        n_required = len(terms)
+        scan_terms = sorted(set(known) | set(neg))
+        buckets = sorted({lex[t]["bucket"] for t in scan_terms})
+        post = (index.postings()
+                .filter(F.col("bucket").isin(buckets)
+                        & F.col("term").isin(scan_terms))
+                .select("term", "shard", "df", "doc_ids", "tfs", "dls"))
+        width = index.shard_width
+        cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b,
+                "avgdl": index.avgdl}
+        neg_set = frozenset(neg)
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+        del_locs = _del_closure(index)
+        pcols = ["g", "shard", "n", "sm", "mx"]
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            from .docvalues import eval_filter, group_values
+            empty_r = pd.DataFrame({c: [] for c in pcols})
+            if len(post_pdf) == 0:
+                return empty_r
+            shard = int(post_pdf["shard"].iloc[0])
+            dvl = (eval_filter(dv_dir, shard, dv_gen, dv_filter)
+                   if dv_filter is not None else None)
+            dl_ = del_locs(shard) if del_locs is not None else None
+            r = _score_shard_exhaustive(
+                post_pdf, qtfs, idfs, cfgd, width, mode, width,
+                n_required, neg_set, allowed_loc=dvl, denied_loc=dl_)
+            if r is None or len(r) == 0:
+                return empty_r
+            ids = r["doc_id"].to_numpy(np.int64)
+            sc = r["score"].to_numpy(np.float64)
+            o = np.argsort(ids)  # doc_id order: the frozen fold order
+            ids, sc = ids[o], sc[o]
+            vals = group_values(dv_dir, shard, dv_gen, field, ids - shard
+                                * width)
+            ok = np.asarray(vals != None, dtype=bool)  # noqa: E711
+            if not ok.any():
+                return empty_r
+            sc, vals = sc[ok], vals[ok]
+            out = []
+            pdf = pd.DataFrame({"g": vals, "s": sc})
+            for g, grp in pdf.groupby("g", sort=False):
+                v = grp["s"].to_numpy(np.float64)
+                # np.add.accumulate is a strict sequential left-fold
+                # (unlike np.sum's pairwise blocking) — the contract
+                out.append((g, shard, v.size,
+                            float(np.add.accumulate(v)[-1]),
+                            float(v.max())))
+            return pd.DataFrame(out, columns=pcols)
+
+        partial = post.groupBy("shard").applyInPandas(
+            fn, "g string, shard int, n long, sm double, mx double")
+        agg = (partial.groupBy("g")
+               .agg(F.sum("n").cast("long").alias("n_docs"),
+                    F.max("mx").alias("_mx"),
+                    F.aggregate(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("shard"), F.col("sm")))),
+                        F.lit(0.0),
+                        lambda a, x: a + x["sm"]).alias("_sm")))
+        score = {"max": F.col("_mx"), "sum": F.col("_sm"),
+                 "avg": F.col("_sm") / F.col("n_docs"),
+                 "count": F.col("n_docs").cast("double")}[score_mode]
+        return (agg.select(F.col("g").alias("group_key"),
+                           score.alias("score"), "n_docs")
+                .orderBy(F.desc("score"), F.asc("group_key")).limit(k))
+
+    return _plan_cached(index, key, build)
