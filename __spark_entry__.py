@@ -1294,6 +1294,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _packed_index(spark, sf, positions=True)
         return Q.search_phrase(idx, "table hash", k=10)
 
+    def span_first(spark, sf):
+        # Lucene/ES span_first: docs where 'spark' occurs within the
+        # first 5 analyzer positions, n_within counting those
+        # occurrences (engine/query.py search_span_first — the
+        # positions codec stores each posting's first position
+        # absolute, so the bound test is decoded-int32 work only).
+        # Twin: one DuckDB list slice + list_filter count
+        from engine import query as Q
+        idx = _packed_index(spark, sf, positions=True)
+        return Q.search_span_first(idx, "spark", 5, k=10)
+
     def phrase_sloppy(spark, sf):
         # sloppy phrase (proximity): terms in order with total span
         # <= (len-1) + slop positions; n_phrase counts matching anchors
@@ -1503,6 +1514,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = [_TS_EPOCH0 + d * 86400 for d in (45, 90, 135)]
         return match_ranges(idx, "spark", "ts", edges)
 
+    def match_composite_page(spark, sf):
+        # composite aggregation (ES `composite` agg): paginated walk of
+        # the FULL (lang, source) bucket space in key order, resumable
+        # from an after key (engine/matchops.py match_composite). This
+        # row gates the CURSOR itself: page 1's last keys verbatim ->
+        # page 2, which must equal the ordered bucket list's rows 4..6
+        # (the DuckDB twin says LIMIT 3 OFFSET 3) — a skipped or
+        # duplicated bucket hash-mismatches
+        from engine.matchops import match_composite
+        idx = _packed_index(spark, sf)
+        p1 = match_composite(idx, "spark", ["lang", "source"],
+                             size=3).collect()
+        after = [p1[-1]["lang"], p1[-1]["source"]]
+        return match_composite(idx, "spark", ["lang", "source"],
+                               size=3, after=after)
+
     def facet_stats_lang(spark, sf):
         # terms agg + stats sub-aggregation (ES aggs-in-aggs): per lang
         # among docs matching "spark" — count + min/max/sum/avg of the
@@ -1645,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": bm25_incremental,
         "bm25_hybrid": bm25_hybrid,
         "phrase_search": phrase_search,
+        "span_first": span_first,
         "phrase_sloppy": phrase_sloppy,
         "bm25_filtered": bm25_filtered,
         "bm25_dv_filtered": bm25_dv_filtered,
@@ -1664,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": bm25_explain,
         "match_stats_ts": match_stats_ts,
         "match_ranges_ts": match_ranges_ts,
+        "match_composite_page": match_composite_page,
         "facet_stats_lang": facet_stats_lang,
         "match_histogram": match_histogram_q,
         "histogram_pipeline": histogram_pipeline_q,
@@ -2278,6 +2307,17 @@ ORDER BY term
         "bm25_hybrid": _bm25_sql(["hash", "merge", "scan"], "OR",
                                  where="lang = 'en'"),
         "phrase_search": _phrase_sql(["table", "hash"], 10),
+        # span_first twin: occurrences of the term within the first 5
+        # 0-based analyzer positions == count of equal tokens in the
+        # 1-based list slice toks[1:5]
+        "span_first": f"""
+            SELECT doc_id, n_within FROM (
+              SELECT doc_id,
+                     len(list_filter(({_TOK_SQL})[1:5],
+                                     t -> t = 'spark'))::BIGINT AS n_within
+              FROM documents)
+            WHERE n_within > 0
+            ORDER BY n_within DESC, doc_id ASC LIMIT 10""",
         "phrase_sloppy": _phrase_sql(["table", "hash"], 10, slop=3),
         "bm25_filtered": _bm25_sql(["spark", "join", "fast"], "OR",
                                    where="lang = 'en'"),
@@ -2373,6 +2413,24 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
             FROM m""",
         "match_ranges_ts": _match_ranges_sql(
             "spark", [_TS_EPOCH0 + d * 86400 for d in (45, 90, 135)]),
+        # composite-agg page 2 via after-key == the ordered bucket
+        # list's rows 4..6: LIMIT 3 OFFSET 3 (engine cursor must land
+        # exactly there — disjoint, complete pagination)
+        "match_composite_page": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'
+            ),
+            b AS (
+              SELECT lang, source, count(*)::BIGINT AS n_docs
+              FROM documents d JOIN matched USING (doc_id)
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY lang, source
+            )
+            SELECT lang, source, n_docs FROM b
+            ORDER BY lang, source LIMIT 3 OFFSET 3""",
         "facet_stats_lang": f"""
             WITH m AS (
               SELECT doc_id, lang,

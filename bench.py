@@ -337,6 +337,33 @@ def main():
                 dvx, QUERY_SET, k=10, dv_filter="role = 'user'").collect())
             queries["batch_dv_filtered"] = round(dt, 4)
 
+            # late-r4 docvalue-backed aggregations and group retrieval
+            # (engine/matchops.py) — all on the shared pruned-scan arity
+            # kernel, reducing per shard over the task's own cached
+            # docvalue slice. Excluded from the headline total.
+            from engine.matchops import (match_ranges, facet_stats,
+                                         match_histogram_pipeline,
+                                         search_groups)
+            _edges = [1769904000, 1780272000]  # 2026-02-01 / 2026-06-01
+            match_ranges(dvx, "hot0 hot1", "ts", _edges).collect()  # warm
+            dt, _ = tbest(lambda: match_ranges(
+                dvx, "hot0 hot1", "ts", _edges).collect())
+            queries["match_ranges"] = round(dt, 4)
+            dt, _ = tbest(lambda: facet_stats(
+                dvx, "hot0 hot1", "role", "ts").collect())
+            queries["facet_stats"] = round(dt, 4)
+            dt, _ = tbest(lambda: match_histogram_pipeline(
+                dvx, "hot0 hot1", "ts", 7 * 86400).collect())
+            queries["histogram_pipeline"] = round(dt, 4)
+            dt, _ = tbest(lambda: search_groups(
+                dvx, "hot0 hot1", "role", k=10,
+                score_mode="sum").collect())
+            queries["search_groups"] = round(dt, 4)
+            dt, _ = tbest(lambda: Q.search_top_hits(
+                dvx, "hot0 hot1", "role", k=3,
+                hits_per_group=3).collect())
+            queries["search_top_hits"] = round(dt, 4)
+
             # r4 feature: delete lifecycle (engine/deletes.py) on the dv
             # index (nothing later reuses it): tombstone ~1/3 of the
             # corpus (role='tool'), search with the per-shard tombstone
@@ -356,6 +383,17 @@ def main():
             dt, _ = tbest(lambda: Q.search(
                 pvx, "hot0 hot1", k=10).collect())
             queries["search_purged"] = round(dt, 4)
+
+            # federated search (engine/multi.py): ONE ranking with exact
+            # global stats across two compatible members (the main index
+            # + the purged dv index — different corpora is fine for a
+            # latency row: stats fuse driver-side, each member runs its
+            # own pruned-scan job). Excluded from the headline total.
+            from engine.multi import search_multi
+            search_multi([idx, pvx], "hot0 hot1", k=10).collect()  # warm
+            dt, _ = tbest(lambda: search_multi(
+                [idx, pvx], "hot0 hot1", k=10).collect())
+            queries["search_multi"] = round(dt, 4)
 
         # r4 feature: match-set operators (engine/matchops.py) — exact
         # count (one int64 per shard task; no dls/WAND columns read) and
@@ -430,6 +468,35 @@ def main():
         dt, _ = tbest(lambda: suggest_terms(
             idx, "rar3 hot0 wrd7", max_edits=1, n=3).collect())
         queries["suggest_terms"] = round(dt, 4)
+
+        # late-r4 query-surface rows: bool query, minimum_should_match,
+        # RRF fusion (two retrievers = two one-job plans + driver-side
+        # fuse), rescore (primary job + windowed secondary job with a
+        # literal allowed side), per-doc term vectors (pruned one-row
+        # corpus read + memoized lexicon — near-jobless when warm).
+        # Excluded from the headline total (new workloads).
+        Q.search_bool(idx, "hot0", "w050 w100", k=10).collect()  # warm
+        dt, _ = tbest(lambda: Q.search_bool(
+            idx, "hot0", "w050 w100", k=10).collect())
+        queries["search_bool"] = round(dt, 4)
+        dt, _ = tbest(lambda: Q.search(
+            idx, "hot0 w050 w100", k=10, min_match=2).collect())
+        queries["search_msm"] = round(dt, 4)
+        from engine.fusion import search_rrf
+        search_rrf(idx, [{"query": "hot0 hot1"},
+                         {"query": "w050 w100"}], k=10).collect()  # warm
+        dt, _ = tbest(lambda: search_rrf(
+            idx, [{"query": "hot0 hot1"},
+                  {"query": "w050 w100"}], k=10).collect())
+        queries["search_rrf"] = round(dt, 4)
+        from engine.rescore import search_rescore
+        search_rescore(idx, "hot0 hot1", "w050 w100", k=10).collect()
+        dt, _ = tbest(lambda: search_rescore(
+            idx, "hot0 hot1", "w050 w100", k=10).collect())
+        queries["search_rescore"] = round(dt, 4)
+        Q.term_vectors(idx, 12345).collect()  # warm the corpus-row memo
+        dt, _ = tbest(lambda: Q.term_vectors(idx, 12345).collect())
+        queries["term_vectors"] = round(dt, 4)
 
         lat = []
         for q in QUERY_SET:
@@ -508,6 +575,12 @@ def main():
                                  "suggest_terms", "suggest_cold",
                                  "significant_terms",
                                  "export_matches", "export_n_docs",
+                                 "match_ranges", "facet_stats",
+                                 "histogram_pipeline", "search_groups",
+                                 "search_top_hits", "search_multi",
+                                 "search_bool", "search_msm",
+                                 "search_rrf", "search_rescore",
+                                 "term_vectors",
                                  "repeat_query_cached",
                                  "repeat_batch_cached"))
         out = {

@@ -813,6 +813,166 @@ def facet_stats(index, query: str, group_field: str, stat_field: str,
     return _plan_cached(index, key, build)
 
 
+def match_composite(index, query: str, fields, size: int = 10,
+                    after=None, mode: str = "OR",
+                    exclude: str | None = None,
+                    dv_filter: str | None = None) -> DataFrame:
+    """Composite aggregation over the match set — the ES ``composite``
+    agg: paginated iteration over the FULL bucket space of one or more
+    key sources, ordered by the key tuple, resumable from an
+    ``after`` key. Where ``facets``/``facet_stats`` present the top of
+    one dimension, composite walks EVERY (k1, k2, ...) combination in
+    deterministic pages — the building block for exporting a complete
+    aggregation without ever materializing it driver-side.
+
+    Frozen contract (mirrored by the DuckDB twin in
+    ``__spark_entry__._composite_sql``):
+
+    * ``fields``: 1..N STORED docvalue columns (string / integer /
+      timestamp). Key emission: strings as-is, integers as int64,
+      timestamps at the engine's frozen whole-second grain (epoch
+      seconds, int64) — so key ordering is exact on both sides;
+    * docs with a NULL value in ANY key column are EXCLUDED (the
+      collapse / search_sorted NULL rule);
+    * buckets are ordered (k1 asc, k2 asc, ...) — codepoint order for
+      strings — and a page is the first ``size`` buckets whose key
+      tuple is LEXICOGRAPHICALLY GREATER than ``after`` (pass the
+      previous page's last row's key values back verbatim; None = the
+      first page). Pages are disjoint and complete: walking until
+      empty enumerates every bucket exactly once;
+    * counts are exact int64 over ``search``'s exact match set
+      (AND/OR arity, NOT via ``exclude``, ``dv_filter``, tombstones).
+
+    Plan (the 100 TB argument): the same pruned postings scan + shared
+    arity kernel as ``match_count``; each shard task reduces its OWN
+    docvalue slice to per-(tuple, shard) partial counts in-task
+    (pandas groupby over <= |shard hits| rows), so shuffle volume is
+    distinct-tuples-per-shard, never docs; one narrow hash aggregation
+    over the bucket axis, the after-key predicate filters BUCKET rows
+    (bucket-cardinality data, applied before the sort), and the page
+    cut is one TakeOrderedAndProject. Page N never rescans pages
+    1..N-1's docs — the after filter is on the aggregated axis.
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    fields = list(fields)
+    if not fields:
+        raise ValueError("match_composite needs at least one key field")
+    size = int(size)
+    if size <= 0:
+        raise ValueError("size must be a positive page size")
+    if after is not None:
+        after = list(after)
+        if len(after) != len(fields):
+            raise ValueError(
+                f"after key has {len(after)} values for {len(fields)} "
+                f"fields — pass the previous page's last row's keys")
+    for f_ in fields:
+        if f_ not in (index.doc_values or ()):
+            raise ValueError(
+                f"{f_!r} is not a docvalue column of this index "
+                f"(stored: {list(index.doc_values or ())})")
+    from .docvalues import dv_path
+    schema = pads.dataset(dv_path(index.index_dir),
+                          format="parquet", partitioning="hive").schema
+    kinds = []  # per field: "str" | "int" | "ts"
+    for f_ in fields:
+        t = schema.field(f_).type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            kinds.append("str")
+        elif pa.types.is_timestamp(t):
+            kinds.append("ts")
+        elif pa.types.is_integer(t):
+            kinds.append("int")
+        else:
+            raise ValueError(
+                f"match_composite({f_!r}): only string/integer/"
+                f"timestamp key columns are supported; stored type "
+                f"is {t}")
+    key = ("cmp", query, tuple(fields), size,
+           tuple(after) if after is not None else None, mode, exclude,
+           dv_filter)
+
+    def build():
+        spark = index.spark
+        sql_t = {"str": "string", "int": "long", "ts": "long"}
+        out_schema = ", ".join(
+            [f"{f_} {sql_t[k_]}" for f_, k_ in zip(fields, kinds)]
+            + ["n_docs long"])
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:
+            return spark.createDataFrame([], out_schema)
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+        part_schema = ", ".join(
+            [f"{f_} {sql_t[k_]}" for f_, k_ in zip(fields, kinds)]
+            + ["n long"])
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+            from .docvalues import _load_shard
+            empty = pd.DataFrame({c: [] for c in fields + ["n"]})
+            if len(post_pdf) == 0:
+                return empty
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty
+            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+            if slice_tbl is None or slice_tbl.num_rows == 0:
+                return empty
+            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+            idx_ = np.searchsorted(sloc, hit)
+            ok = idx_ < sloc.size
+            ok[ok] &= sloc[idx_[ok]] == hit[ok]
+            rows = idx_[ok]
+            if rows.size == 0:
+                return empty
+            take = _pa.array(rows)
+            data, keep = {}, np.ones(rows.size, dtype=bool)
+            for f_, k_ in zip(fields, kinds):
+                col = slice_tbl.column(f_).take(take)
+                keep &= ~col.is_null().to_numpy(zero_copy_only=False)
+                if k_ == "ts":
+                    micros = pc.fill_null(
+                        pc.cast(col, _pa.timestamp("us"))
+                        .cast(_pa.int64()), 0).to_numpy(
+                            zero_copy_only=False)
+                    data[f_] = np.floor_divide(micros, 1_000_000)
+                elif k_ == "int":
+                    data[f_] = pc.fill_null(col, 0).to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                else:
+                    data[f_] = col.to_pandas().astype(object)
+            if not keep.any():
+                return empty
+            pdf = pd.DataFrame(data)[keep]
+            out = pdf.groupby(fields, sort=False).size().reset_index()
+            out.columns = fields + ["n"]
+            return out
+
+        partial = post.groupBy("shard").applyInPandas(fn, part_schema)
+        agg = (partial.groupBy(*fields)
+               .agg(F.sum("n").cast("long").alias("n_docs")))
+        if after is not None:
+            lits = [F.lit(v).cast(sql_t[k_]).alias(f_)
+                    for v, k_, f_ in zip(after, kinds, fields)]
+            agg = agg.filter(F.struct(*[F.col(f_) for f_ in fields])
+                             > F.struct(*lits))
+        return (agg.orderBy(*[F.asc(f_) for f_ in fields])
+                .limit(size))
+
+    return _plan_cached(index, key, build)
+
+
 def mlt_terms(index, doc_id: int, max_terms: int = 16) -> list[str]:
     """The frozen more-like-this term selection: the source doc's
     distinct analyzer terms scored tf x idf (corpus-global idf, the

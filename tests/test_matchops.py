@@ -472,3 +472,96 @@ def test_match_percentiles_filters_empty_validation(midx, corpus_pdf,
         M.match_percentiles(midx, "hot0", "ts", ps=(0.0,))
     with pytest.raises(ValueError, match="timestamp/integer"):
         M.match_percentiles(midx, "hot0", "role")
+
+
+def _ref_composite(corpus_pdf, ids, fields):
+    """Expected full bucket list: (key tuple asc) -> exact count, ts at
+    the frozen whole-second grain, rows with any NULL key excluded."""
+    sub = corpus_pdf.iloc[ids]
+    keys = []
+    for f in fields:
+        if f == "ts":
+            keys.append(sub.ts.values.astype("datetime64[s]")
+                        .astype(np.int64))
+        else:
+            keys.append(sub[f].to_numpy(object))
+    import pandas as pd
+    kdf = pd.DataFrame({f: k for f, k in zip(fields, keys)})
+    kdf = kdf.dropna()
+    g = kdf.groupby(fields, sort=False).size().reset_index(name="n")
+    rows = [tuple(r[f] for f in fields) + (int(r["n"]),)
+            for _, r in g.iterrows()]
+    return sorted(rows, key=lambda t: t[:-1])
+
+
+def test_match_composite_page_walk_complete(midx, corpus_pdf, tok_rows):
+    """Walking pages until empty enumerates every (role, ts) bucket
+    exactly once, in key order, with exact counts."""
+    ids = _expect_ids(tok_rows, ["rare0", "rare1", "rare2"], "OR")
+    expect = _ref_composite(corpus_pdf, ids, ["role", "ts"])
+    got, after = [], None
+    while True:
+        page = M.match_composite(midx, "rare0 rare1 rare2",
+                                 ["role", "ts"], size=2,
+                                 after=after).collect()
+        if not page:
+            break
+        got.extend((r["role"], r["ts"], r["n_docs"]) for r in page)
+        after = [page[-1]["role"], page[-1]["ts"]]
+    assert got == expect
+
+
+def test_match_composite_single_field_counts(midx, corpus_pdf, tok_rows):
+    ids = _expect_ids(tok_rows, ["hot0", "hot1"], "AND")
+    expect = _ref_composite(corpus_pdf, ids, ["role"])
+    got = [(r["role"], r["n_docs"]) for r in
+           M.match_composite(midx, "hot0 hot1", ["role"], size=10,
+                             mode="AND").collect()]
+    assert got == expect
+
+
+def test_match_composite_filters_compose(midx, corpus_pdf, tok_rows):
+    ids = _expect_ids(tok_rows, ["hot0"], "OR", pdf=corpus_pdf,
+                      pred=lambda r: r.role == "user", neg=["hot1"])
+    expect = _ref_composite(corpus_pdf, ids, ["role"])
+    got = [(r["role"], r["n_docs"]) for r in
+           M.match_composite(midx, "hot0", ["role"], size=10,
+                             exclude="hot1",
+                             dv_filter="role = 'user'").collect()]
+    assert got == expect
+    assert M.match_composite(midx, "nosuchterm", ["role"],
+                             size=5).collect() == []
+
+
+def test_match_composite_validation(midx):
+    with pytest.raises(ValueError, match="docvalue column"):
+        M.match_composite(midx, "hot0", ["nosuchcol"])
+    with pytest.raises(ValueError, match="at least one"):
+        M.match_composite(midx, "hot0", [])
+    with pytest.raises(ValueError, match="page size"):
+        M.match_composite(midx, "hot0", ["role"], size=0)
+    with pytest.raises(ValueError, match="after key has"):
+        M.match_composite(midx, "hot0", ["role"], after=["a", "b"])
+
+
+def test_match_composite_null_keys_excluded(spark, tmp_path):
+    """Docs with a NULL value in any key column are excluded (the
+    collapse / search_sorted NULL rule)."""
+    from pyspark.sql import types as T
+    rows = [("c-0", i, "user", "hot0 filler", None if i % 2 else f"s{i%3}",
+             None) for i in range(8)]
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("src", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    nidx = build_index(spark, df, str(tmp_path / "nullidx"),
+                       cfg=IndexConfig(doc_values=("src",)))
+    got = [(r["src"], r["n_docs"]) for r in
+           M.match_composite(nidx, "hot0", ["src"], size=10).collect()]
+    # even turn_idx rows keep src s0/s1/s2 (i%3); odd rows are NULL-key
+    assert got == [("s0", 2), ("s1", 1), ("s2", 1)]

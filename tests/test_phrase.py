@@ -315,3 +315,65 @@ def test_cli_phrase_exclude_and_text(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
     assert out and all("text" in o and "n_phrase" in o for o in out)
+
+
+def _py_span_first(texts, term, n, acfg=None):
+    """Reference: count of `term` occurrences at 0-based positions < n."""
+    from engine.config import DEFAULT_ANALYZER
+    acfg = acfg or DEFAULT_ANALYZER
+    out = {}
+    for i, t in enumerate(texts):
+        toks = tokenize_py(t, acfg)[:n]
+        c = sum(1 for x in toks if x == term)
+        if c:
+            out[i] = c
+    return out
+
+
+def test_span_first_matches_reference(spark, tmp_path):
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    pdf = make_transcripts(300)
+    idx = build_index(spark, spark_transcripts(spark, 300),
+                      str(tmp_path / "sp1"),
+                      cfg=IndexConfig(index_positions=True))
+    for term, n in [("hot0", 3), ("hot1", 1), ("rare3", 5), ("w010", 8)]:
+        c = _py_span_first(list(pdf.text), term, n)
+        want = sorted(((d, m) for d, m in c.items()),
+                      key=lambda x: (-x[1], x[0]))[:10]
+        got = [(r.doc_id, r.n_within)
+               for r in Q.search_span_first(idx, term, n, k=10).collect()]
+        assert got == want, (term, n)
+    # absent / empty / validation
+    assert Q.search_span_first(idx, "ghost0", 5).collect() == []
+    assert Q.search_span_first(idx, "", 5).collect() == []
+    with pytest.raises(ValueError, match="ONE term"):
+        Q.search_span_first(idx, "hot0 hot1", 5)
+    with pytest.raises(ValueError, match="positive position"):
+        Q.search_span_first(idx, "hot0", 0)
+
+
+def test_span_first_filters_compose(spark, tmp_path):
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    from engine.config import DEFAULT_ANALYZER
+    pdf = make_transcripts(300)
+    idx = build_index(spark, spark_transcripts(spark, 300),
+                      str(tmp_path / "sp2"),
+                      cfg=IndexConfig(index_positions=True))
+    c = _py_span_first(list(pdf.text), "hot0", 4)
+    keep = {}
+    for d, m in c.items():
+        row = pdf.iloc[d]
+        toks = set(tokenize_py(row.text, DEFAULT_ANALYZER))
+        if row.role == "user" and "rare3" not in toks:
+            keep[d] = m
+    want = sorted(((d, m) for d, m in keep.items()),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    got = [(r.doc_id, r.n_within)
+           for r in Q.search_span_first(idx, "hot0", 4, k=10,
+                                        doc_filter="role = 'user'",
+                                        exclude="rare3").collect()]
+    assert got == want
