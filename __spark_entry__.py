@@ -964,6 +964,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _bm25_engine(spark, sf, "spark join fast", "OR",
                             term_boosts={"join": 2.5, "fast": 0.5})
 
+    def bm25_boosting(spark, sf):
+        # ES boosting query (engine/query.py search_boosting): rank by
+        # the positive query's BM25 score, docs containing the negative
+        # term DEMOTED by x0.3 (not excluded) — the negative term's
+        # doc_ids ride the same pruned scan, the kernel multiplies
+        # after the frozen summation. Twin: score * CASE WHEN doc in
+        # negset THEN 0.3 ELSE 1.0 END over the same scored CTE
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search_boosting(idx, "spark join fast", "hash", 0.3,
+                                k=10)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
     def bm25_collapse(spark, sf):
         # field collapsing (ES collapse): top groups by their best doc —
         # one row per distinct lang, ranked by the group representative
@@ -1631,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool": bm25_bool,
         "bm25_bool_msm": bm25_bool_msm,
         "bm25_term_boosts": bm25_term_boosts,
+        "bm25_boosting": bm25_boosting,
         "bm25_collapse": bm25_collapse,
         "bm25_top_hits": bm25_top_hits,
         "bm25_rrf": bm25_rrf,
@@ -2133,6 +2147,14 @@ ORDER BY term
                                    min_should=2),
         "bm25_term_boosts": _bm25_sql(["spark", "join", "fast"], "OR",
                                       weights={"join": 2.5, "fast": 0.5}),
+        # boosting-query twin: the demote factor multiplies the frozen
+        # BM25 sum for docs containing the negative term (same float64
+        # grouping as the kernel: sum first, then * 0.3)
+        "bm25_boosting": _bm25_sql(
+            ["spark", "join", "fast"], "OR",
+            boost_mult=("CASE WHEN doc_id IN (SELECT DISTINCT doc_id "
+                        "FROM toks WHERE term = 'hash') "
+                        "THEN 0.3 ELSE 1.0 END")),
         "bm25_collapse": _bm25_sql(["spark", "join", "fast"], "OR",
                                    collapse_field="lang"),
         "bm25_top_hits": _bm25_sql(["spark", "join", "fast"], "OR", k=3,

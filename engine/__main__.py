@@ -126,6 +126,12 @@ def cmd_search(args) -> int:
         print("--collapse needs plain --mode OR/AND (no --sort-by/"
               "--boost-*/--after/--synonyms/--min-match)", file=sys.stderr)
         return 2
+    if args.demote and (bool_q or args.collapse or args.sort_by
+                        or args.synonyms or after is not None
+                        or mode_up not in ("OR", "AND")):
+        print("--demote needs plain --mode OR/AND (no --must/--collapse/"
+              "--sort-by/--synonyms/--after)", file=sys.stderr)
+        return 2
     if bool_q:
         if (mode_up != "OR" or after is not None or args.synonyms
                 or args.sort_by or boost or term_boosts or args.collapse
@@ -206,11 +212,13 @@ def cmd_search(args) -> int:
                              doc_filter=args.filter,
                              dv_filter=args.dv_filter, boost=boost)
     else:
+        demote = (args.demote, args.demote_factor) if args.demote else None
         top = Q.search(idx, args.query, k=args.k, mode=args.mode,
                        use_wand=False if args.no_wand else "auto",
                        exclude=args.exclude, doc_filter=args.filter,
                        dv_filter=args.dv_filter, boost=boost,
-                       min_match=args.min_match, term_boosts=term_boosts)
+                       min_match=args.min_match, term_boosts=term_boosts,
+                       demote=demote)
     if args.snippets:
         out = Q.materialize_snippets(idx, top, snippet_query,
                                      window=args.snippet_window)
@@ -533,6 +541,11 @@ def main(argv=None) -> int:
     s.add_argument("--after", default=None,
                    help="cursor pagination: 'score,doc_id' of the last "
                         "row of the previous page (verbatim)")
+    s.add_argument("--demote", default=None, metavar="QUERY",
+                   help="ES boosting query: demote (don't drop) docs "
+                        "matching this negative query")
+    s.add_argument("--demote-factor", type=float, default=0.5,
+                   help="negative_boost multiplier for --demote docs")
     s.add_argument("--text", action="store_true", help="materialize text")
     s.add_argument("--exclude", default=None,
                    help="NOT terms (drop docs containing any of these)")

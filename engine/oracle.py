@@ -140,3 +140,20 @@ class OracleIndex:
                   and d not in banned}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def search_boosting(self, positive: str, negative: str,
+                        negative_boost: float = 0.5, k: int = 10,
+                        mode: str = "OR") -> list[tuple[int, float]]:
+        """ES boosting query (frozen semantics, mirrored by the engine's
+        query.search_boosting): rank by the positive query's BM25 score,
+        multiplying the score of any doc containing ANY negative analyzer
+        token by ``negative_boost`` AFTER the frozen summation — the
+        identical float64 operation order as the shard kernel."""
+        full = self.search(positive, k=self.n_docs, mode=mode)
+        dem: set[int] = set()
+        for t in set(tokenize_py(negative, self.acfg)):
+            dem.update(d for d, _ in self.postings.get(t, ()))
+        f = float(negative_boost)
+        scored = [(d, s * f if d in dem else s) for d, s in full]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return scored[:k]

@@ -139,7 +139,9 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                             allowed_loc=None, cursor=None, boost_vec=None,
                             denied_loc=None, min_match=1,
                             collapse_vals=None, collapse_n=1,
-                            must_terms=frozenset(), min_should=0):
+                            must_terms=frozenset(), min_should=0,
+                            demote_terms=frozenset(),
+                            demote_factor=1.0):
     """Score one doc-range shard: dense-offset accumulators, numpy only.
 
     Per-posting document lengths come from the inlined ``dls`` stream and
@@ -172,6 +174,7 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
     cnt = np.zeros(width, dtype=np.int32)
     cntm = np.zeros(width, dtype=np.int32) if must_terms else None
     negmask = np.zeros(width, dtype=bool) if neg_terms else None
+    demmask = np.zeros(width, dtype=bool) if demote_terms else None
     k1, b, avgdl = cfg["k1"], cfg["b"], cfg["avgdl"]
     order = np.argsort(post_pdf["term"].to_numpy(object))  # ascending terms
     for i in order:
@@ -181,6 +184,17 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
                                        post_pdf["tfs"].iloc[int(i)])
             negmask[ids - start] = True
             continue
+        if demmask is not None and term in demote_terms:
+            # boosting query (search_boosting): docs containing any
+            # demote term keep their score times demote_factor — the
+            # mask is marked here; a demote term that is ALSO a
+            # positive query term still scores (no positive-wins rule:
+            # demotion and contribution are not contradictory)
+            ids, _ = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
+                                       post_pdf["tfs"].iloc[int(i)])
+            demmask[ids - start] = True
+            if term not in qtfs:
+                continue
         idf = idfs[term]
         qtf = qtfs[term]
         ids, tfs = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
@@ -236,6 +250,14 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
         # at hit positions only; cursor compare and top-k use the
         # boosted score (the ranking the caller pages through).
         acc[hit] *= boost_vec[hit]
+    if demmask is not None:
+        # boosting-query demotion — frozen operation order: the plain
+        # BM25 sum, then the recency multiplier (boost_vec), THEN the
+        # demote factor ((s * b) * d — the twin writes the identical
+        # grouping). Cursor compare and top-k see the demoted score.
+        dm = demmask[hit]
+        if dm.any():
+            acc[hit[dm]] *= demote_factor
     if cursor is not None:
         # search_after pagination: keep only docs STRICTLY after the
         # cursor in the frozen (score desc, doc_id asc) total order.
@@ -457,7 +479,8 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
            dv_filter: str | None = None,
            boost: dict | None = None,
            min_match: int | None = None,
-           term_boosts: dict | None = None) -> DataFrame:
+           term_boosts: dict | None = None,
+           demote: "tuple[str, float] | None" = None) -> DataFrame:
     """BM25 top-k over the packed index (see _search_impl for the full
     plan notes). Plans are memoized per argument tuple (_plan_cached).
 
@@ -466,14 +489,62 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
 
     ``term_boosts``: {term: weight} per-term query boosting (the ES
     ``term^w`` rule — see _apply_term_boosts for the frozen contract);
-    composes with every other option and keeps WAND routing."""
+    composes with every other option and keeps WAND routing.
+
+    ``demote``: (negative_query, negative_boost) — the ES ``boosting``
+    query (see search_boosting for the frozen contract)."""
     _warn_if_stale(index)
     key = ("s", query, k, mode.upper(), repr(use_wand), exclude, doc_filter,
-           dv_filter, _boost_key(boost), min_match, _boost_key(term_boosts))
+           dv_filter, _boost_key(boost), min_match, _boost_key(term_boosts),
+           tuple(demote) if demote is not None else None)
     return _plan_cached(index, key, lambda: _search_impl(
         index, query, k, mode, use_wand, exclude, doc_filter,
         dv_filter=dv_filter, boost=boost, min_match=min_match,
-        term_boosts=term_boosts))
+        term_boosts=term_boosts, demote=demote))
+
+
+def search_boosting(index, positive: str, negative: str,
+                    negative_boost: float = 0.5, k: int = 10,
+                    mode: str = "OR",
+                    exclude: str | None = None,
+                    doc_filter: str | None = None,
+                    dv_filter: str | None = None) -> DataFrame:
+    """Boosting query — the ES ``boosting`` pattern: rank by the
+    ``positive`` query's BM25 score, DEMOTING (not excluding) docs that
+    match the ``negative`` query: their score is multiplied by
+    ``negative_boost`` (0 <= f; f < 1 demotes, 0 pushes matching docs
+    to the bottom without dropping them — the soft alternative to
+    ``exclude``).
+
+    Frozen contract (mirrored by the DuckDB twin in
+    ``__spark_entry__``):
+
+    * a doc is demoted iff it contains ANY analyzer token of
+      ``negative``; unknown negative terms demote nothing (the NOT
+      rule); a negative term that is ALSO a positive term still scores
+      AND demotes (demotion is not contradictory, so no positive-wins
+      rule here);
+    * operation order: the frozen per-term-ascending BM25 sum, then
+      the recency multiplier if any, THEN the demote factor — the twin
+      writes the identical float64 grouping;
+    * the final ranking (and any ``search_after`` cursor compare) uses
+      the demoted score; ``exclude``/``doc_filter``/``dv_filter``/
+      tombstones compose with their unchanged contracts.
+
+    Plan: the negative terms' doc_ids ride the SAME pruned postings
+    scan as the query terms (one extra term per posting bucket — no
+    corpus scan, no extra job); the shard kernel marks a width-bounded
+    demote mask and multiplies after summation. Demotion invalidates
+    block-max pruning (WAND's heap would hold undemoted scores), so
+    boosting queries route exhaustive — the same frozen decision as
+    min_match/bool."""
+    _warn_if_stale(index)
+    demote = (negative, float(negative_boost))
+    key = ("sb", positive, negative, float(negative_boost), k,
+           mode.upper(), exclude, doc_filter, dv_filter)
+    return _plan_cached(index, key, lambda: _search_impl(
+        index, positive, k, mode, "auto", exclude, doc_filter,
+        dv_filter=dv_filter, demote=demote))
 
 
 def search_synonyms(index, query: str, synonyms: dict, k: int = 10,
@@ -1132,7 +1203,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                  collapse: str | None = None, collapse_n: int = 1,
                  must_terms: "frozenset | None" = None,
                  min_should: int = 0,
-                 allowed_ids: "list[int] | None" = None) -> DataFrame:
+                 allowed_ids: "list[int] | None" = None,
+                 demote: "tuple[str, float] | None" = None) -> DataFrame:
     """BM25 top-k over the packed on-disk index — ONE Spark job.
 
     ``use_wand``: ``"auto"`` (default) routes OR queries through
@@ -1223,8 +1295,21 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     # downstream path see the boosted weights transparently
     qtf = _apply_term_boosts(qtf, term_boosts)
     neg = sorted(set(tokenize_py(exclude, acfg)) - set(qtf)) if exclude else []
+    # boosting query (ES `boosting`, see search_boosting): demote =
+    # (negative_query, negative_boost). Docs containing ANY demote term
+    # keep their rank score times the factor; unknown demote terms
+    # demote nothing (the NOT rule); demotion invalidates block-max
+    # pruning (WAND would heap undemoted scores) -> exhaustive only.
+    dem = []
+    dem_factor = 1.0
+    if demote is not None:
+        dem_q, dem_factor = demote
+        dem_factor = float(dem_factor)
+        if dem_factor < 0.0:
+            raise ValueError("demote factor must be >= 0")
+        dem = sorted(set(tokenize_py(dem_q, acfg)))
     terms = sorted(qtf)
-    lex = index.lookup_terms(sorted(set(terms) | set(neg)))
+    lex = index.lookup_terms(sorted(set(terms) | set(neg) | set(dem)))
     known = [t for t in terms if t in lex]
     if mode == "AND" and len(known) < len(terms):
         return empty  # a required term is absent from the corpus
@@ -1244,10 +1329,13 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
         mst = frozenset(must_terms)
         use_wand = False
     neg = [t for t in neg if t in lex]  # absent NOT-terms exclude nothing
+    dem = [t for t in dem if t in lex]  # absent demote terms demote nothing
+    if dem:
+        use_wand = False  # per-doc demotion invalidates block bounds
     qtfs = {t: float(qtf[t]) for t in known}
     idfs = {t: float(lex[t]["idf"]) for t in known}
     n_required = len(terms)
-    scan_terms = sorted(set(known) | set(neg))
+    scan_terms = sorted(set(known) | set(neg) | set(dem))
     buckets = sorted({lex[t]["bucket"] for t in scan_terms})
     if mm is not None:
         if mm > len(known):
@@ -1296,6 +1384,7 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     width = index.shard_width
     cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b, "avgdl": index.avgdl}
     neg_set = frozenset(neg)
+    dem_set = frozenset(dem)
     # docvalue closures: evaluated INSIDE the scorer task over its own
     # shard's cached column slice. dv_gen (index generation) keys the
     # worker cache so a refreshed handle never serves a stale slice.
@@ -1403,7 +1492,9 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                                                 shard),
                                             collapse_n=collapse_n,
                                             must_terms=mst,
-                                            min_should=min_should)
+                                            min_should=min_should,
+                                            demote_terms=dem_set,
+                                            demote_factor=dem_factor)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -1454,7 +1545,8 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
                 min_match=mm or 1,
                 collapse_vals=_grp_closure(shard),
                 collapse_n=collapse_n,
-                must_terms=mst, min_should=min_should)
+                must_terms=mst, min_should=min_should,
+                demote_terms=dem_set, demote_factor=dem_factor)
             return r if r is not None else pd.DataFrame(
                 {c: [] for c in out_cols})
 

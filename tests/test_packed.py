@@ -297,3 +297,37 @@ def test_synonyms_validation_and_empty(packed_index):
         Q.search_synonyms(packed_index, "hot0", {"HOT0!": ["hot1"]})
     assert Q.search_synonyms(packed_index, "nosuchterm",
                              {"x1": ["y1"]}, k=5).collect() == []
+
+
+@pytest.mark.parametrize("pos,neg,f", [
+    ("hot0 hot1", "rare3", 0.25),
+    ("hot0 w010", "hot1 w020", 0.5),
+    ("w005 w006", "w005", 0.1),      # overlap: demote term also scores
+    ("hot0", "ghost0", 0.5),         # unknown demote term: no-op
+    ("hot0 hot1", "w010", 0.0),      # factor 0: demoted to the bottom
+])
+def test_boosting_rank_identity(packed_index, oracle_idx, pos, neg, f):
+    """ES boosting query: engine vs the pure-Python oracle — identical
+    demote semantics AND identical float64 operation order."""
+    want = oracle_idx.search_boosting(pos, neg, f, k=10)
+    got = [(r.doc_id, r.score) for r in
+           Q.search_boosting(packed_index, pos, neg, f, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert np.allclose([s for _, s in got], [s for _, s in want],
+                       rtol=0, atol=0)  # bit-identical
+
+
+def test_boosting_composes_and_validates(packed_index, oracle_idx):
+    # demote + exclude: exclude drops, demote only reorders
+    want_ids = {d for d, _ in oracle_idx.search("hot0", k=10**9)}
+    got = Q.search_boosting(packed_index, "hot0", "hot1", 0.2, k=10,
+                            exclude="rare3").collect()
+    assert all(r.doc_id in want_ids for r in got)
+    with pytest.raises(ValueError, match=">= 0"):
+        Q.search_boosting(packed_index, "hot0", "hot1", -1.0).collect()
+    # demote via the generic search(demote=...) passthrough
+    a = [(r.doc_id, r.score) for r in Q.search(
+        packed_index, "hot0 hot1", k=10, demote=("rare3", 0.25)).collect()]
+    b = [(r.doc_id, r.score) for r in Q.search_boosting(
+        packed_index, "hot0 hot1", "rare3", 0.25, k=10).collect()]
+    assert a == b
