@@ -708,6 +708,62 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 '''}"""
 
 
+def _dis_max_sql(subqueries: list[list[str]], tie: float,
+                 k: int = 10) -> str:
+    """DuckDB twin of engine.query.search_dis_max: one scored CTE per
+    subquery (the _bm25_sql scored shape), FULL bucket via a UNION of
+    matching docs, combine = greatest(v1, ..) + tie * ((v1 + v2 + ..)
+    - greatest(v1, ..)) — the engine kernel's exact float64
+    expression (unmatched subqueries contribute 0.0; BM25 lucene
+    contributions are strictly positive, so 0 never collides)."""
+    from collections import Counter
+    subs_cte, unions, joins, vcols = [], [], [], []
+    for i, terms in enumerate(subqueries, 1):
+        qtf = Counter(terms)
+        terms_in = ", ".join(f"'{t}'" for t in sorted(qtf))
+        qtf_rows = ", ".join(f"('{t}', {float(n)!r}::DOUBLE)"
+                             for t, n in sorted(qtf.items()))
+        subs_cte.append(f"""q{i}(term, qtf) AS (VALUES {qtf_rows}),
+s{i} AS (
+  SELECT tf.doc_id,
+         sum(q{i}.qtf * ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))) AS sc
+  FROM tf
+  JOIN dfreq USING (term) JOIN q{i} USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  WHERE tf.term IN ({terms_in})
+  GROUP BY tf.doc_id
+)""")
+        unions.append(f"SELECT doc_id FROM s{i}")
+        joins.append(f"LEFT JOIN s{i} USING (doc_id)")
+        vcols.append(f"coalesce(s{i}.sc, 0.0)")
+    g = f"greatest({', '.join(vcols)})" if len(vcols) > 1 else vcols[0]
+    tot = " + ".join(vcols)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+{",".join(subs_cte)},
+u AS ({" UNION ".join(unions)})
+SELECT u.doc_id,
+       round({g} + {tie!r} * (({tot}) - {g}), 6) AS score
+FROM u {" ".join(joins)}
+ORDER BY score DESC, u.doc_id ASC LIMIT {k}"""
+
+
 def _collapse_tail(field: str, exclude: list[str] | None, k: int,
                    n_hits: int = 1) -> str:
     """Field-collapsing twin (engine/query.py search_collapsed): one row
@@ -975,6 +1031,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _packed_index(spark, sf)
         top = Q.search_boosting(idx, "spark join fast", "hash", 0.3,
                                 k=10)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_dis_max(spark, sf):
+        # ES dis_max (engine/query.py search_dis_max): two OR
+        # subqueries ride ONE pruned scan, each decoded payload
+        # scatter-adds into every subquery's accumulator, per-doc
+        # combine best + tie*(total - best) — the twin writes the
+        # identical float64 expression over FULL-JOINed scored CTEs
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search_dis_max(idx, ["spark join", "fast vector"],
+                               k=10, tie_breaker=0.3)
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
     def bm25_collapse(spark, sf):
@@ -1645,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_msm": bm25_bool_msm,
         "bm25_term_boosts": bm25_term_boosts,
         "bm25_boosting": bm25_boosting,
+        "bm25_dis_max": bm25_dis_max,
         "bm25_collapse": bm25_collapse,
         "bm25_top_hits": bm25_top_hits,
         "bm25_rrf": bm25_rrf,
@@ -2155,6 +2224,8 @@ ORDER BY term
             boost_mult=("CASE WHEN doc_id IN (SELECT DISTINCT doc_id "
                         "FROM toks WHERE term = 'hash') "
                         "THEN 0.3 ELSE 1.0 END")),
+        "bm25_dis_max": _dis_max_sql(
+            [["spark", "join"], ["fast", "vector"]], 0.3),
         "bm25_collapse": _bm25_sql(["spark", "join", "fast"], "OR",
                                    collapse_field="lang"),
         "bm25_top_hits": _bm25_sql(["spark", "join", "fast"], "OR", k=3,

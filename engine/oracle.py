@@ -157,3 +157,38 @@ class OracleIndex:
         scored = [(d, s * f if d in dem else s) for d, s in full]
         scored.sort(key=lambda kv: (-kv[1], kv[0]))
         return scored[:k]
+
+    def search_dis_max(self, queries: list, tie_breaker: float = 0.0,
+                       k: int = 10,
+                       exclude: str | None = None) -> list[tuple[int, float]]:
+        """ES dis_max (frozen semantics, mirrored by the engine's
+        query.search_dis_max): per doc, s_i = the plain OR BM25 sum of
+        subquery i (0.0 when unmatched); total = left-fold of s_i in
+        subquery LIST order; score = best + tie * (total - best) — the
+        identical float64 expression the shard kernel computes."""
+        per = [dict(self.search(q, k=max(self.n_docs, 1), mode="OR"))
+               for q in queries]
+        union_terms = set()
+        for q in queries:
+            union_terms.update(tokenize_py(q, self.acfg))
+        banned: set[int] = set()
+        for t in sorted((set(tokenize_py(exclude, self.acfg)) - union_terms)
+                        if exclude else ()):
+            banned.update(d for d, _ in self.postings.get(t, ()))
+        docs = set()
+        for p in per:
+            docs.update(p)
+        tie = float(tie_breaker)
+        out = []
+        for d in docs:
+            if d in banned:
+                continue
+            total = per[0].get(d, 0.0)
+            best = per[0].get(d, 0.0)
+            for p in per[1:]:
+                v = p.get(d, 0.0)
+                total = total + v
+                best = max(best, v)
+            out.append((d, best + tie * (total - best)))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]

@@ -503,6 +503,192 @@ def search(index, query: str, k: int = 10, mode: str = "OR",
         term_boosts=term_boosts, demote=demote))
 
 
+def search_dis_max(index, queries: list, k: int = 10,
+                   tie_breaker: float = 0.0,
+                   exclude: str | None = None,
+                   doc_filter: str | None = None,
+                   dv_filter: str | None = None) -> DataFrame:
+    """Disjunction-max query — the ES ``dis_max`` pattern: N OR
+    subqueries, each doc ranked by its BEST-matching subquery plus
+    ``tie_breaker`` times the rest ("best field wins, others break
+    ties" — here "fields" are alternative phrasings of one query, e.g.
+    synonym variants that must not double-count).
+
+    Frozen contract (mirrored by the DuckDB twin in
+    ``__spark_entry__``):
+
+    * each subquery is a plain OR query (analyzer tokens, qtf counted
+      per subquery); a doc matches the dis_max iff it matches >= 1
+      subquery; subqueries with no corpus-known term match nothing;
+    * per-doc: ``s_i`` = the frozen per-term-ascending BM25 sum of
+      subquery i over this doc (0.0 when unmatched — BM25 lucene
+      contributions are strictly positive, so 0 never collides);
+      ``total`` = left-fold of ``s_i`` in SUBQUERY LIST ORDER;
+      ``best`` = max over ``s_i``; score = ``best + tie_breaker *
+      (total - best)`` — exactly the float64 expression the twin
+      writes (``greatest(...) + tie * ((s1 + s2 + ...) -
+      greatest(...))``), so scores compare bit-exact;
+    * ``exclude`` (NOT, positive-wins vs the UNION of subquery terms),
+      ``doc_filter``/``dv_filter``/tombstones compose with their
+      unchanged contracts; tie_breaker must lie in [0, 1] (the ES
+      rule). Routing is exhaustive-only: block-max bounds are per-term
+      sums, not per-subquery maxima.
+
+    Plan: ONE job — the union of all subqueries' terms rides one
+    pruned postings scan; the shard kernel decodes each (term, shard)
+    payload ONCE, scatter-adds the shared tf-factor into every
+    subquery's accumulator scaled by that subquery's qtf, combines the
+    <= N width-bounded accumulators, and emits <= k rows; global
+    TakeOrderedAndProject."""
+    _warn_if_stale(index)
+    queries = [str(q) for q in queries]
+    if not queries:
+        raise ValueError("dis_max needs at least one subquery")
+    tie = float(tie_breaker)
+    if not (0.0 <= tie <= 1.0):
+        raise ValueError("tie_breaker must lie in [0, 1]")
+    key = ("dm", tuple(queries), k, tie, exclude, doc_filter, dv_filter)
+    return _plan_cached(index, key, lambda: _search_dis_max_impl(
+        index, queries, k, tie, exclude, doc_filter, dv_filter))
+
+
+def _search_dis_max_impl(index, queries: list, k: int, tie: float,
+                         exclude: str | None,
+                         doc_filter: str | None,
+                         dv_filter: str | None) -> DataFrame:
+    spark = index.spark
+    acfg = index.cfg.analyzer
+    sub_qtfs = [query_terms(q, acfg) for q in queries]
+    union_terms = sorted(set().union(*[set(s) for s in sub_qtfs]))
+    empty = _empty_topk(spark)
+    if not union_terms:
+        return empty
+    neg = (sorted(set(tokenize_py(exclude, acfg)) - set(union_terms))
+           if exclude else [])
+    lex = index.lookup_terms(sorted(set(union_terms) | set(neg)))
+    known = [t for t in union_terms if t in lex]
+    if not known:
+        return empty
+    neg = [t for t in neg if t in lex]
+    known_set = set(known)
+    # per-subquery known qtf maps; empty subqueries match nothing but
+    # keep their LIST SLOT (the total fold order is list order)
+    subs = [{t: float(n) for t, n in s.items() if t in known_set}
+            for s in sub_qtfs]
+    idfs = {t: float(lex[t]["idf"]) for t in known}
+    scan_terms = sorted(set(known) | set(neg))
+    buckets = sorted({lex[t]["bucket"] for t in scan_terms})
+    post = (index.postings()
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(scan_terms))
+            .select("term", "shard", "df", "doc_ids", "tfs", "dls"))
+    width = index.shard_width
+    cfgd = {"k1": index.cfg.bm25.k1, "b": index.cfg.bm25.b,
+            "avgdl": index.avgdl}
+    neg_set = frozenset(neg)
+    del_locs = _del_closure(index)
+    dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+    def _kernel(post_pdf, allowed_loc=None):
+        import numpy as np
+        import pandas as pd
+        from . import codec as C
+        out_empty = pd.DataFrame({"doc_id": [], "score": []})
+        if len(post_pdf) == 0:
+            return out_empty
+        shard = int(post_pdf["shard"].iloc[0])
+        start = shard * width
+        n_sub = len(subs)
+        accs = [np.zeros(width, dtype=np.float64) for _ in range(n_sub)]
+        hitany = np.zeros(width, dtype=bool)
+        negmask = np.zeros(width, dtype=bool) if neg_set else None
+        k1, b, avgdl = cfgd["k1"], cfgd["b"], cfgd["avgdl"]
+        order = np.argsort(post_pdf["term"].to_numpy(object))
+        for i in order:
+            term = post_pdf["term"].iloc[int(i)]
+            if term in neg_set:
+                ids, _ = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
+                                           post_pdf["tfs"].iloc[int(i)])
+                negmask[ids - start] = True
+                continue
+            ids, tfs = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
+                                         post_pdf["tfs"].iloc[int(i)])
+            dls = C.vbyte_decode(post_pdf["dls"].iloc[int(i)]).astype(
+                np.float64)
+            loc = ids - start
+            tfs = tfs.astype(np.float64)
+            # shared decode, per-subquery contribution with EXACTLY the
+            # single-query kernel's float64 grouping — ((qtf*idf)*A)/B —
+            # so each s_i is bit-identical to search(subquery_i)'s sum
+            num = tfs * (k1 + 1.0)
+            den = tfs + k1 * (1.0 - b + b * dls / avgdl)
+            hit_marked = False
+            for si, s in enumerate(subs):
+                qtf = s.get(term)
+                if qtf is None:
+                    continue
+                # terms arrive in global ascending order, so each
+                # accumulator receives ITS terms ascending too — the
+                # frozen per-subquery summation order
+                accs[si][loc] += (qtf * idfs[term]) * num / den
+                if not hit_marked:
+                    hitany[loc] = True
+                    hit_marked = True
+        if negmask is not None:
+            hitany[negmask] = False
+        if del_locs is not None:
+            dl_ = del_locs(shard)
+            if dl_ is not None:
+                hitany[dl_] = False
+        if dv_filter is not None:
+            from .docvalues import eval_filter
+            allow = np.zeros(width, dtype=bool)
+            allow[eval_filter(dv_dir, shard, dv_gen, dv_filter)] = True
+            hitany &= allow
+        if allowed_loc is not None:
+            allow = np.zeros(width, dtype=bool)
+            allow[np.asarray(allowed_loc, dtype=np.int64)] = True
+            hitany &= allow
+        hit = np.flatnonzero(hitany)
+        if hit.size == 0:
+            return out_empty
+        # combine: total = left-fold in subquery list order; best = max;
+        # score = best + tie * (total - best) — the twin's expression
+        total = accs[0][hit].copy()
+        best = accs[0][hit].copy()
+        for si in range(1, len(accs)):
+            v = accs[si][hit]
+            total = total + v
+            np.maximum(best, v, out=best)
+        scores = best + tie * (total - best)
+        hit, scores = C.topk_tiebreak(hit, scores, k)
+        import pandas as _pd
+        return _pd.DataFrame({"doc_id": (hit + start).astype(np.int64),
+                              "score": scores})
+
+    if doc_filter is not None:
+        allowed = _allowed_shards(index, doc_filter, width)
+
+        def fnf(key, post_pdf, allowed_pdf):
+            import numpy as np
+            import pandas as pd
+            if len(post_pdf) == 0 or len(allowed_pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            shard = int(post_pdf["shard"].iloc[0])
+            loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
+                   - shard * width)
+            return _kernel(post_pdf, allowed_loc=loc)
+
+        scored = (post.groupBy("shard")
+                  .cogroup(allowed.groupBy("shard"))
+                  .applyInPandas(fnf, "doc_id long, score double"))
+    else:
+        scored = (post.groupBy("shard")
+                  .applyInPandas(lambda key, pdf: _kernel(pdf),
+                                 "doc_id long, score double"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def search_boosting(index, positive: str, negative: str,
                     negative_boost: float = 0.5, k: int = 10,
                     mode: str = "OR",

@@ -331,3 +331,35 @@ def test_boosting_composes_and_validates(packed_index, oracle_idx):
     b = [(r.doc_id, r.score) for r in Q.search_boosting(
         packed_index, "hot0 hot1", "rare3", 0.25, k=10).collect()]
     assert a == b
+
+
+@pytest.mark.parametrize("subs,tie", [
+    (["hot0 hot1", "w010 w020"], 0.0),
+    (["hot0 hot1", "w010 w020"], 0.3),
+    (["hot0", "hot0 w005", "w006"], 1.0),   # overlapping subqueries
+    (["ghost0", "hot0"], 0.5),              # one subquery fully unknown
+    (["rare3"], 0.7),                       # single subquery == plain OR
+])
+def test_dis_max_rank_identity(packed_index, oracle_idx, subs, tie):
+    """ES dis_max: engine vs the pure-Python oracle — identical combine
+    expression (best + tie * (total - best)), bit-identical scores."""
+    want = oracle_idx.search_dis_max(subs, tie, k=10)
+    got = [(r.doc_id, r.score) for r in
+           Q.search_dis_max(packed_index, subs, k=10,
+                            tie_breaker=tie).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert [s for _, s in got] == [s for _, s in want]  # bit-identical
+
+
+def test_dis_max_filters_and_validation(packed_index, oracle_idx):
+    want = oracle_idx.search_dis_max(["hot0 hot1", "w010"], 0.4, k=10,
+                                     exclude="rare3")
+    got = [(r.doc_id, r.score) for r in
+           Q.search_dis_max(packed_index, ["hot0 hot1", "w010"], k=10,
+                            tie_breaker=0.4, exclude="rare3").collect()]
+    assert got == want
+    assert Q.search_dis_max(packed_index, ["ghost0"], k=5).collect() == []
+    with pytest.raises(ValueError, match="at least one"):
+        Q.search_dis_max(packed_index, [])
+    with pytest.raises(ValueError, match="tie_breaker"):
+        Q.search_dis_max(packed_index, ["hot0"], tie_breaker=1.5)
