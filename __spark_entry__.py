@@ -1045,6 +1045,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                k=10, tie_breaker=0.3)
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def percolate_alerts(spark, sf):
+        # ES percolator (engine/percolate.py): saved alert queries are
+        # themselves the indexed corpus (qid/required docvalues); the
+        # incoming doc's distinct tokens run ONE pruned-scan job over
+        # the query index and each shard emits the qids whose stored
+        # floor is reached — work scales with the DOC'S tokens, never
+        # with the number of registered queries. Twin: set-intersection
+        # arithmetic over VALUES rows of the same saved queries
+        import tempfile
+        from engine.percolate import percolate, register_queries
+        d = tempfile.mkdtemp(prefix="entry_perc_")
+        qidx = register_queries(spark, [
+            {"id": "alert-and", "query": "spark join", "mode": "AND"},
+            {"id": "alert-or", "query": "vector hash", "mode": "OR"},
+            {"id": "alert-msm", "query": "spark fast table",
+             "min_match": 2},
+        ], f"{d}/qidx")
+        text = _docs(spark, sf).filter("doc_id = 7") \
+            .select("text").collect()[0]["text"]
+        return percolate(qidx, text + " spark join")
+
     def bm25_collapse(spark, sf):
         # field collapsing (ES collapse): top groups by their best doc —
         # one row per distinct lang, ranked by the group representative
@@ -1714,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_boosts": bm25_term_boosts,
         "bm25_boosting": bm25_boosting,
         "bm25_dis_max": bm25_dis_max,
+        "percolate_alerts": percolate_alerts,
         "bm25_collapse": bm25_collapse,
         "bm25_top_hits": bm25_top_hits,
         "bm25_rrf": bm25_rrf,
@@ -2226,6 +2248,23 @@ ORDER BY term
                         "THEN 0.3 ELSE 1.0 END")),
         "bm25_dis_max": _dis_max_sql(
             [["spark", "join"], ["fast", "vector"]], 0.3),
+        # percolator twin: |terms(query) ∩ terms(doc)| >= required over
+        # the SAME saved-query literals the entry registers; the doc is
+        # documents.doc_id=7's text with ' spark join' appended (both
+        # sides), so alert-and always fires and the rest depend on the
+        # doc — set semantics via list_intersect (distinct elements)
+        "percolate_alerts": f"""
+            WITH q(query_id, terms, required) AS (VALUES
+              ('alert-and', ['join', 'spark'], 2),
+              ('alert-or', ['hash', 'vector'], 1),
+              ('alert-msm', ['fast', 'spark', 'table'], 2)),
+            doc AS (
+              SELECT regexp_extract_all(lower(text || ' spark join'),
+                                        '[a-z0-9]+') AS toks
+              FROM documents WHERE doc_id = 7)
+            SELECT query_id FROM q, doc
+            WHERE len(list_intersect(q.terms, doc.toks)) >= q.required
+            ORDER BY query_id""",
         "bm25_collapse": _bm25_sql(["spark", "join", "fast"], "OR",
                                    collapse_field="lang"),
         "bm25_top_hits": _bm25_sql(["spark", "join", "fast"], "OR", k=3,

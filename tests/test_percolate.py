@@ -1,0 +1,82 @@
+"""Percolator (engine/percolate.py): reverse search — registered saved
+queries matched against incoming documents. Differential reference:
+set-intersection arithmetic over the frozen analyzer tokens."""
+
+import pytest
+
+from engine.analyzer import tokenize_py
+from engine.config import DEFAULT
+from engine.percolate import percolate, register_queries
+
+QUERIES = [
+    {"id": "q-and", "query": "hot0 hot1", "mode": "AND"},
+    {"id": "q-or", "query": "rare3 rare4", "mode": "OR"},
+    {"id": "q-one", "query": "w010", "mode": "OR"},
+    {"id": "q-msm", "query": "hot0 w010 w020", "min_match": 2},
+    {"id": "q-mixed", "query": "MiXeD-Case7!", "mode": "AND"},
+]
+
+
+@pytest.fixture(scope="module")
+def qidx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("perc") / "qidx")
+    return register_queries(spark, QUERIES, d)
+
+
+def _ref_matches(doc_text):
+    toks = set(tokenize_py(doc_text, DEFAULT.analyzer))
+    out = []
+    for q in QUERIES:
+        terms = set(tokenize_py(q["query"], DEFAULT.analyzer))
+        req = (q.get("min_match")
+               or (len(terms) if q.get("mode", "OR").upper() == "AND"
+                   else 1))
+        if len(terms & toks) >= req:
+            out.append(q["id"])
+    return sorted(out)
+
+
+@pytest.mark.parametrize("doc", [
+    "hot0 hot1 filler words",          # q-and + q-msm? (hot0 only: no)
+    "hot0 w010 something",             # q-one + q-msm (2 of 3)
+    "rare4 alone",                     # q-or
+    "totally unrelated tokens here",   # nothing
+    "MiXeD-Case7! and hot0 hot1 w010 w020 rare3",  # everything
+    "",                                # empty doc
+])
+def test_percolate_matches_reference(qidx, doc):
+    got = [r.query_id for r in percolate(qidx, doc).collect()]
+    assert got == _ref_matches(doc), doc
+
+
+def test_percolate_unregister_via_deletes(spark, tmp_path):
+    from engine.deletes import delete_docs
+    d = str(tmp_path / "qidx2")
+    qidx = register_queries(spark, QUERIES, d)
+    doc = "hot0 hot1 w010"
+    before = [r.query_id for r in percolate(qidx, doc).collect()]
+    assert "q-and" in before
+    delete_docs(qidx, "qid = 'q-and'")
+    after = [r.query_id for r in percolate(qidx, doc).collect()]
+    assert sorted(set(before) - {"q-and"}) == after
+
+
+def test_register_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="duplicate query id"):
+        register_queries(spark, [{"id": "a", "query": "x"},
+                                 {"id": "a", "query": "y"}],
+                         str(tmp_path / "dup"))
+    with pytest.raises(ValueError, match="no analyzer tokens"):
+        register_queries(spark, [{"id": "a", "query": "!!!"}],
+                         str(tmp_path / "tok"))
+    with pytest.raises(ValueError, match="OR-family floor"):
+        register_queries(spark, [{"id": "a", "query": "x y",
+                                  "mode": "AND", "min_match": 2}],
+                         str(tmp_path / "mm"))
+
+
+def test_percolate_requires_percolator_index(spark, corpus_df, tmp_path):
+    from engine.build import build_index
+    idx = build_index(spark, corpus_df, str(tmp_path / "plain"))
+    with pytest.raises(ValueError, match="percolator index"):
+        percolate(idx, "hot0")
