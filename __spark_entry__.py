@@ -1396,6 +1396,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _packed_index(spark, sf, positions=True)
         return Q.search_phrase(idx, "table hash", k=10)
 
+    def phrase_prefix(spark, sf):
+        # match_phrase_prefix (ES search-as-you-type; engine/query.py
+        # search_phrase_prefix): consecutive phrase whose last slot
+        # matches ANY vocabulary term starting with 'ha' (frozen
+        # df-desc/term-asc expansion over the term-sorted lexicon);
+        # integer anchor counts -> exact compare
+        from engine import query as Q
+        idx = _packed_index(spark, sf, positions=True)
+        return Q.search_phrase_prefix(idx, "table ha", k=10)
+
     def span_first(spark, sf):
         # Lucene/ES span_first: docs where 'spark' occurs within the
         # first 5 analyzer positions, n_within counting those
@@ -1778,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_hybrid": bm25_hybrid,
         "phrase_search": phrase_search,
         "span_first": span_first,
+        "phrase_prefix": phrase_prefix,
         "phrase_sloppy": phrase_sloppy,
         "bm25_filtered": bm25_filtered,
         "bm25_dv_filtered": bm25_dv_filtered,
@@ -2439,6 +2450,31 @@ ORDER BY term
         "bm25_hybrid": _bm25_sql(["hash", "merge", "scan"], "OR",
                                  where="lang = 'en'"),
         "phrase_search": _phrase_sql(["table", "hash"], 10),
+        # match_phrase_prefix twin: the frozen expansion rule as a list
+        # scalar (df desc, term asc, LIMIT 64 over terms LIKE 'ha%'),
+        # anchor condition toks[i] = 'table' AND toks[i+1] IN expansion
+        "phrase_prefix": f"""
+            WITH t AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+            tfq AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents)
+              WHERE term LIKE 'ha%'),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM tfq GROUP BY term),
+            exp AS (
+              SELECT list(term) AS el FROM (
+                SELECT term FROM dfreq
+                ORDER BY df DESC, term ASC LIMIT 64)),
+            m AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] = 'table'
+                            AND list_contains(el, toks[i+1])))::BIGINT
+                       AS n_phrase
+              FROM t CROSS JOIN exp)
+            SELECT doc_id, n_phrase FROM m WHERE n_phrase > 0
+            ORDER BY n_phrase DESC, doc_id ASC LIMIT 10""",
         # span_first twin: occurrences of the term within the first 5
         # 0-based analyzer positions == count of equal tokens in the
         # 1-based list slice toks[1:5]

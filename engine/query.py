@@ -2479,6 +2479,160 @@ def _search_phrase_impl(index, phrase: str, k: int = 10,
     return scored.orderBy(F.desc("n_phrase"), F.asc("doc_id")).limit(k)
 
 
+def search_phrase_prefix(index, phrase: str, k: int = 10,
+                         max_expansions: int = 64,
+                         doc_filter: str | None = None,
+                         exclude: str | None = None) -> DataFrame:
+    """Match-phrase-prefix (see _search_phrase_prefix_impl). Plans are
+    memoized per argument tuple (_plan_cached)."""
+    _warn_if_stale(index)
+    key = ("pp", phrase, k, int(max_expansions), doc_filter, exclude)
+    return _plan_cached(index, key, lambda: _search_phrase_prefix_impl(
+        index, phrase, k, int(max_expansions), doc_filter, exclude))
+
+
+def _search_phrase_prefix_impl(index, phrase: str, k: int = 10,
+                               max_expansions: int = 64,
+                               doc_filter: str | None = None,
+                               exclude: str | None = None) -> DataFrame:
+    """Match-phrase-prefix — the ES ``match_phrase_prefix`` pattern (the
+    search-as-you-type query): an exact consecutive phrase whose LAST
+    term is a PREFIX of the final typed word. ``"hash jo"`` matches
+    "hash join", "hash joins", ... at consecutive positions.
+
+    Frozen contract (mirrored by the DuckDB twin in
+    ``__spark_entry__``):
+
+    * the phrase's analyzer tokens must occur consecutively; the final
+      slot matches ANY vocabulary term starting with the last token,
+      expanded under search_prefix's frozen cap rule (df desc, term
+      asc, ``max_expansions``) over the LEXICON — the same memoized
+      term-sorted range scan, so the expansion job is paid once;
+    * ``n_phrase`` counts matching anchors (two expansion terms can
+      never occupy the same position, so the union of their occurrence
+      keys is disjoint — counts stay exact); order (n_phrase desc,
+      doc_id asc), k rows, integer-exact compare;
+    * ``exclude`` / ``doc_filter`` / tombstones compose with
+      ``search_phrase``'s contracts; slop is not supported (exact
+      adjacency only — the ES behavior for this query).
+
+    Plan: identical to phrase — one pruned positions scan carrying the
+    leading terms plus <= max_expansions expansion terms, per-shard
+    vectorized intersect, <= k rows out, TakeOrderedAndProject."""
+    spark = index.spark
+    if not index.cfg.index_positions:
+        raise ValueError("index was built without positions "
+                         "(IndexConfig.index_positions=True required)")
+    acfg = index.cfg.analyzer
+    seq = tokenize_py(phrase, acfg)
+    empty = spark.range(0).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("long").alias("n_phrase"))
+    if not seq:
+        return empty
+    lead, pref = seq[:-1], seq[-1]
+    exp_rows = index.expand_prefix(normalize_prefix(pref + "*"),
+                                   max_expansions)
+    exp = sorted({r["term"] for r in exp_rows})
+    if not exp:
+        return empty  # no vocabulary term starts with the prefix
+    neg = (sorted(set(tokenize_py(exclude, acfg)) - set(seq))
+           if exclude else [])
+    lex = index.lookup_terms(sorted(set(lead) | set(exp) | set(neg)))
+    if any(t not in lex for t in set(lead)):
+        return empty
+    neg = [t for t in neg if t in lex]
+    scan_terms = sorted(set(lead) | set(exp) | set(neg))
+    buckets = sorted({lex[t]["bucket"] for t in scan_terms})
+    post = (index.postings()
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(scan_terms))
+            .select("term", "shard", "df", "doc_ids", "tfs", "poss"))
+    width = index.shard_width
+    lead_set, exp_set, neg_set = (frozenset(lead), frozenset(exp),
+                                  frozenset(neg))
+    last_off = len(lead)
+    del_locs = _del_closure(index)
+
+    def _match(pdf, allowed_loc=None):
+        import numpy as np
+        import pandas as pd
+
+        from . import codec as C
+        out_empty = pd.DataFrame({"doc_id": [], "n_phrase": []})
+        if len(pdf) == 0:
+            return out_empty
+        shard = int(pdf["shard"].iloc[0])
+        start = shard * width
+        dec: dict = {}
+        exp_keys = []
+        neg_locs = []
+        for i in range(len(pdf)):
+            t = pdf["term"].iloc[i]
+            if t in lead_set:
+                dec[t] = _decode_occurrences(pdf, i, start)
+            if t in exp_set:
+                occ_loc, pos = _decode_occurrences(pdf, i, start)
+                m = pos >= last_off
+                exp_keys.append((occ_loc[m] << np.int64(32))
+                                | (pos[m] - last_off))
+            if t in neg_set:
+                ids, _ = C.decode_postings(pdf["doc_ids"].iloc[i],
+                                           pdf["tfs"].iloc[i])
+                neg_locs.append(ids - start)
+        if any(t not in dec for t in lead_set) or not exp_keys:
+            return out_empty
+        if del_locs is not None:
+            dl_ = del_locs(shard)
+            if dl_ is not None:
+                neg_locs.append(dl_)
+        neg_loc = (np.unique(np.concatenate(neg_locs)) if neg_locs
+                   else np.empty(0, dtype=np.int64))
+        # last slot: union of expansion occurrences — disjoint by
+        # construction (one token per position), so a plain sorted
+        # concat IS the deduped key set
+        keys = np.sort(np.concatenate(exp_keys))
+        for off, t in enumerate(lead):
+            occ_loc, pos = dec[t]
+            m = pos >= off
+            cand = np.sort((occ_loc[m] << np.int64(32)) | (pos[m] - off))
+            keys = np.intersect1d(keys, cand, assume_unique=True)
+            if keys.size == 0:
+                return out_empty
+        locs = (keys >> np.int64(32)).astype(np.int64)
+        udocs, counts = np.unique(locs, return_counts=True)
+        hit = _phrase_topk(udocs, counts, k, width,
+                           allowed_loc, neg_loc, None)
+        if hit is None:
+            return out_empty
+        udocs, counts = hit
+        return pd.DataFrame(
+            {"doc_id": (udocs + start).astype(np.int64),
+             "n_phrase": counts.astype(np.int64)})
+
+    if doc_filter is not None:
+        allowed = _allowed_shards(index, doc_filter, width)
+
+        def fnf(key, pdf, allowed_pdf):
+            import numpy as np
+            import pandas as pd
+            if len(pdf) == 0 or len(allowed_pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "n_phrase": []})
+            shard = int(pdf["shard"].iloc[0])
+            loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
+                   - shard * width)
+            return _match(pdf, allowed_loc=loc)
+
+        scored = (post.groupBy("shard")
+                  .cogroup(allowed.groupBy("shard"))
+                  .applyInPandas(fnf, "doc_id long, n_phrase long"))
+    else:
+        scored = (post.groupBy("shard")
+                  .applyInPandas(lambda key, pdf: _match(pdf),
+                                 "doc_id long, n_phrase long"))
+    return scored.orderBy(F.desc("n_phrase"), F.asc("doc_id")).limit(k)
+
+
 def search_span_first(index, term: str, n: int, k: int = 10,
                       doc_filter: str | None = None,
                       exclude: str | None = None) -> DataFrame:

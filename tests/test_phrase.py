@@ -377,3 +377,79 @@ def test_span_first_filters_compose(spark, tmp_path):
                                         doc_filter="role = 'user'",
                                         exclude="rare3").collect()]
     assert got == want
+
+
+def _py_expand_prefix(texts, pref, cap, acfg=None):
+    """Frozen expansion rule twin: df desc, term asc, LIMIT cap."""
+    from collections import Counter
+    from engine.config import DEFAULT_ANALYZER
+    acfg = acfg or DEFAULT_ANALYZER
+    df = Counter()
+    for t in texts:
+        for term in set(tokenize_py(t, acfg)):
+            if term.startswith(pref):
+                df[term] += 1
+    return {t for t, _ in sorted(df.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:cap]}
+
+
+def _py_phrase_prefix(texts, phrase, cap=64, acfg=None):
+    from engine.config import DEFAULT_ANALYZER
+    acfg = acfg or DEFAULT_ANALYZER
+    seq = tokenize_py(phrase, acfg)
+    lead, pref = seq[:-1], seq[-1]
+    exp = _py_expand_prefix(texts, pref, cap, acfg)
+    out = {}
+    L = len(seq)
+    for i, t in enumerate(texts):
+        toks = tokenize_py(t, acfg)
+        n = sum(1 for j in range(len(toks) - L + 1)
+                if toks[j:j + L - 1] == lead and toks[j + L - 1] in exp)
+        if n:
+            out[i] = n
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_phrase_prefix_matches_reference(spark, tmp_path):
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    pdf = make_transcripts(300)
+    idx = build_index(spark, spark_transcripts(spark, 300),
+                      str(tmp_path / "pp1"),
+                      cfg=IndexConfig(index_positions=True))
+    for phrase, cap in [("hot0 w01", 64), ("hot0 w01", 3),  # cap binds
+                        ("hot0 hot1", 64),                  # full-term last
+                        ("w0", 64),                         # prefix only
+                        ("hot0 hot1 w0", 8)]:               # 3-slot
+        want = _py_phrase_prefix(list(pdf.text), phrase, cap)[:10]
+        got = [(r.doc_id, r.n_phrase) for r in
+               Q.search_phrase_prefix(idx, phrase, k=10,
+                                      max_expansions=cap).collect()]
+        assert got == want, (phrase, cap)
+    # no vocabulary term starts with the prefix -> empty
+    assert Q.search_phrase_prefix(idx, "hot0 zzz", k=5).collect() == []
+    assert Q.search_phrase_prefix(idx, "", k=5).collect() == []
+
+
+def test_phrase_prefix_filters_compose(spark, tmp_path):
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import DEFAULT_ANALYZER, IndexConfig
+    pdf = make_transcripts(300)
+    idx = build_index(spark, spark_transcripts(spark, 300),
+                      str(tmp_path / "pp2"),
+                      cfg=IndexConfig(index_positions=True))
+    base = dict(_py_phrase_prefix(list(pdf.text), "hot0 w01", 64))
+    keep = {}
+    for d, n in base.items():
+        row = pdf.iloc[d]
+        toks = set(tokenize_py(row.text, DEFAULT_ANALYZER))
+        if row.role == "user" and "rare3" not in toks:
+            keep[d] = n
+    want = sorted(keep.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.doc_id, r.n_phrase) for r in
+           Q.search_phrase_prefix(idx, "hot0 w01", k=10,
+                                  doc_filter="role = 'user'",
+                                  exclude="rare3").collect()]
+    assert got == want
