@@ -1642,6 +1642,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_composite(idx, "spark", ["lang", "source"],
                                size=3, after=after)
 
+    def match_filters_q(spark, sf):
+        # ES filters agg (engine/matchops.py match_filters): named
+        # OVERLAPPING predicate buckets over one query's match set,
+        # each predicate evaluated once per shard over the cached
+        # docvalue slice (embedded DuckDB — dialect-identical to this
+        # twin by construction); zero-count buckets included
+        from engine.matchops import match_filters
+        idx = _packed_index(spark, sf)
+        cutoff = _TS_EPOCH0 + 90 * 86400
+        return match_filters(idx, "spark join", {
+            "en": "lang = 'en'",
+            "web": "source LIKE 'src1%'",
+            "early": f"epoch(ts)::BIGINT < {cutoff}",
+            "none": "lang = 'zz'",
+        })
+
     def facet_stats_lang(spark, sf):
         # terms agg + stats sub-aggregation (ES aggs-in-aggs): per lang
         # among docs matching "spark" — count + min/max/sum/avg of the
@@ -1809,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_stats_ts": match_stats_ts,
         "match_ranges_ts": match_ranges_ts,
         "match_composite_page": match_composite_page,
+        "match_filters": match_filters_q,
         "facet_stats_lang": facet_stats_lang,
         "match_histogram": match_histogram_q,
         "histogram_pipeline": histogram_pipeline_q,
@@ -2584,6 +2601,36 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
         # composite-agg page 2 via after-key == the ordered bucket
         # list's rows 4..6: LIMIT 3 OFFSET 3 (engine cursor must land
         # exactly there — disjoint, complete pagination)
+        # filters-agg twin: per-name conditional counts over the match
+        # set (ts recomputed arithmetically — the corpus's synthetic
+        # recency rule), zero-count buckets kept, name-ascending
+        "match_filters": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ('join', 'spark')
+            ),
+            d AS (
+              SELECT m.doc_id, lang, source,
+                     ({_TS_EPOCH0} + (m.doc_id % 180) * 86400)::BIGINT AS s
+              FROM documents JOIN matched m USING (doc_id)
+            )
+            SELECT bucket, n_docs FROM (
+              SELECT 'early' AS bucket, coalesce(sum(CASE WHEN
+                s < {_TS_EPOCH0 + 90 * 86400} THEN 1 END), 0)::BIGINT
+                AS n_docs FROM d
+              UNION ALL
+              SELECT 'en', coalesce(sum(CASE WHEN lang = 'en'
+                THEN 1 END), 0)::BIGINT FROM d
+              UNION ALL
+              SELECT 'none', coalesce(sum(CASE WHEN lang = 'zz'
+                THEN 1 END), 0)::BIGINT FROM d
+              UNION ALL
+              SELECT 'web', coalesce(sum(CASE WHEN source LIKE 'src1%'
+                THEN 1 END), 0)::BIGINT FROM d
+            ) ORDER BY bucket""",
         "match_composite_page": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents

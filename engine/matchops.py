@@ -973,6 +973,91 @@ def match_composite(index, query: str, fields, size: int = 10,
     return _plan_cached(index, key, build)
 
 
+def match_filters(index, query: str, filters: dict,
+                  mode: str = "OR", exclude: str | None = None,
+                  dv_filter: str | None = None) -> DataFrame:
+    """Filters aggregation — the ES ``filters`` agg: named predicate
+    buckets over ONE boolean query's match set ("of the turns matching
+    Q: how many are user turns, how many tool turns, how many from this
+    week"). Each bucket is an independent ANSI-SQL predicate over the
+    STORED docvalue columns; buckets overlap freely (a doc can count in
+    several) — unlike ``facets``, which partitions by a column's values.
+
+    Frozen contract (mirrored by the DuckDB twin in
+    ``__spark_entry__``): returns ``(bucket:string, n_docs:long)`` with
+    ONE row per named filter — zero-count buckets included (the ES
+    behavior) — ordered by bucket name ascending. Match semantics are
+    ``search``'s exact set (AND/OR arity, NOT via ``exclude``,
+    ``dv_filter`` restriction, tombstones).
+
+    Plan: the shared pruned-scan arity kernel; each shard task
+    evaluates every named predicate ONCE over its own cached docvalue
+    slice (embedded DuckDB, the dv_filter machinery) and emits one
+    (bucket, partial-count) row per filter — shuffle volume is
+    |filters| rows per shard, never docs; a tiny final aggregation
+    LEFT-joins the driver-built name table so empty buckets survive.
+    """
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    filters = {str(n): str(p) for n, p in filters.items()}
+    if not filters:
+        raise ValueError("match_filters needs at least one named filter")
+    if not (index.doc_values or ()):
+        raise ValueError("this index has no docvalue store — build with "
+                         "IndexConfig(doc_values=...)")
+    key = ("mf", query, tuple(sorted(filters.items())), mode, exclude,
+           dv_filter)
+
+    def build():
+        spark = index.spark
+        names = sorted(filters)
+        name_df = spark.createDataFrame([(n,) for n in names],
+                                        "bucket string")
+        zero = name_df.select(
+            "bucket", F.lit(0).cast("long").alias("n_docs"))
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:  # empty match set: every bucket counts 0
+            return zero.orderBy("bucket")
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+        preds = [(n, filters[n]) for n in names]
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            from .docvalues import eval_filter
+            empty = pd.DataFrame({"bucket": [], "n": []})
+            if len(post_pdf) == 0:
+                return empty
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty
+            out = []
+            for n, p in preds:
+                locs = eval_filter(dv_dir, shard, dv_gen, p)
+                c = int(np.intersect1d(hit, locs,
+                                       assume_unique=True).size)
+                if c:
+                    out.append((n, c))
+            return pd.DataFrame(out, columns=["bucket", "n"])
+
+        partial = post.groupBy("shard").applyInPandas(
+            fn, "bucket string, n long")
+        agg = partial.groupBy("bucket").agg(
+            F.sum("n").cast("long").alias("_n"))
+        return (name_df.join(agg, "bucket", "left")
+                .select("bucket",
+                        F.coalesce(F.col("_n"), F.lit(0))
+                        .cast("long").alias("n_docs"))
+                .orderBy("bucket"))
+
+    return _plan_cached(index, key, build)
+
+
 def mlt_terms(index, doc_id: int, max_terms: int = 16) -> list[str]:
     """The frozen more-like-this term selection: the source doc's
     distinct analyzer terms scored tf x idf (corpus-global idf, the

@@ -565,3 +565,39 @@ def test_match_composite_null_keys_excluded(spark, tmp_path):
            M.match_composite(nidx, "hot0", ["src"], size=10).collect()]
     # even turn_idx rows keep src s0/s1/s2 (i%3); odd rows are NULL-key
     assert got == [("s0", 2), ("s1", 1), ("s2", 1)]
+
+
+def test_match_filters_reference(midx, corpus_pdf, tok_rows):
+    """ES filters agg: named overlapping predicate buckets over the
+    match set, zero-count buckets included, name-ascending order."""
+    ids = _expect_ids(tok_rows, ["hot0", "hot1"], "OR")
+    sub = corpus_pdf.iloc[ids]
+    early = int((sub.ts.values.astype("datetime64[s]").astype(np.int64)
+                 < 1767312000).sum())  # < 2026-01-02
+    want = [("early", early),
+            ("none", 0),
+            ("tool_or_user", int((sub.role != "assistant").sum())),
+            ("users", int((sub.role == "user").sum()))]
+    got = [(r.bucket, r.n_docs) for r in M.match_filters(
+        midx, "hot0 hot1",
+        {"users": "role = 'user'",
+         "tool_or_user": "role <> 'assistant'",
+         "early": "ts < TIMESTAMP '2026-01-02 00:00:00'",
+         "none": "role = 'nosuchrole'"}).collect()]
+    assert got == want
+
+
+def test_match_filters_compose_and_validate(midx, corpus_pdf, tok_rows):
+    ids = _expect_ids(tok_rows, ["hot0"], "OR", pdf=corpus_pdf,
+                      pred=lambda r: r.role == "user", neg=["hot1"])
+    got = [(r.bucket, r.n_docs) for r in M.match_filters(
+        midx, "hot0", {"all": "1 = 1"}, exclude="hot1",
+        dv_filter="role = 'user'").collect()]
+    assert got == [("all", len(ids))]
+    # empty match set: every bucket is zero
+    got = [(r.bucket, r.n_docs) for r in M.match_filters(
+        midx, "nosuchterm", {"a": "1 = 1", "b": "role = 'user'"})
+        .collect()]
+    assert got == [("a", 0), ("b", 0)]
+    with pytest.raises(ValueError, match="at least one"):
+        M.match_filters(midx, "hot0", {})
