@@ -1642,6 +1642,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_composite(idx, "spark", ["lang", "source"],
                                size=3, after=after)
 
+    def auto_histogram(spark, sf):
+        # ES auto_date_histogram (engine/matchops.py
+        # match_auto_histogram): interval picked by the frozen ladder
+        # rule — smallest grain landing the match set's [min, max] in
+        # <= 7 buckets — then the unchanged one-job histogram; the twin
+        # replicates the ladder pick in SQL over the same ints
+        from engine.matchops import match_auto_histogram
+        idx = _packed_index(spark, sf)
+        return match_auto_histogram(idx, "spark join", "ts",
+                                    target_buckets=7)
+
     def match_filters_q(spark, sf):
         # ES filters agg (engine/matchops.py match_filters): named
         # OVERLAPPING predicate buckets over one query's match set,
@@ -1826,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_ranges_ts": match_ranges_ts,
         "match_composite_page": match_composite_page,
         "match_filters": match_filters_q,
+        "auto_histogram": auto_histogram,
         "facet_stats_lang": facet_stats_lang,
         "match_histogram": match_histogram_q,
         "histogram_pipeline": histogram_pipeline_q,
@@ -2601,6 +2613,33 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
         # composite-agg page 2 via after-key == the ordered bucket
         # list's rows 4..6: LIMIT 3 OFFSET 3 (engine cursor must land
         # exactly there — disjoint, complete pagination)
+        # auto_date_histogram twin: the frozen ladder pick (smallest
+        # grain with (mx//i)-(mn//i)+1 <= target, else the largest)
+        # over the match set's min/max, then the floor histogram
+        "auto_histogram": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ('join', 'spark')
+            ),
+            d AS (
+              SELECT ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS s
+              FROM matched
+            ),
+            st AS (SELECT min(s) AS mn, max(s) AS mx FROM d),
+            iv AS (SELECT coalesce(
+                     (SELECT i FROM (VALUES (1),(5),(10),(30),(60),(300),
+                        (600),(1800),(3600),(10800),(43200),(86400),
+                        (604800),(2592000),(7776000),(31536000)) L(i),
+                        st
+                      WHERE (mx // i) - (mn // i) + 1 <= 7
+                      ORDER BY i LIMIT 1),
+                     31536000)::BIGINT AS i)
+            SELECT (s // i) * i AS bucket_start,
+                   count(*)::BIGINT AS n_docs, i AS interval_s
+            FROM d, iv GROUP BY 1, 3 ORDER BY 1""",
         # filters-agg twin: per-name conditional counts over the match
         # set (ts recomputed arithmetically — the corpus's synthetic
         # recency rule), zero-count buckets kept, name-ascending

@@ -973,6 +973,58 @@ def match_composite(index, query: str, fields, size: int = 10,
     return _plan_cached(index, key, build)
 
 
+# frozen auto_date_histogram interval ladder (seconds) — the ES rounding
+# ladder's shape: second/minute/hour/day/week/month/quarter/year grains
+AUTO_HISTOGRAM_LADDER = (1, 5, 10, 30, 60, 300, 600, 1800, 3600,
+                         3 * 3600, 12 * 3600, 86400, 7 * 86400,
+                         30 * 86400, 90 * 86400, 365 * 86400)
+
+
+def match_auto_histogram(index, query: str, field: str,
+                         target_buckets: int = 10,
+                         mode: str = "OR", exclude: str | None = None,
+                         dv_filter: str | None = None) -> DataFrame:
+    """Auto date-histogram — the ES ``auto_date_histogram`` agg: pick
+    the interval FOR the caller so the histogram lands at or under
+    ``target_buckets`` buckets, from a frozen grain ladder
+    (``AUTO_HISTOGRAM_LADDER``, seconds).
+
+    Frozen rule (mirrored by the DuckDB twin in ``__spark_entry__``):
+    with ``mn``/``mx`` the match set's min/max value at the whole-second
+    grain, the chosen interval is the SMALLEST ladder entry ``i`` with
+    ``(mx // i) - (mn // i) + 1 <= target_buckets``, falling back to the
+    largest entry when none qualifies. Returns ``(bucket_start:long,
+    n_docs:long, interval_s:long)`` — ``match_histogram``'s exact rows
+    (floor semantics, empty buckets omitted) plus the constant chosen
+    interval; an empty match set returns no rows.
+
+    Plan: one ``match_stats`` job for (min, max) — per-shard int64
+    partials, one row per task — then ``match_histogram``'s unchanged
+    one-job plan at the chosen grain. The interval choice itself is
+    driver arithmetic over two ints."""
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    if int(target_buckets) < 1:
+        raise ValueError("target_buckets must be >= 1")
+    target = int(target_buckets)
+    stats = match_stats(index, query, field, mode=mode, exclude=exclude,
+                        dv_filter=dv_filter).collect()[0]
+    spark = index.spark
+    out_schema = "bucket_start long, n_docs long, interval_s long"
+    if stats["n_with_value"] == 0:
+        return spark.createDataFrame([], out_schema)
+    mn, mx = int(stats["min_val"]), int(stats["max_val"])
+    interval = AUTO_HISTOGRAM_LADDER[-1]
+    for i in AUTO_HISTOGRAM_LADDER:
+        if (mx // i) - (mn // i) + 1 <= target:
+            interval = i
+            break
+    h = match_histogram(index, query, field, interval, mode=mode,
+                        exclude=exclude, dv_filter=dv_filter)
+    return h.select("bucket_start", "n_docs",
+                    F.lit(int(interval)).cast("long").alias("interval_s"))
+
+
 def match_filters(index, query: str, filters: dict,
                   mode: str = "OR", exclude: str | None = None,
                   dv_filter: str | None = None) -> DataFrame:

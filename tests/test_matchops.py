@@ -601,3 +601,41 @@ def test_match_filters_compose_and_validate(midx, corpus_pdf, tok_rows):
     assert got == [("a", 0), ("b", 0)]
     with pytest.raises(ValueError, match="at least one"):
         M.match_filters(midx, "hot0", {})
+
+
+def _ref_auto_histogram(corpus_pdf, ids, target):
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64)
+    if secs.size == 0:
+        return [], None
+    mn, mx = int(secs.min()), int(secs.max())
+    interval = M.AUTO_HISTOGRAM_LADDER[-1]
+    for i in M.AUTO_HISTOGRAM_LADDER:
+        if (mx // i) - (mn // i) + 1 <= target:
+            interval = i
+            break
+    b = (secs // interval) * interval
+    import collections
+    c = collections.Counter(b.tolist())
+    return sorted(c.items()), interval
+
+
+@pytest.mark.parametrize("terms,target", [
+    (["hot0", "hot1"], 10),
+    (["hot0", "hot1"], 3),
+    (["rare0"], 5),          # tiny match set -> finest grain
+])
+def test_match_auto_histogram(midx, corpus_pdf, tok_rows, terms, target):
+    ids = _expect_ids(tok_rows, terms, "OR")
+    want, interval = _ref_auto_histogram(corpus_pdf, ids, target)
+    rows = M.match_auto_histogram(midx, " ".join(terms), "ts",
+                                  target_buckets=target).collect()
+    assert len(rows) <= target
+    assert all(r["interval_s"] == interval for r in rows)
+    assert [(r["bucket_start"], r["n_docs"]) for r in rows] == want
+
+
+def test_match_auto_histogram_empty_and_validation(midx):
+    assert M.match_auto_histogram(midx, "nosuchterm", "ts").collect() == []
+    with pytest.raises(ValueError, match=">= 1"):
+        M.match_auto_histogram(midx, "hot0", "ts", target_buckets=0)
