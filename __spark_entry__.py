@@ -610,7 +610,8 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               must_terms: list | None = None,
               min_should: int = 0,
               rank_only: bool = False,
-              raw_score: bool = False) -> str:
+              raw_score: bool = False,
+              tok_sql: str | None = None) -> str:
     """DuckDB BM25 (identical frozen constants/idf) over documents.
 
     NOT semantics (frozen, documented in engine/query.py): an excluded
@@ -662,15 +663,16 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
                     f"WHERE {where})" if where else "")
     src = (f"(SELECT * FROM documents WHERE {corpus_where})"
            if corpus_where else "documents")
+    tok = tok_sql or _TOK_SQL
     return f"""
 WITH dl AS (
-  SELECT doc_id, len({_TOK_SQL}) AS dl FROM {src}
+  SELECT doc_id, len({tok}) AS dl FROM {src}
 ),
 stats AS (
   SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
 ),
 toks AS (
-  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM {src}
+  SELECT doc_id, unnest({tok}) AS term FROM {src}
 ),
 tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
@@ -1065,6 +1067,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text = _docs(spark, sf).filter("doc_id = 7") \
             .select("text").collect()[0]["text"]
         return percolate(qidx, text + " spark join")
+
+    def bm25_reindexed(spark, sf):
+        # reindex (engine/build.py reindex — the ES _reindex /
+        # mapping-change op): the packed index rebuilt from its own
+        # STORED corpus under a hooked analyzer (stopword 'fast' +
+        # plural stemmer), no original source needed; BM25 over the
+        # reindexed vocabulary, twin tokenizes with the identical
+        # DuckDB hook chain (engine.analyzer.duckdb_tokenize)
+        import tempfile
+        from engine import query as Q
+        from engine.build import reindex
+        from engine.config import AnalyzerConfig, IndexConfig
+        key = (spark.sparkContext.applicationId, sf, "reidx")
+        if key not in _PACKED_IDX_CACHE:
+            d = tempfile.mkdtemp(prefix="entry_reidx_")
+            _PACKED_IDX_CACHE[key] = reindex(
+                _packed_index(spark, sf), f"{d}/re",
+                IndexConfig(analyzer=AnalyzerConfig(
+                    stopwords=("fast",), stem="s")))
+        idx = _PACKED_IDX_CACHE[key]
+        top = Q.search(idx, "spark fast joins", k=10)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
 
     def bm25_collapse(spark, sf):
         # field collapsing (ES collapse): top groups by their best doc —
@@ -1773,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosting": bm25_boosting,
         "bm25_dis_max": bm25_dis_max,
         "percolate_alerts": percolate_alerts,
+        "bm25_reindexed": bm25_reindexed,
         "bm25_collapse": bm25_collapse,
         "bm25_top_hits": bm25_top_hits,
         "bm25_rrf": bm25_rrf,
@@ -2219,8 +2244,11 @@ m AS (SELECT doc_id, min(md5('0#' || sh)) AS h0, min(md5('1#' || sh)) AS h1,
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine.analyzer import duckdb_tokenize, tokenize_py
+    from engine.config import AnalyzerConfig
     toks_cte = f"SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents"
     bpe_sql = r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')"
+    reidx_acfg = AnalyzerConfig(stopwords=("fast",), stem="s")
     return {
         "doclen": f"SELECT doc_id, len({_TOK_SQL}) AS dl FROM documents",
         "term_stats": f"""
@@ -2288,6 +2316,12 @@ ORDER BY term
                         "THEN 0.3 ELSE 1.0 END")),
         "bm25_dis_max": _dis_max_sql(
             [["spark", "join"], ["fast", "vector"]], 0.3),
+        # reindex twin: the hooked tokenizer chain (stopword 'fast' +
+        # plural stemmer) applied on BOTH the corpus and the query —
+        # 'spark fast joins' analyzes to ['spark', 'join'] under it
+        "bm25_reindexed": _bm25_sql(
+            tokenize_py("spark fast joins", reidx_acfg), "OR",
+            tok_sql=duckdb_tokenize("text", reidx_acfg)),
         # percolator twin: |terms(query) ∩ terms(doc)| >= required over
         # the SAME saved-query literals the entry registers; the doc is
         # documents.doc_id=7's text with ' spark join' appended (both

@@ -751,3 +751,37 @@ def index_stats(index) -> "DataFrame":
                 "n_terms", "n_postings", "n_tokens",
                 F.lit(int(getattr(index, "n_deleted", 0) or 0))
                 .cast("long").alias("n_deleted")))
+
+
+def reindex(index: PackedIndex, out_dir: str,
+            cfg: IndexConfig = DEFAULT) -> PackedIndex:
+    """Rebuild the index under a NEW IndexConfig from its own STORED
+    corpus — the ES ``_reindex`` / mapping-change operation: change
+    analyzer hooks, turn positions or a docvalue store on/off, resize
+    shard geometry — WITHOUT the original source table (the stored
+    corpus is the engine's source of truth; the text is re-tokenized,
+    nothing else is reinterpreted).
+
+    Frozen contract: the new index is a fresh ``build_index`` over the
+    stored corpus rows under the canonical stable (conv_id, turn_idx)
+    order — for a batch-built corpus the doc_ids therefore come out
+    IDENTICAL (the original build sorted the same way); a
+    streaming-appended corpus is RENUMBERED into the canonical order
+    (append-time ids are arrival-ordered; the (conv_id, turn_idx) key
+    is the durable identity, same as purge's "doc_ids never renumber"
+    is per-index). Tombstones must be purged first — reindexing a
+    tombstoned corpus would silently resurrect deleted docs, so it is
+    refused loudly.
+
+    Plan: one column-pruned read of the stored corpus (internal id
+    columns dropped) feeding the unchanged build pipeline — the same
+    one-pass write-once-corpus build as any fresh index; the old index
+    stays live until the caller swaps directories."""
+    if int(getattr(index, "n_deleted", 0) or 0) > 0:
+        raise ValueError(
+            "index has tombstoned docs — run purge_deletes first "
+            "(reindex would resurrect them)")
+    src = index.corpus()
+    drop = {"doc_id", "part_id", "local_idx"}
+    cols = [c for c in src.columns if c not in drop]
+    return build_index(index.spark, src.select(*cols), out_dir, cfg=cfg)
