@@ -1693,6 +1693,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "none": "lang = 'zz'",
         })
 
+    def match_adjacency_q(spark, sf):
+        # ES adjacency_matrix (engine/matchops.py match_adjacency):
+        # named-filter pair intersections over the match set — diagonal
+        # = each filter's count; zero pairs omitted; per-shard masks
+        # over the cached docvalue slice, <= |filters|^2/2 partial rows
+        from engine.matchops import match_adjacency
+        idx = _packed_index(spark, sf)
+        cutoff = _TS_EPOCH0 + 90 * 86400
+        return match_adjacency(idx, "spark join", {
+            "en": "lang = 'en'",
+            "web": "source LIKE 'src1%'",
+            "early": f"epoch(ts)::BIGINT < {cutoff}",
+        })
+
     def facet_stats_lang(spark, sf):
         # terms agg + stats sub-aggregation (ES aggs-in-aggs): per lang
         # among docs matching "spark" — count + min/max/sum/avg of the
@@ -1863,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_composite_page": match_composite_page,
         "match_filters": match_filters_q,
         "auto_histogram": auto_histogram,
+        "match_adjacency": match_adjacency_q,
         "facet_stats_lang": facet_stats_lang,
         "match_histogram": match_histogram_q,
         "histogram_pipeline": histogram_pipeline_q,
@@ -2674,6 +2689,38 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
             SELECT (s // i) * i AS bucket_start,
                    count(*)::BIGINT AS n_docs, i AS interval_s
             FROM d, iv GROUP BY 1, 3 ORDER BY 1""",
+        # adjacency-matrix twin: pairwise conditional counts over the
+        # match set (a <= b, zero pairs dropped, (a, b) ascending)
+        "match_adjacency": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ('join', 'spark')
+            ),
+            d AS (
+              SELECT (lang = 'en') AS f_en,
+                     (source LIKE 'src1%') AS f_web,
+                     (({_TS_EPOCH0} + (m.doc_id % 180) * 86400)
+                      < {_TS_EPOCH0 + 90 * 86400}) AS f_early
+              FROM documents JOIN matched m USING (doc_id)
+            )
+            SELECT a, b, n_docs FROM (
+              SELECT 'early' AS a, 'early' AS b,
+                     coalesce(sum(CASE WHEN f_early THEN 1 END), 0)
+                     ::BIGINT AS n_docs FROM d
+              UNION ALL SELECT 'early', 'en', coalesce(sum(CASE WHEN
+                f_early AND f_en THEN 1 END), 0)::BIGINT FROM d
+              UNION ALL SELECT 'early', 'web', coalesce(sum(CASE WHEN
+                f_early AND f_web THEN 1 END), 0)::BIGINT FROM d
+              UNION ALL SELECT 'en', 'en', coalesce(sum(CASE WHEN
+                f_en THEN 1 END), 0)::BIGINT FROM d
+              UNION ALL SELECT 'en', 'web', coalesce(sum(CASE WHEN
+                f_en AND f_web THEN 1 END), 0)::BIGINT FROM d
+              UNION ALL SELECT 'web', 'web', coalesce(sum(CASE WHEN
+                f_web THEN 1 END), 0)::BIGINT FROM d
+            ) WHERE n_docs > 0 ORDER BY a, b""",
         # filters-agg twin: per-name conditional counts over the match
         # set (ts recomputed arithmetically — the corpus's synthetic
         # recency rule), zero-count buckets kept, name-ascending

@@ -498,6 +498,63 @@ def main():
         dt, _ = tbest(lambda: Q.term_vectors(idx, 12345).collect())
         queries["term_vectors"] = round(dt, 4)
 
+        # latest-r4 query surface: dis_max (two subqueries, one shared
+        # scan), boosting-query demotion (negative terms ride the same
+        # scan), span_first + match_phrase_prefix (positions paths, on
+        # the positions index built above), percolation (1k registered
+        # queries — work scales with the DOC's tokens). Excluded from
+        # the headline total (new workloads).
+        Q.search_dis_max(idx, ["hot0 hot1", "w050 w100"], k=10,
+                         tie_breaker=0.3).collect()  # warm
+        dt, _ = tbest(lambda: Q.search_dis_max(
+            idx, ["hot0 hot1", "w050 w100"], k=10,
+            tie_breaker=0.3).collect())
+        queries["search_dis_max"] = round(dt, 4)
+        dt, _ = tbest(lambda: Q.search_boosting(
+            idx, "hot0 hot1", "w050", 0.3, k=10).collect())
+        queries["search_boosting"] = round(dt, 4)
+        if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
+            Q.search_span_first(pidx, "hot0", 5, k=10).collect()  # warm
+            dt, _ = tbest(lambda: Q.search_span_first(
+                pidx, "hot0", 5, k=10).collect())
+            queries["search_span_first"] = round(dt, 4)
+            Q.search_phrase_prefix(pidx, "hot0 w1", k=10).collect()
+            dt, _ = tbest(lambda: Q.search_phrase_prefix(
+                pidx, "hot0 w1", k=10).collect())
+            queries["search_phrase_prefix"] = round(dt, 4)
+        from engine.percolate import percolate, register_queries
+        _pq = ([{"id": f"alert-{i:04d}",
+                 "query": f"w{(7 * i) % 500:03d} w{(13 * i) % 500:03d}",
+                 "mode": "AND"} for i in range(999)]
+               + [{"id": "alert-hot", "query": "hot0 hot1",
+                   "mode": "AND"}])
+        t_reg, _qx = tdur(register_queries, spark, _pq,
+                          f"{work}/percolator")
+        queries["percolate_register_1k"] = round(t_reg, 4)
+        _doc = "hot0 hot1 w007 w013 w391 w140 transcripts of a long turn"
+        percolate(_qx, _doc).collect()  # warm
+        dt, _ = tbest(lambda: percolate(_qx, _doc).collect())
+        queries["percolate_doc"] = round(dt, 4)
+        if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
+            # composite pagination + filters agg + auto histogram on the
+            # dv layout (dvx is tombstoned by the delete rows above —
+            # the tombstone mask is part of the measured path, like
+            # search_deleted)
+            from engine.matchops import (match_auto_histogram,
+                                         match_composite, match_filters)
+            match_composite(dvx, "hot0 hot1", ["role"], size=5).collect()
+            dt, _ = tbest(lambda: match_composite(
+                dvx, "hot0 hot1", ["role"], size=5).collect())
+            queries["match_composite"] = round(dt, 4)
+            dt, _ = tbest(lambda: match_filters(
+                dvx, "hot0 hot1",
+                {"users": "role = 'user'",
+                 "tools": "role = 'tool'"}).collect())
+            queries["match_filters"] = round(dt, 4)
+            dt, _ = tbest(lambda: match_auto_histogram(
+                dvx, "hot0 hot1", "ts", target_buckets=10).collect())
+            queries["auto_histogram"] = round(dt, 4)
+
         lat = []
         for q in QUERY_SET:
             dt, _ = tbest(lambda: Q.search(idx, q["query"], k=10,
@@ -581,6 +638,12 @@ def main():
                                  "search_bool", "search_msm",
                                  "search_rrf", "search_rescore",
                                  "term_vectors",
+                                 "search_dis_max", "search_boosting",
+                                 "search_span_first",
+                                 "search_phrase_prefix",
+                                 "percolate_register_1k",
+                                 "percolate_doc", "match_composite",
+                                 "match_filters", "auto_histogram",
                                  "repeat_query_cached",
                                  "repeat_batch_cached"))
         out = {

@@ -64,8 +64,8 @@ def cmd_search(args) -> int:
         print("--must/--should/--min-should-match replace --query "
               "(the ES bool-query form)", file=sys.stderr)
         return 2
-    if not bool_q and args.query is None:
-        print("--query is required (or use --must/--should)",
+    if not bool_q and args.query is None and not args.dis_query:
+        print("--query is required (or use --must/--should/--dis-query)",
               file=sys.stderr)
         return 2
     snippet_query = args.query
@@ -107,11 +107,13 @@ def cmd_search(args) -> int:
               "--sort-by)", file=sys.stderr)
         return 2
     if (boost or args.sort_by) and mode_up in ("PHRASE", "PREFIX", "FUZZY",
-                                               "REGEXP"):
+                                               "REGEXP", "PHRASE_PREFIX",
+                                               "SPAN_FIRST"):
         print("--boost-*/--sort-by need --mode OR|AND "
               "(docvalue ranking paths)", file=sys.stderr)
         return 2
-    if args.dv_filter and mode_up in ("PHRASE", "PREFIX"):
+    if args.dv_filter and mode_up in ("PHRASE", "PREFIX",
+                                      "PHRASE_PREFIX", "SPAN_FIRST"):
         print("--dv-filter needs --mode OR|AND|FUZZY "
               "(phrase/prefix queries take --filter)", file=sys.stderr)
         return 2
@@ -156,6 +158,19 @@ def cmd_search(args) -> int:
                               mode=args.mode, ascending=args.asc,
                               exclude=args.exclude,
                               dv_filter=args.dv_filter)
+    elif args.dis_query:
+        if (mode_up != "OR" or after is not None or args.synonyms
+                or args.min_match or term_boosts or args.query
+                or args.demote):
+            print("--dis-query replaces --query and composes with "
+                  "--exclude/--filter/--dv-filter only", file=sys.stderr)
+            return 2
+        top = Q.search_dis_max(idx, args.dis_query, k=args.k,
+                               tie_breaker=args.tie_breaker,
+                               exclude=args.exclude,
+                               doc_filter=args.filter,
+                               dv_filter=args.dv_filter)
+        snippet_query = " ".join(args.dis_query)
     elif args.mode.upper() == "PHRASE":
         if after is not None:
             print("--after is not supported with --mode PHRASE",
@@ -164,6 +179,23 @@ def cmd_search(args) -> int:
         top = Q.search_phrase(idx, args.query, k=args.k,
                               doc_filter=args.filter, exclude=args.exclude,
                               slop=args.slop)
+    elif mode_up == "PHRASE_PREFIX":
+        if after is not None:
+            print("--after is not supported with --mode PHRASE_PREFIX",
+                  file=sys.stderr)
+            return 2
+        top = Q.search_phrase_prefix(idx, args.query, k=args.k,
+                                     max_expansions=args.max_expansions,
+                                     doc_filter=args.filter,
+                                     exclude=args.exclude)
+    elif mode_up == "SPAN_FIRST":
+        if after is not None:
+            print("--after is not supported with --mode SPAN_FIRST",
+                  file=sys.stderr)
+            return 2
+        top = Q.search_span_first(idx, args.query, args.span_n, k=args.k,
+                                  doc_filter=args.filter,
+                                  exclude=args.exclude)
     elif args.mode.upper() == "PREFIX":
         top = Q.search_prefix(idx, args.query, k=args.k,
                               max_expansions=args.max_expansions,
@@ -403,16 +435,117 @@ def cmd_sigterms(args) -> int:
 
 def cmd_histogram(args) -> int:
     """Date-histogram over the match set: doc counts per fixed-width
-    time bucket of a stored docvalue column."""
+    time bucket of a stored docvalue column; --auto picks the interval
+    from the frozen grain ladder (auto_date_histogram)."""
     from .build import load_index
-    from .matchops import match_histogram
+    from .matchops import match_auto_histogram, match_histogram
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
-    out = match_histogram(idx, args.query, args.field, args.interval_s,
-                          mode=args.mode, exclude=args.exclude,
-                          dv_filter=args.dv_filter)
+    if args.auto:
+        out = match_auto_histogram(idx, args.query, args.field,
+                                   target_buckets=args.target_buckets,
+                                   mode=args.mode, exclude=args.exclude,
+                                   dv_filter=args.dv_filter)
+    elif args.interval_s is None:
+        print("--interval-s is required (or use --auto)", file=sys.stderr)
+        return 2
+    else:
+        out = match_histogram(idx, args.query, args.field,
+                              args.interval_s, mode=args.mode,
+                              exclude=args.exclude,
+                              dv_filter=args.dv_filter)
     for r in out.collect():
         print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_composite(args) -> int:
+    """Composite aggregation: one page of the full key-tuple bucket walk
+    (pass --after with the previous page's last keys to continue)."""
+    from .build import load_index
+    from .matchops import match_composite
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    fields = [f.strip() for f in args.fields.split(",") if f.strip()]
+    after = None
+    if args.after is not None:
+        after = json.loads(args.after)
+        if not isinstance(after, list):
+            print("--after wants a JSON list of the previous page's "
+                  "last key values", file=sys.stderr)
+            return 2
+    out = match_composite(idx, args.query, fields, size=args.size,
+                          after=after, mode=args.mode,
+                          exclude=args.exclude, dv_filter=args.dv_filter)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_filters(args) -> int:
+    """Filters aggregation: named overlapping predicate buckets over the
+    match set (zero-count buckets included)."""
+    from .build import load_index
+    from .matchops import match_filters
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    filters = {}
+    for spec in args.bucket or []:
+        n, _, p = spec.partition("=")
+        if not _ or not n or not p:
+            print(f"--bucket wants name=SQL_PREDICATE (got {spec!r})",
+                  file=sys.stderr)
+            return 2
+        filters[n] = p
+    out = match_filters(idx, args.query, filters, mode=args.mode,
+                        exclude=args.exclude, dv_filter=args.dv_filter)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_percolate_register(args) -> int:
+    """Register saved queries as a percolator index (engine/percolate)."""
+    from .percolate import register_queries
+    spark = _spark(args)
+    with open(args.queries_file) as f:
+        queries = json.load(f)
+    qidx = register_queries(spark, queries, args.index_dir)
+    print(json.dumps({"registered": len(queries),
+                      "index_dir": qidx.index_dir}))
+    return 0
+
+
+def cmd_percolate(args) -> int:
+    """Which registered queries match this document?"""
+    from .build import load_index
+    from .percolate import percolate
+    spark = _spark(args)
+    qidx = load_index(spark, args.index_dir)
+    for r in percolate(qidx, args.text).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_reindex(args) -> int:
+    """Rebuild under a new IndexConfig from the stored corpus (the ES
+    _reindex / mapping-change operation)."""
+    from .build import load_index, reindex
+    from .config import AnalyzerConfig, IndexConfig
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    acfg = AnalyzerConfig(
+        stopwords=tuple(w for w in (args.stopwords or "").split(",") if w),
+        stem=args.stem)
+    cfg = IndexConfig(
+        index_positions=args.positions,
+        doc_values=tuple(c for c in (args.doc_values or "").split(",")
+                         if c),
+        fuzzy_edits=args.fuzzy_edits,
+        analyzer=acfg)
+    out = reindex(idx, args.out_dir, cfg)
+    print(json.dumps({"out_dir": out.index_dir,
+                      "n_docs": int(out.n_docs)}))
     return 0
 
 
@@ -512,8 +645,16 @@ def main(argv=None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", default="OR",
                    choices=["OR", "AND", "PHRASE", "PREFIX", "FUZZY",
-                            "REGEXP", "or", "and", "phrase", "prefix",
-                            "fuzzy", "regexp"])
+                            "REGEXP", "PHRASE_PREFIX", "SPAN_FIRST",
+                            "or", "and", "phrase", "prefix",
+                            "fuzzy", "regexp", "phrase_prefix",
+                            "span_first"])
+    s.add_argument("--span-n", type=int, default=5,
+                   help="SPAN_FIRST: match within the first N positions")
+    s.add_argument("--dis-query", action="append", metavar="QUERY",
+                   help="dis_max subquery (repeat >= 2 times); ranks by "
+                        "the best subquery + --tie-breaker * the rest")
+    s.add_argument("--tie-breaker", type=float, default=0.0)
     s.add_argument("--synonyms",
                    help='query-time synonym groups as JSON, e.g. '
                         '\'{"fast": ["quick"]}\' (OR mode only)')
@@ -717,13 +858,75 @@ def main(argv=None) -> int:
     hg.add_argument("--query", required=True)
     hg.add_argument("--field", required=True,
                     help="docvalue timestamp/integer column")
-    hg.add_argument("--interval-s", type=int, required=True,
+    hg.add_argument("--interval-s", type=int, default=None,
                     help="bucket width in whole seconds")
+    hg.add_argument("--auto", action="store_true",
+                    help="pick the interval from the frozen grain "
+                         "ladder (auto_date_histogram)")
+    hg.add_argument("--target-buckets", type=int, default=10,
+                    help="--auto: land the histogram within this many "
+                         "buckets")
     hg.add_argument("--mode", default="OR",
                     choices=["OR", "AND", "or", "and"])
     hg.add_argument("--exclude", default=None)
     hg.add_argument("--dv-filter", default=None)
     hg.set_defaults(fn=cmd_histogram)
+    cp = sub.add_parser("composite",
+                        help="composite aggregation: one page of the "
+                             "full key-tuple bucket walk (resumable "
+                             "with --after)")
+    cp.add_argument("--index-dir", required=True)
+    cp.add_argument("--query", required=True)
+    cp.add_argument("--fields", required=True,
+                    help="comma-separated docvalue key columns")
+    cp.add_argument("--size", type=int, default=10)
+    cp.add_argument("--after", default=None,
+                    help="JSON list: the previous page's last key values")
+    cp.add_argument("--mode", default="OR",
+                    choices=["OR", "AND", "or", "and"])
+    cp.add_argument("--exclude", default=None)
+    cp.add_argument("--dv-filter", default=None)
+    cp.set_defaults(fn=cmd_composite)
+    fl = sub.add_parser("filters",
+                        help="filters aggregation: named overlapping "
+                             "predicate buckets over the match set")
+    fl.add_argument("--index-dir", required=True)
+    fl.add_argument("--query", required=True)
+    fl.add_argument("--bucket", action="append", metavar="NAME=PRED",
+                    required=True,
+                    help="named docvalue SQL predicate (repeatable)")
+    fl.add_argument("--mode", default="OR",
+                    choices=["OR", "AND", "or", "and"])
+    fl.add_argument("--exclude", default=None)
+    fl.add_argument("--dv-filter", default=None)
+    fl.set_defaults(fn=cmd_filters)
+    pr = sub.add_parser("percolate-register",
+                        help="register saved queries as a percolator "
+                             "index (engine/percolate.py)")
+    pr.add_argument("--queries-file", required=True,
+                    help="JSON list of {id, query[, mode, min_match]}")
+    pr.add_argument("--index-dir", required=True)
+    pr.set_defaults(fn=cmd_percolate_register)
+    pp = sub.add_parser("percolate",
+                        help="which registered queries match this doc?")
+    pp.add_argument("--index-dir", required=True)
+    pp.add_argument("--text", required=True,
+                    help="the incoming document's text")
+    pp.set_defaults(fn=cmd_percolate)
+    ri = sub.add_parser("reindex",
+                        help="rebuild under a new config from the "
+                             "STORED corpus (the _reindex op)")
+    ri.add_argument("--index-dir", required=True)
+    ri.add_argument("--out-dir", required=True)
+    ri.add_argument("--positions", action="store_true")
+    ri.add_argument("--doc-values", default=None,
+                    help="comma-separated stored columns")
+    ri.add_argument("--fuzzy-edits", type=int, default=0)
+    ri.add_argument("--stopwords", default=None,
+                    help="comma-separated analyzer stopwords")
+    ri.add_argument("--stem", default=None, choices=[None, "s"],
+                    help="light plural stemmer")
+    ri.set_defaults(fn=cmd_reindex)
     ml = sub.add_parser("mlt",
                         help="more-like-this: docs similar to --doc-id")
     ml.add_argument("--index-dir", required=True)

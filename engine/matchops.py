@@ -1110,6 +1110,91 @@ def match_filters(index, query: str, filters: dict,
     return _plan_cached(index, key, build)
 
 
+def match_adjacency(index, query: str, filters: dict,
+                    mode: str = "OR", exclude: str | None = None,
+                    dv_filter: str | None = None) -> DataFrame:
+    """Adjacency-matrix aggregation — the ES ``adjacency_matrix`` agg:
+    doc counts for every named filter AND every pairwise INTERSECTION
+    of named filters over one query's match set ("how often do the
+    'python' and 'browser' tool buckets co-occur among matching
+    conversations"). The co-occurrence-matrix primitive.
+
+    Frozen contract (mirrored by the DuckDB twin in
+    ``__spark_entry__``): returns ``(a:string, b:string, n_docs:long)``
+    for every name pair ``a <= b`` (diagonal = the filter's own count),
+    ZERO-count pairs omitted (the ES behavior — unlike
+    ``match_filters``, which keeps empty named buckets), ordered
+    (a asc, b asc). Match semantics are ``search``'s exact set.
+
+    Plan: the shared pruned-scan arity kernel; each shard evaluates
+    every named predicate ONCE over its cached docvalue slice, builds
+    |filters| boolean masks over its hits, and emits one partial row
+    per non-empty pair — shuffle volume <= |filters|^2/2 rows per
+    shard (ES caps the agg at 100 filters for the same quadratic
+    reason), never docs."""
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    filters = {str(n): str(p) for n, p in filters.items()}
+    if not filters:
+        raise ValueError("match_adjacency needs at least one named "
+                         "filter")
+    if len(filters) > 100:
+        raise ValueError("match_adjacency caps at 100 filters (the "
+                         "pair count is quadratic)")
+    if not (index.doc_values or ()):
+        raise ValueError("this index has no docvalue store — build with "
+                         "IndexConfig(doc_values=...)")
+    key = ("madj", query, tuple(sorted(filters.items())), mode, exclude,
+           dv_filter)
+
+    def build():
+        spark = index.spark
+        out_schema = "a string, b string, n_docs long"
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:
+            return spark.createDataFrame([], out_schema)
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+        names = sorted(filters)
+        preds = [(n, filters[n]) for n in names]
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            from .docvalues import eval_filter
+            empty = pd.DataFrame({"a": [], "b": [], "n": []})
+            if len(post_pdf) == 0:
+                return empty
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty
+            masks = []
+            for n, p in preds:
+                locs = eval_filter(dv_dir, shard, dv_gen, p)
+                m = np.zeros(width, dtype=bool)
+                m[locs] = True
+                masks.append(m[hit])
+            out = []
+            for i, a in enumerate(names):
+                for j in range(i, len(names)):
+                    c = int(np.count_nonzero(masks[i] & masks[j]))
+                    if c:
+                        out.append((a, names[j], c))
+            return pd.DataFrame(out, columns=["a", "b", "n"])
+
+        partial = post.groupBy("shard").applyInPandas(
+            fn, "a string, b string, n long")
+        return (partial.groupBy("a", "b")
+                .agg(F.sum("n").cast("long").alias("n_docs"))
+                .orderBy("a", "b"))
+
+    return _plan_cached(index, key, build)
+
+
 def mlt_terms(index, doc_id: int, max_terms: int = 16) -> list[str]:
     """The frozen more-like-this term selection: the source doc's
     distinct analyzer terms scored tf x idf (corpus-global idf, the

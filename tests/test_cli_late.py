@@ -1,0 +1,110 @@
+"""CLI coverage for the late-r4 operators: one shared synthetic index,
+every new subcommand / search mode exercised end-to-end through
+`python -m engine` (the spark-submit surface)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+def _run(args, timeout=420):
+    r = subprocess.run([sys.executable, "-m", "engine"] + args,
+                       capture_output=True, text=True, cwd="/root/repo",
+                       timeout=timeout)
+    return r
+
+
+@pytest.fixture(scope="module")
+def cli_idx(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_late") / "idx")
+    r = _run(["build", "--input", "synthetic", "--convs", "120",
+              "--index-dir", d, "--positions",
+              "--doc-values", "role,ts"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    return d
+
+
+def _rows(r):
+    assert r.returncode == 0, r.stderr[-2000:]
+    return [json.loads(l) for l in r.stdout.splitlines()
+            if l.startswith("{")]
+
+
+def test_cli_dis_max(cli_idx):
+    rows = _rows(_run(["search", "--index-dir", cli_idx,
+                       "--dis-query", "hot0 hot1",
+                       "--dis-query", "w010 w020",
+                       "--tie-breaker", "0.3"]))
+    assert rows and all("score" in o for o in rows)
+    # --dis-query refuses --query
+    r = _run(["search", "--index-dir", cli_idx, "--query", "hot0",
+              "--dis-query", "hot1"])
+    assert r.returncode == 2
+
+
+def test_cli_demote(cli_idx):
+    rows = _rows(_run(["search", "--index-dir", cli_idx,
+                       "--query", "hot0 hot1",
+                       "--demote", "w010", "--demote-factor", "0.2"]))
+    assert rows
+
+
+def test_cli_span_first_and_phrase_prefix(cli_idx):
+    rows = _rows(_run(["search", "--index-dir", cli_idx,
+                       "--query", "hot0", "--mode", "SPAN_FIRST",
+                       "--span-n", "4"]))
+    assert rows and all("n_within" in o for o in rows)
+    rows = _rows(_run(["search", "--index-dir", cli_idx,
+                       "--query", "hot0 w01", "--mode", "PHRASE_PREFIX"]))
+    assert rows and all("n_phrase" in o for o in rows)
+
+
+def test_cli_composite_and_filters(cli_idx):
+    rows = _rows(_run(["composite", "--index-dir", cli_idx,
+                       "--query", "hot0 hot1", "--fields", "role",
+                       "--size", "2"]))
+    assert 0 < len(rows) <= 2
+    after = json.dumps([rows[-1]["role"]])
+    rows2 = _rows(_run(["composite", "--index-dir", cli_idx,
+                        "--query", "hot0 hot1", "--fields", "role",
+                        "--size", "2", "--after", after]))
+    assert all(r2["role"] > rows[-1]["role"] for r2 in rows2)
+    rows = _rows(_run(["filters", "--index-dir", cli_idx,
+                       "--query", "hot0",
+                       "--bucket", "users=role = 'user'",
+                       "--bucket", "none=role = 'zz'"]))
+    assert [o["bucket"] for o in rows] == ["none", "users"]
+    assert rows[0]["n_docs"] == 0
+
+
+def test_cli_auto_histogram(cli_idx):
+    rows = _rows(_run(["histogram", "--index-dir", cli_idx,
+                       "--query", "hot0 hot1", "--field", "ts",
+                       "--auto", "--target-buckets", "5"]))
+    assert 0 < len(rows) <= 5 and "interval_s" in rows[0]
+    r = _run(["histogram", "--index-dir", cli_idx, "--query", "hot0",
+              "--field", "ts"])
+    assert r.returncode == 2  # neither --interval-s nor --auto
+
+
+def test_cli_percolate_and_reindex(cli_idx, tmp_path):
+    qf = tmp_path / "queries.json"
+    qf.write_text(json.dumps([
+        {"id": "a1", "query": "hot0 hot1", "mode": "AND"},
+        {"id": "a2", "query": "rare3", "mode": "OR"}]))
+    qd = str(tmp_path / "qidx")
+    r = _run(["percolate-register", "--queries-file", str(qf),
+              "--index-dir", qd])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = _rows(_run(["percolate", "--index-dir", qd,
+                       "--text", "hot0 hot1 something"]))
+    assert [o["query_id"] for o in rows] == ["a1"]
+    rd = str(tmp_path / "reidx")
+    r = _run(["reindex", "--index-dir", cli_idx, "--out-dir", rd,
+              "--stopwords", "w000", "--stem", "s"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = _rows(_run(["search", "--index-dir", rd,
+                       "--query", "hot0 hot1"]))
+    assert rows

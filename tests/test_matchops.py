@@ -639,3 +639,36 @@ def test_match_auto_histogram_empty_and_validation(midx):
     assert M.match_auto_histogram(midx, "nosuchterm", "ts").collect() == []
     with pytest.raises(ValueError, match=">= 1"):
         M.match_auto_histogram(midx, "hot0", "ts", target_buckets=0)
+
+
+def test_match_adjacency_reference(midx, corpus_pdf, tok_rows):
+    """ES adjacency_matrix: diagonal = each filter's count, off-diagonal
+    = pairwise intersections, zero pairs omitted, (a, b) ascending."""
+    ids = _expect_ids(tok_rows, ["hot0", "hot1"], "OR")
+    sub = corpus_pdf.iloc[ids]
+    secs = sub.ts.values.astype("datetime64[s]").astype(np.int64)
+    masks = {
+        "early": secs < 1767312000,       # < 2026-01-02
+        "users": (sub.role == "user").to_numpy(),
+    }
+    want = []
+    names = sorted(masks)
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            c = int((masks[a] & masks[b]).sum())
+            if c:
+                want.append((a, b, c))
+    got = [(r.a, r.b, r.n_docs) for r in M.match_adjacency(
+        midx, "hot0 hot1",
+        {"users": "role = 'user'",
+         "early": "ts < TIMESTAMP '2026-01-02 00:00:00'"}).collect()]
+    assert got == sorted(want)
+    # zero-intersection pairs are omitted; empty match set -> no rows
+    got = [(r.a, r.b, r.n_docs) for r in M.match_adjacency(
+        midx, "hot0", {"u": "role = 'user'", "z": "role = 'zz'"})
+        .collect()]
+    assert [x[:2] for x in got] == [("u", "u")]
+    assert M.match_adjacency(midx, "nosuchterm",
+                             {"u": "role = 'user'"}).collect() == []
+    with pytest.raises(ValueError, match="at least one"):
+        M.match_adjacency(midx, "hot0", {})
