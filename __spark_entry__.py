@@ -1090,6 +1090,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = Q.search(idx, "spark fast joins", k=10)
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def bm25_snapshot(spark, sf):
+        # snapshot/restore (engine/build.py snapshot): point-in-time
+        # copy of every durable component, verified on load; the
+        # restored index must rank EXACTLY like the source — the twin
+        # is the plain BM25 oracle, so any component the copy lost
+        # (segments, lexicon, stats, manifest) hash-mismatches
+        import tempfile
+        from engine import query as Q
+        from engine.build import snapshot
+        key = (spark.sparkContext.applicationId, sf, "snap")
+        if key not in _PACKED_IDX_CACHE:
+            d = tempfile.mkdtemp(prefix="entry_snap_")
+            _PACKED_IDX_CACHE[key] = snapshot(
+                _packed_index(spark, sf), f"{d}/snap")
+        top = Q.search(_PACKED_IDX_CACHE[key], "table hash vector", k=10)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
     def bm25_collapse(spark, sf):
         # field collapsing (ES collapse): top groups by their best doc —
         # one row per distinct lang, ranked by the group representative
@@ -1812,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dis_max": bm25_dis_max,
         "percolate_alerts": percolate_alerts,
         "bm25_reindexed": bm25_reindexed,
+        "bm25_snapshot": bm25_snapshot,
         "bm25_collapse": bm25_collapse,
         "bm25_top_hits": bm25_top_hits,
         "bm25_rrf": bm25_rrf,
@@ -2337,6 +2355,9 @@ ORDER BY term
         "bm25_reindexed": _bm25_sql(
             tokenize_py("spark fast joins", reidx_acfg), "OR",
             tok_sql=duckdb_tokenize("text", reidx_acfg)),
+        # snapshot twin: the restored copy must reproduce the plain
+        # BM25 ranking bit-for-bit
+        "bm25_snapshot": _bm25_sql(["table", "hash", "vector"], "OR"),
         # percolator twin: |terms(query) ∩ terms(doc)| >= required over
         # the SAME saved-query literals the entry registers; the doc is
         # documents.doc_id=7's text with ' spark join' appended (both

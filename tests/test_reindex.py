@@ -59,3 +59,44 @@ def test_reindex_refuses_tombstones(spark, tmp_path):
     delete_docs(base, "role = 'tool'")
     with pytest.raises(ValueError, match="purge_deletes first"):
         reindex(base, str(tmp_path / "r3"))
+
+
+def test_snapshot_preserves_everything(spark, tmp_path):
+    """snapshot/restore: rankings, tombstones and the phrase path
+    survive the copy; later mutation of the source leaves it intact."""
+    from engine.build import snapshot
+    from engine.deletes import delete_docs, purge_deletes
+    df = spark_transcripts(spark, 150)
+    src = build_index(spark, df, str(tmp_path / "src"),
+                      cfg=IndexConfig(index_positions=True,
+                                      doc_values=("role",)))
+    delete_docs(src, "role = 'tool'")
+    want = [(r.doc_id, r.score) for r in
+            Q.search(src, "hot0 hot1", k=10).collect()]
+    wantp = [(r.doc_id, r.n_phrase) for r in
+             Q.search_phrase(src, "hot0 hot1", k=10).collect()]
+    snap = snapshot(src, str(tmp_path / "snap"))
+    got = [(r.doc_id, r.score) for r in
+           Q.search(snap, "hot0 hot1", k=10).collect()]
+    gotp = [(r.doc_id, r.n_phrase) for r in
+            Q.search_phrase(snap, "hot0 hot1", k=10).collect()]
+    assert got == want and gotp == wantp
+    # mutate the SOURCE: purge — the snapshot still serves the
+    # tombstoned-but-unpurged state
+    purge_deletes(src)
+    got2 = [(r.doc_id, r.score) for r in
+            Q.search(snap, "hot0 hot1", k=10).collect()]
+    assert got2 == want
+    with pytest.raises(ValueError, match="destination exists"):
+        snapshot(snap, str(tmp_path / "snap"))
+
+
+def test_snapshot_refuses_pending_appends(spark, tmp_path):
+    from engine.build import snapshot
+    from engine.streaming import append_batch
+    df = spark_transcripts(spark, 80)
+    idx = build_index(spark, df, str(tmp_path / "sa"))
+    extra = spark_transcripts(spark, 10, seed=7)
+    append_batch(spark, extra, str(tmp_path / "sa"))
+    with pytest.raises(ValueError, match="pending compaction"):
+        snapshot(idx, str(tmp_path / "sb"))
