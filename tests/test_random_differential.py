@@ -68,3 +68,36 @@ def test_random_workload_matches_oracle(packed_index, oracle_idx,
         assert got == want, ctx
         n_checked += 1
     assert n_checked == 30
+
+
+def test_random_scoring_variants_match_oracle(packed_index, oracle_idx):
+    """Boosting-query demotion and dis_max under random workloads:
+    bit-identical scores vs the oracle twins (both combine AFTER the
+    frozen summation, so no rounding tolerance is needed)."""
+    from engine import query as Q
+    rng = np.random.default_rng(20260819)
+    pool = (["hot0", "hot1"] + [f"w{i:03d}" for i in range(2, 60)]
+            + [f"rare{i}" for i in range(10)] + ["ghost0"])
+
+    def rand_q(lo=1, hi=4):
+        return " ".join(rng.choice(pool, size=int(rng.integers(lo, hi))))
+
+    for case in range(20):
+        k = int(rng.integers(1, 15))
+        if rng.random() < 0.5:
+            pos, neg = rand_q(), rand_q(1, 3)
+            f = float(rng.choice([0.0, 0.25, 0.5, 1.0]))
+            got = [(r["doc_id"], r["score"]) for r in
+                   Q.search_boosting(packed_index, pos, neg, f,
+                                     k=k).collect()]
+            want = oracle_idx.search_boosting(pos, neg, f, k=k)
+            ctx = (case, "boosting", pos, neg, f, k)
+        else:
+            subs = [rand_q() for _ in range(int(rng.integers(2, 4)))]
+            tie = float(rng.choice([0.0, 0.3, 0.7, 1.0]))
+            got = [(r["doc_id"], r["score"]) for r in
+                   Q.search_dis_max(packed_index, subs, k=k,
+                                    tie_breaker=tie).collect()]
+            want = oracle_idx.search_dis_max(subs, tie, k=k)
+            ctx = (case, "dismax", subs, tie, k)
+        assert got == want, ctx
