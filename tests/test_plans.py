@@ -211,3 +211,40 @@ def test_materialize_pruned_after_delete(spark, plan_idx, corpus_pdf,
         or re.search(r"PartitionFilters: \[.*part_id", plan), plan
     rows = out.collect()
     assert pre[0].doc_id not in {r.doc_id for r in rows} and rows
+
+
+def test_late_r4_ops_ride_the_pruned_scan(spark, tmp_path_factory,
+                                          corpus_df):
+    """The late-r4 operators (dis_max, composite, filters, percolate)
+    all build on the SAME bucket-pruned, term-pushed postings scan —
+    plan-asserted here so a refactor can't silently widen their reads."""
+    from engine.build import build_index
+    from engine.matchops import match_composite, match_filters
+    d = str(tmp_path_factory.mktemp("plans_late") / "idx")
+    idx = build_index(spark, corpus_df, d,
+                      cfg=__import__("engine.config",
+                                     fromlist=["IndexConfig"])
+                      .IndexConfig(doc_values=("role",)))
+    for df in (Q.search_dis_max(idx, ["hot0 hot1", "rare3"], k=5),
+               match_composite(idx, "hot0 rare3", ["role"], size=3),
+               match_filters(idx, "hot0 rare3",
+                             {"u": "role = 'user'"})):
+        plan = _formatted(df)
+        # single-bucket queries render as (bucket = N), multi as IN
+        assert re.search(r"PartitionFilters: \[.*bucket", plan), plan
+        assert re.search(r"PushedFilters: \[.*\(term", plan), plan
+    assert "TakeOrderedAndProject" in _formatted(
+        Q.search_dis_max(idx, ["hot0 hot1", "rare3"], k=5))
+
+
+def test_percolate_scan_pruned(spark, tmp_path_factory):
+    """Percolation work scales with the DOC's tokens: the query-index
+    scan is pruned to the buckets/terms of the incoming document."""
+    from engine.percolate import percolate, register_queries
+    d = str(tmp_path_factory.mktemp("plans_perc") / "qidx")
+    qidx = register_queries(spark, [
+        {"id": "a", "query": "hot0 hot1", "mode": "AND"},
+        {"id": "b", "query": "rare3", "mode": "OR"}], d)
+    plan = _formatted(percolate(qidx, "hot0 something rare3"))
+    assert re.search(r"PartitionFilters: \[.*bucket", plan), plan
+    assert re.search(r"PushedFilters: \[.*\(term", plan), plan
