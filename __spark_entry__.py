@@ -284,6 +284,8 @@ _BATCH_MIXED_SET = [
     {"id": "m5", "query": "spark", "mode": "PHRASE", "exclude": "join"},
     {"id": "m6", "mode": "BOOL", "must": "spark", "should": "join fast",
      "min_should_match": 1},
+    {"id": "m7", "query": "spark join fast", "mode": "OR",
+     "demote": "hash", "demote_factor": 0.3},
 ]
 
 
@@ -315,7 +317,17 @@ def _batch_mixed_sql(k: int = 10) -> str:
             sel = (f"SELECT '{q['id']}' AS qid, doc_id, "
                    f"round(n_phrase::DOUBLE, 6) AS score FROM ({sub})")
         else:
-            sub = _bm25_sql(terms, q["mode"], k, exclude=excl)
+            bm = None
+            if q.get("demote"):
+                # boosting entry: same CASE multiplier twin as
+                # bm25_boosting, over this entry's own scored CTE
+                dts = ", ".join(f"'{t}'"
+                                for t in sorted(q["demote"].split()))
+                bm = (f"CASE WHEN doc_id IN (SELECT DISTINCT doc_id "
+                      f"FROM toks WHERE term IN ({dts})) "
+                      f"THEN {q['demote_factor']!r} ELSE 1.0 END")
+            sub = _bm25_sql(terms, q["mode"], k, exclude=excl,
+                            boost_mult=bm)
             sel = f"SELECT '{q['id']}' AS qid, doc_id, score FROM ({sub})"
         parts.append(sel)
     return "\nUNION ALL\n".join(parts)

@@ -1782,7 +1782,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        phrases: dict | None = None, denied_loc=None,
                        msm: dict | None = None, slops: dict | None = None,
                        musts: dict | None = None,
-                       minsh: dict | None = None):
+                       minsh: dict | None = None,
+                       demotes: dict | None = None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -1889,8 +1890,10 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                 outs.append(r)
             continue
         q_mm = msm.get(qid, 1) if msm else 1
+        q_dem = demotes.get(qid) if demotes else None
         if (use_wand and mode == "OR" and len(terms_here) > 1
-                and not q_negs and q_mm <= 1 and q_must is None):
+                and not q_negs and q_mm <= 1 and q_must is None
+                and q_dem is None):
             mass = sum(decoded[t][0].size for t in terms_here)
             seed = min(decoded[t][0].size for t in terms_here)
             if use_wand is True or (mass >= WAND_MIN_SHARD_POSTINGS
@@ -1935,6 +1938,17 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             # drop docs containing ANY excluded term, before top-k
             ex = np.unique(np.concatenate([decoded[t][0] for t in q_negs]))
             hit = hit[~np.isin(hit, ex, assume_unique=True)]
+        if q_dem and hit.size:
+            # boosting-query demotion (same frozen contract as
+            # search_boosting: multiply AFTER the frozen summation;
+            # demoted positions are a subset of touched, so the shared
+            # accumulator reset below covers them)
+            dts = [t for t in q_dem[0] if t in decoded]
+            if dts:
+                dm = np.unique(np.concatenate(
+                    [decoded[t][0] for t in dts]))
+                m_ = np.isin(hit, dm, assume_unique=True)
+                acc[hit[m_]] *= q_dem[1]
         if hit.size:
             hit_k, scores = C.topk_tiebreak(hit, acc[hit], k)
             r = pd.DataFrame({"doc_id": (hit_k + start).astype(np.int64),
@@ -2099,6 +2113,23 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     negs = {q["id"]: sorted(set(tokenize_py(q.get("exclude"), acfg))
                             - set(per_q.get(q["id"], ())))
             for q in queries if q.get("exclude")}
+    # optional per-entry "demote" (+ "demote_factor", default 0.5) —
+    # the ES boosting-query rule of search_boosting: matching docs keep
+    # their score times the factor; demote terms may overlap the
+    # entry's own positive terms (no positive-wins rule — demotion is
+    # not contradictory); PHRASE entries rank by n_phrase -> rejected
+    demotes = {}
+    for q in queries:
+        if not q.get("demote"):
+            continue
+        if q["mode"].upper() == "PHRASE":
+            raise ValueError(f"demote on {q['id']!r}: PHRASE entries "
+                             "rank by n_phrase, not BM25")
+        f_ = float(q.get("demote_factor", 0.5))
+        if f_ < 0.0:
+            raise ValueError(f"demote_factor on {q['id']!r} must be >= 0")
+        demotes[q["id"]] = (sorted(set(tokenize_py(q["demote"], acfg))),
+                            f_)
     # optional per-entry "min_match" (minimum_should_match, OR-family
     # entries only — PREFIX/FUZZY/REGEXP expansions are OR queries too,
     # where the floor counts matched EXPANSION terms, the ES rule)
@@ -2113,6 +2144,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     msm.update(bool_floor)  # pure-should BOOL entries are OR + floor
     per_q = {qid: qt for qid, qt in per_q.items() if qt}
     negs = {qid: ts for qid, ts in negs.items() if qid in per_q and ts}
+    demotes = {qid: v for qid, v in demotes.items()
+               if qid in per_q and v[0]}
     msm = {qid: m_ for qid, m_ in msm.items() if qid in per_q}
     phrases = {qid: seq for qid, seq in phrases.items() if qid in per_q}
     slops = {qid: s_ for qid, s_ in slops.items() if qid in phrases}
@@ -2122,7 +2155,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     # idf rides the task closure — the batch job is the pruned scan alone
     lex = index.lookup_terms(sorted(
         {t for qt in per_q.values() for t in qt}
-        | {t for ts in negs.values() for t in ts}))
+        | {t for ts in negs.values() for t in ts}
+        | {t for v in demotes.values() for t in v[0]}))
     # bool entries: an unknown must term, or a should floor above the
     # KNOWN should-term count, empties that entry globally (the same
     # rule search_bool applies driver-side)
@@ -2141,7 +2175,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     scan_terms = sorted(
         t for t in lex
         if t in {u for qt in per_q.values() for u in qt}
-        | {u for ts in negs.values() for u in ts})
+        | {u for ts in negs.values() for u in ts}
+        | {u for v in demotes.values() for u in v[0]})
     if not scan_terms:
         return _empty_topk(spark, with_qid=True)
     idfs = {t: float(lex[t]["idf"]) for t in scan_terms}
@@ -2200,7 +2235,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
             r = _score_shard_batch(post_pdf, per_q, modes, idfs, cfgd, k,
                                    width, wand_mode, allowed_loc=loc,
                                    negs=negs, phrases=phrases, msm=msm,
-                                   slops=slops, musts=musts, minsh=minsh)
+                                   slops=slops, musts=musts, minsh=minsh,
+                                   demotes=demotes)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -2220,7 +2256,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                                if del_locs is not None
                                                else None),
                                    msm=msm, slops=slops,
-                                   musts=musts, minsh=minsh)
+                                   musts=musts, minsh=minsh,
+                                   demotes=demotes)
             return r if r is not None else pd.DataFrame(
                 {"qid": [], "doc_id": [], "score": []})
 

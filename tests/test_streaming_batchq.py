@@ -262,3 +262,48 @@ def test_windowed_turn_counts_watermark(spark, tmp_path):
     horizon = max_ts - datetime.timedelta(minutes=35)  # watermark + window
     closed = {k for k in want if k[0] < horizon}
     assert closed <= set(got)
+
+
+def test_search_batch_demote_matches_single(spark, corpus_df, tmp_path):
+    """A batch entry's optional "demote"/"demote_factor" (boosting
+    query) must match search_boosting exactly for every routing —
+    including mixed sets where undemoted entries still WAND-route, and
+    a demote term that is also a positive term."""
+    from engine import query as Q
+    from engine.build import build_index
+    idx = build_index(spark, corpus_df, str(tmp_path / "bqd"))
+    qset = [
+        {"id": "d1", "query": "hot0 hot1", "mode": "OR",
+         "demote": "rare3", "demote_factor": 0.25},
+        {"id": "d2", "query": "hot0 w010", "mode": "AND",
+         "demote": "hot1", "demote_factor": 0.0},
+        {"id": "d3", "query": "w005 w006", "mode": "OR",
+         "demote": "w005", "demote_factor": 0.5},     # overlap
+        {"id": "d4", "query": "hot0 hot1", "mode": "OR"},  # undemoted
+        {"id": "d5", "query": "hot0", "mode": "OR",
+         "demote": "ghostterm"},                      # unknown: no-op
+        {"id": "d6", "query": "hot0 hot1", "mode": "OR",
+         "demote": "w010", "exclude": "rare3"},       # composes with NOT
+    ]
+    for use_wand in (True, False, "auto"):
+        out = Q.search_batch(idx, qset, k=10, use_wand=use_wand).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.qid, []).append((r.doc_id, r.score))
+        for q in qset:
+            if "demote" in q:
+                want = [(r["doc_id"], r["score"]) for r in
+                        Q.search_boosting(
+                            idx, q["query"], q["demote"],
+                            q.get("demote_factor", 0.5), k=10,
+                            mode=q["mode"],
+                            exclude=q.get("exclude")).collect()]
+            else:
+                want = [(r["doc_id"], r["score"]) for r in
+                        Q.search(idx, q["query"], k=10,
+                                 mode=q["mode"]).collect()]
+            assert by_q.get(q["id"], []) == want, (q["id"], use_wand)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="PHRASE entries"):
+        Q.search_batch(idx, [{"id": "p", "query": "hot0 hot1",
+                              "mode": "PHRASE", "demote": "w010"}], k=5)
