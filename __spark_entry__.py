@@ -286,6 +286,8 @@ _BATCH_MIXED_SET = [
      "min_should_match": 1},
     {"id": "m7", "query": "spark join fast", "mode": "OR",
      "demote": "hash", "demote_factor": 0.3},
+    {"id": "m8", "mode": "DIS_MAX",
+     "queries": ["spark join", "fast vector"], "tie_breaker": 0.3},
 ]
 
 
@@ -303,6 +305,12 @@ def _batch_mixed_sql(k: int = 10) -> str:
     parts = []
     for q in _BATCH_MIXED_SET:
         excl = q["exclude"].split() if q.get("exclude") else None
+        if q["mode"] == "DIS_MAX":
+            sub = _dis_max_sql([x.split() for x in q["queries"]],
+                               q.get("tie_breaker", 0.0), k)
+            parts.append(f"SELECT '{q['id']}' AS qid, doc_id, score "
+                         f"FROM ({sub})")
+            continue
         if q["mode"] == "BOOL":
             must = q.get("must", "").split()
             terms = must + q.get("should", "").split()

@@ -1783,7 +1783,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        msm: dict | None = None, slops: dict | None = None,
                        musts: dict | None = None,
                        minsh: dict | None = None,
-                       demotes: dict | None = None):
+                       demotes: dict | None = None,
+                       dismaxes: dict | None = None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -1891,6 +1892,58 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             continue
         q_mm = msm.get(qid, 1) if msm else 1
         q_dem = demotes.get(qid) if demotes else None
+        q_dm = dismaxes.get(qid) if dismaxes else None
+        if q_dm is not None:
+            # DIS_MAX entry (same frozen combine as search_dis_max:
+            # total folded in subquery LIST order over 0.0-defaulted
+            # vectors, score = best + tie * (total - best)); subquery
+            # sums reuse the shared per-(term, qtf) contribution cache
+            subs_, tie_ = q_dm
+            per_sub, all_t = [], []
+            for sq in subs_:
+                terms_i = [t for t in sorted(sq) if t in decoded]
+                if not terms_i:
+                    per_sub.append(None)
+                    continue
+                locs_i = []
+                for t in terms_i:
+                    loc = decoded[t][0]
+                    acc[loc] += _contrib(t, float(sq[t]))
+                    locs_i.append(loc)
+                t_i = np.unique(np.concatenate(locs_i))
+                per_sub.append((t_i, acc[t_i].copy()))
+                acc[t_i] = 0.0
+                all_t.append(t_i)
+            if not all_t:
+                continue
+            union = np.unique(np.concatenate(all_t))
+            total = np.zeros(union.size, dtype=np.float64)
+            best = np.zeros(union.size, dtype=np.float64)
+            for ps in per_sub:
+                v = np.zeros(union.size, dtype=np.float64)
+                if ps is not None:
+                    t_i, vals = ps
+                    v[np.searchsorted(union, t_i)] = vals
+                total = total + v
+                np.maximum(best, v, out=best)
+            sc = best + tie_ * (total - best)
+            hit = union
+            keep = np.ones(hit.size, dtype=bool)
+            if allow is not None:
+                keep &= allow[hit]
+            if q_negs:
+                ex = np.unique(np.concatenate(
+                    [decoded[t][0] for t in q_negs]))
+                keep &= ~np.isin(hit, ex, assume_unique=True)
+            hit, sc = hit[keep], sc[keep]
+            if hit.size:
+                hit_k, scores = C.topk_tiebreak(hit, sc, k)
+                r = pd.DataFrame(
+                    {"doc_id": (hit_k + start).astype(np.int64),
+                     "score": scores})
+                r.insert(0, "qid", qid)
+                outs.append(r)
+            continue
         if (use_wand and mode == "OR" and len(terms_here) > 1
                 and not q_negs and q_mm <= 1 and q_must is None
                 and q_dem is None):
@@ -2042,7 +2095,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     # the shared scan/scorer as ordinary OR queries with qtf=1 per
     # matched term — the expansion never touches the postings job
     per_q, modes = {}, {}
-    musts, minsh, bool_floor = {}, {}, {}
+    musts, minsh, bool_floor, dismaxes = {}, {}, {}, {}
     for q in queries:
         m = q["mode"].upper()
         if m == "PREFIX":
@@ -2065,6 +2118,24 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
             rows = index.expand_regexp(q["query"],
                                        int(q.get("max_expansions", 64)))
             per_q[q["id"]] = {r["term"]: 1 for r in rows}
+            m = "OR"
+        elif m == "DIS_MAX":
+            # dis_max entry (same frozen combine as search_dis_max):
+            # keys "queries" (list of OR subqueries) + optional
+            # "tie_breaker" in [0, 1]; the entry's scan terms are the
+            # union, the kernel reuses the shared contribution cache
+            subs_q = [query_terms(x, acfg) for x in q["queries"]]
+            tie_q = float(q.get("tie_breaker", 0.0))
+            if not (0.0 <= tie_q <= 1.0):
+                raise ValueError(f"tie_breaker on {q['id']!r} must lie "
+                                 "in [0, 1]")
+            if q.get("boosts") or q.get("min_match") or q.get("demote"):
+                raise ValueError(f"DIS_MAX entry {q['id']!r} composes "
+                                 "with exclude only")
+            union_q = sorted(set().union(*[set(x) for x in subs_q])
+                             if subs_q else set())
+            per_q[q["id"]] = {t: 1 for t in union_q}
+            dismaxes[q["id"]] = (subs_q, tie_q)
             m = "OR"
         elif m == "BOOL":
             # ES bool entry (same frozen semantics as search_bool): keys
@@ -2146,6 +2217,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     negs = {qid: ts for qid, ts in negs.items() if qid in per_q and ts}
     demotes = {qid: v for qid, v in demotes.items()
                if qid in per_q and v[0]}
+    dismaxes = {qid: v for qid, v in dismaxes.items() if qid in per_q}
     msm = {qid: m_ for qid, m_ in msm.items() if qid in per_q}
     phrases = {qid: seq for qid, seq in phrases.items() if qid in per_q}
     slops = {qid: s_ for qid, s_ in slops.items() if qid in phrases}
@@ -2236,7 +2308,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                    width, wand_mode, allowed_loc=loc,
                                    negs=negs, phrases=phrases, msm=msm,
                                    slops=slops, musts=musts, minsh=minsh,
-                                   demotes=demotes)
+                                   demotes=demotes, dismaxes=dismaxes)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -2257,7 +2329,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                                else None),
                                    msm=msm, slops=slops,
                                    musts=musts, minsh=minsh,
-                                   demotes=demotes)
+                                   demotes=demotes, dismaxes=dismaxes)
             return r if r is not None else pd.DataFrame(
                 {"qid": [], "doc_id": [], "score": []})
 

@@ -307,3 +307,43 @@ def test_search_batch_demote_matches_single(spark, corpus_df, tmp_path):
     with _pt.raises(ValueError, match="PHRASE entries"):
         Q.search_batch(idx, [{"id": "p", "query": "hot0 hot1",
                               "mode": "PHRASE", "demote": "w010"}], k=5)
+
+
+def test_search_batch_dis_max_matches_single(spark, corpus_df, tmp_path):
+    """A batch DIS_MAX entry must match search_dis_max bit-exactly for
+    every routing, in a mixed set where other entries still WAND-route."""
+    from engine import query as Q
+    from engine.build import build_index
+    idx = build_index(spark, corpus_df, str(tmp_path / "bqdm"))
+    qset = [
+        {"id": "x1", "mode": "DIS_MAX",
+         "queries": ["hot0 hot1", "w010 w020"], "tie_breaker": 0.3},
+        {"id": "x2", "mode": "DIS_MAX",
+         "queries": ["hot0", "hot0 w005", "ghost0"], "tie_breaker": 1.0,
+         "exclude": "rare3"},
+        {"id": "x3", "query": "hot0 hot1", "mode": "OR"},  # plain entry
+    ]
+    for use_wand in (True, False, "auto"):
+        out = Q.search_batch(idx, qset, k=10, use_wand=use_wand).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.qid, []).append((r.doc_id, r.score))
+        for q in qset:
+            if q["mode"] == "DIS_MAX":
+                want = [(r["doc_id"], r["score"]) for r in
+                        Q.search_dis_max(idx, q["queries"], k=10,
+                                         tie_breaker=q["tie_breaker"],
+                                         exclude=q.get("exclude"))
+                        .collect()]
+            else:
+                want = [(r["doc_id"], r["score"]) for r in
+                        Q.search(idx, q["query"], k=10,
+                                 mode=q["mode"]).collect()]
+            assert by_q.get(q["id"], []) == want, (q["id"], use_wand)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="composes with exclude only"):
+        Q.search_batch(idx, [{"id": "x", "mode": "DIS_MAX",
+                              "queries": ["hot0"], "min_match": 2}], k=5)
+    with _pt.raises(ValueError, match="tie_breaker"):
+        Q.search_batch(idx, [{"id": "x", "mode": "DIS_MAX",
+                              "queries": ["hot0"], "tie_breaker": 2}], k=5)
