@@ -847,11 +847,13 @@ def match_composite(index, query: str, fields, size: int = 10,
     arity kernel as ``match_count``; each shard task reduces its OWN
     docvalue slice to per-(tuple, shard) partial counts in-task
     (pandas groupby over <= |shard hits| rows), so shuffle volume is
-    distinct-tuples-per-shard, never docs; one narrow hash aggregation
-    over the bucket axis, the after-key predicate filters BUCKET rows
-    (bucket-cardinality data, applied before the sort), and the page
-    cut is one TakeOrderedAndProject. Page N never rescans pages
-    1..N-1's docs — the after filter is on the aggregated axis.
+    distinct-tuples-per-shard, never docs; the after-key predicate is
+    applied INSIDE the shard task (already-walked buckets never leave
+    it — page N's shuffle volume shrinks as the walk advances, the
+    property that makes a full walk of a 10^9-bucket axis
+    O(total buckets) in shuffled rows, not O(pages x buckets)) and
+    again on the aggregated axis as a guard; the page cut is one
+    TakeOrderedAndProject. Page N never rescans pages 1..N-1's docs.
     """
     import pyarrow as pa
     import pyarrow.dataset as pads
@@ -957,6 +959,20 @@ def match_composite(index, query: str, fields, size: int = 10,
             pdf = pd.DataFrame(data)[keep]
             out = pdf.groupby(fields, sort=False).size().reset_index()
             out.columns = fields + ["n"]
+            if after is not None:
+                # after-key filter applied AT THE SOURCE: partial rows
+                # for already-walked buckets never leave the shard
+                # task, so page N's shuffle volume SHRINKS as the walk
+                # advances (the final-agg filter below stays as a
+                # belt-and-braces guard)
+                import numpy as np
+                gt = np.zeros(len(out), dtype=bool)
+                eq = np.ones(len(out), dtype=bool)
+                for f_, av in zip(fields, after):
+                    col = out[f_]
+                    gt |= eq & (col > av).to_numpy(dtype=bool)
+                    eq &= (col == av).to_numpy(dtype=bool)
+                out = out[gt]
             return out
 
         partial = post.groupBy("shard").applyInPandas(fn, part_schema)
