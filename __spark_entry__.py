@@ -288,6 +288,8 @@ _BATCH_MIXED_SET = [
      "demote": "hash", "demote_factor": 0.3},
     {"id": "m8", "mode": "DIS_MAX",
      "queries": ["spark join", "fast vector"], "tie_breaker": 0.3},
+    {"id": "m9", "query": "spark join fast", "mode": "OR",
+     "dv_filter": "lang = 'en'"},
 ]
 
 
@@ -311,6 +313,9 @@ def _batch_mixed_sql(k: int = 10) -> str:
             parts.append(f"SELECT '{q['id']}' AS qid, doc_id, score "
                          f"FROM ({sub})")
             continue
+        # per-entry dv_filter twin: the same candidate-restriction SQL
+        # as the doc_filter twin (stats stay corpus-global)
+        where = q.get("dv_filter")
         if q["mode"] == "BOOL":
             must = q.get("must", "").split()
             terms = must + q.get("should", "").split()
@@ -335,7 +340,7 @@ def _batch_mixed_sql(k: int = 10) -> str:
                       f"FROM toks WHERE term IN ({dts})) "
                       f"THEN {q['demote_factor']!r} ELSE 1.0 END")
             sub = _bm25_sql(terms, q["mode"], k, exclude=excl,
-                            boost_mult=bm)
+                            boost_mult=bm, where=where)
             sel = f"SELECT '{q['id']}' AS qid, doc_id, score FROM ({sub})"
         parts.append(sel)
     return "\nUNION ALL\n".join(parts)

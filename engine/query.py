@@ -1784,7 +1784,9 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        musts: dict | None = None,
                        minsh: dict | None = None,
                        demotes: dict | None = None,
-                       dismaxes: dict | None = None):
+                       dismaxes: dict | None = None,
+                       dv_preds: dict | None = None,
+                       dv_ctx: tuple | None = None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -1851,6 +1853,22 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
         if allow is None:
             allow = np.ones(width, dtype=bool)
         allow[denied_loc] = False
+    dv_masks: dict = {}
+
+    def _dv_mask(pred: str):
+        """Per-entry dv_filter mask — each DISTINCT predicate is
+        evaluated ONCE per shard task over the cached docvalue slice
+        and shared by every entry that carries it (the multi-tenant
+        batch pattern: N tenants' filters cost N evaluations, not
+        N x |entries|)."""
+        m = dv_masks.get(pred)
+        if m is None:
+            from .docvalues import eval_filter
+            m = np.zeros(width, dtype=bool)
+            m[eval_filter(dv_ctx[0], shard, dv_ctx[1], pred)] = True
+            dv_masks[pred] = m
+        return m
+
     acc = np.zeros(width, dtype=np.float64)
     cnt = np.zeros(width, dtype=np.int32)
     # BOOL entries (search_bool semantics) need a second distinct-term
@@ -1877,8 +1895,15 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             dec = {t: _occ(t) for t in dict.fromkeys(seq)}
             neg_loc = (np.unique(np.concatenate(
                 [decoded[t][0] for t in q_negs])) if q_negs else None)
+            p_allow = allow
+            p_dvp = dv_preds.get(qid) if dv_preds else None
+            if p_dvp is not None:
+                # per-entry dv_filter on a PHRASE entry: intersect the
+                # shared batch mask with this entry's own mask
+                p_allow = (_dv_mask(p_dvp) if allow is None
+                           else (allow & _dv_mask(p_dvp)))
             hit = _phrase_hits(seq, dec, k, width,
-                               allow_mask=allow, neg_loc=neg_loc,
+                               allow_mask=p_allow, neg_loc=neg_loc,
                                slop=(slops.get(qid, 0) if slops else 0))
             if hit is not None:
                 udocs, counts = hit
@@ -1893,6 +1918,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
         q_mm = msm.get(qid, 1) if msm else 1
         q_dem = demotes.get(qid) if demotes else None
         q_dm = dismaxes.get(qid) if dismaxes else None
+        q_dvp = dv_preds.get(qid) if dv_preds else None
         if q_dm is not None:
             # DIS_MAX entry (same frozen combine as search_dis_max:
             # total folded in subquery LIST order over 0.0-defaulted
@@ -1931,6 +1957,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             keep = np.ones(hit.size, dtype=bool)
             if allow is not None:
                 keep &= allow[hit]
+            if q_dvp is not None:
+                keep &= _dv_mask(q_dvp)[hit]
             if q_negs:
                 ex = np.unique(np.concatenate(
                     [decoded[t][0] for t in q_negs]))
@@ -1946,7 +1974,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             continue
         if (use_wand and mode == "OR" and len(terms_here) > 1
                 and not q_negs and q_mm <= 1 and q_must is None
-                and q_dem is None):
+                and q_dem is None and q_dvp is None):
             mass = sum(decoded[t][0].size for t in terms_here)
             seed = min(decoded[t][0].size for t in terms_here)
             if use_wand is True or (mass >= WAND_MIN_SHARD_POSTINGS
@@ -1986,6 +2014,10 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             hit = touched        # every touched doc has cnt > 0
         if allow is not None:
             hit = hit[allow[hit]]
+        if q_dvp is not None and hit.size:
+            # per-entry dv_filter (frozen candidate-restriction
+            # semantics: stats global, masks intersect)
+            hit = hit[_dv_mask(q_dvp)[hit]]
         if q_negs and hit.size:
             # NOT semantics (same contract as the single-query scorer):
             # drop docs containing ANY excluded term, before top-k
@@ -2184,6 +2216,17 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     negs = {q["id"]: sorted(set(tokenize_py(q.get("exclude"), acfg))
                             - set(per_q.get(q["id"], ())))
             for q in queries if q.get("exclude")}
+    # optional per-entry "dv_filter" (ANSI-SQL predicate over the
+    # stored docvalue columns — search(dv_filter=)'s frozen candidate
+    # restriction, per entry): each DISTINCT predicate is evaluated
+    # once per shard task and shared across the entries carrying it;
+    # composes with the batch-global dv_filter/doc_filter by mask
+    # intersection; entries with one route exhaustive (like NOT)
+    dv_preds = {}
+    for q in queries:
+        if q.get("dv_filter"):
+            _require_dv(index, q["dv_filter"])
+            dv_preds[q["id"]] = str(q["dv_filter"])
     # optional per-entry "demote" (+ "demote_factor", default 0.5) —
     # the ES boosting-query rule of search_boosting: matching docs keep
     # their score times the factor; demote terms may overlap the
@@ -2218,6 +2261,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     demotes = {qid: v for qid, v in demotes.items()
                if qid in per_q and v[0]}
     dismaxes = {qid: v for qid, v in dismaxes.items() if qid in per_q}
+    dv_preds = {qid: v for qid, v in dv_preds.items() if qid in per_q}
     msm = {qid: m_ for qid, m_ in msm.items() if qid in per_q}
     phrases = {qid: seq for qid, seq in phrases.items() if qid in per_q}
     slops = {qid: s_ for qid, s_ in slops.items() if qid in phrases}
@@ -2329,7 +2373,9 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                                else None),
                                    msm=msm, slops=slops,
                                    musts=musts, minsh=minsh,
-                                   demotes=demotes, dismaxes=dismaxes)
+                                   demotes=demotes, dismaxes=dismaxes,
+                                   dv_preds=dv_preds,
+                                   dv_ctx=(dv_dir, dv_gen))
             return r if r is not None else pd.DataFrame(
                 {"qid": [], "doc_id": [], "score": []})
 

@@ -347,3 +347,57 @@ def test_search_batch_dis_max_matches_single(spark, corpus_df, tmp_path):
     with _pt.raises(ValueError, match="tie_breaker"):
         Q.search_batch(idx, [{"id": "x", "mode": "DIS_MAX",
                               "queries": ["hot0"], "tie_breaker": 2}], k=5)
+
+
+def test_search_batch_per_entry_dv_filter(spark, corpus_df, tmp_path):
+    """Per-entry "dv_filter" (the multi-tenant batch pattern) must match
+    the single-query search(dv_filter=) contract for every routing, in
+    mixed sets with unfiltered / globally-filtered / phrase entries."""
+    from engine import query as Q
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    idx = build_index(spark, corpus_df, str(tmp_path / "bqdv"),
+                      cfg=IndexConfig(index_positions=True,
+                                      doc_values=("role",)))
+    qset = [
+        {"id": "v1", "query": "hot0 hot1", "mode": "OR",
+         "dv_filter": "role = 'user'"},
+        {"id": "v2", "query": "hot0 w010", "mode": "AND",
+         "dv_filter": "role <> 'tool'"},
+        {"id": "v3", "query": "hot0 hot1", "mode": "OR"},  # unfiltered
+        {"id": "v4", "query": "hot0 hot1", "mode": "PHRASE",
+         "dv_filter": "role = 'user'"},
+        {"id": "v5", "query": "hot0", "mode": "OR",
+         "dv_filter": "role = 'user'", "exclude": "rare3"},
+        {"id": "v6", "mode": "DIS_MAX", "queries": ["hot0", "w010"],
+         "tie_breaker": 0.4, "dv_filter": "role = 'user'"},
+    ]
+    for use_wand in (True, False, "auto"):
+        out = Q.search_batch(idx, qset, k=10, use_wand=use_wand).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.qid, []).append((r.doc_id, r.score))
+        for q in qset:
+            if q["mode"] == "PHRASE":
+                want = [(r["doc_id"], float(r["n_phrase"])) for r in
+                        Q.search_phrase(idx, q["query"], k=10,
+                                        doc_filter=q["dv_filter"])
+                        .collect()]
+            elif q["mode"] == "DIS_MAX":
+                want = [(r["doc_id"], r["score"]) for r in
+                        Q.search_dis_max(idx, q["queries"], k=10,
+                                         tie_breaker=q["tie_breaker"],
+                                         dv_filter=q["dv_filter"])
+                        .collect()]
+            else:
+                want = [(r["doc_id"], r["score"]) for r in
+                        Q.search(idx, q["query"], k=10, mode=q["mode"],
+                                 dv_filter=q.get("dv_filter"),
+                                 exclude=q.get("exclude")).collect()]
+            assert by_q.get(q["id"], []) == want, (q["id"], use_wand)
+    # the per-entry predicate must name a docvalue index
+    plain = build_index(spark, corpus_df, str(tmp_path / "bqdv2"))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="docvalue"):
+        Q.search_batch(plain, [{"id": "x", "query": "hot0", "mode": "OR",
+                                "dv_filter": "role = 'user'"}], k=5)
