@@ -1581,6 +1581,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return Q.facets(idx, "spark", ["lang", "source"], mode="OR",
                         top_values=5)
 
+    def facets_fuzzy(spark, sf):
+        # fuzzy faceting (completes the facets mode set): the 'sprk'~1
+        # expansion under the frozen (dist asc, df desc, term asc) cap
+        # matches as OR; facet counts over that match set. Twin scans
+        # the whole vocab with DuckDB levenshtein — candidate
+        # COMPLETENESS of the deletion-neighborhood trick stays gated
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        return Q.facets(idx, "sprk", ["lang"], mode="FUZZY")
+
     def facets_prefix(spark, sf):
         # wildcard faceting: the s* expansion (capped, frozen df-desc
         # rule) matches as OR; facet counts over that match set
@@ -1921,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_filters": match_filters_q,
         "auto_histogram": auto_histogram,
         "match_adjacency": match_adjacency_q,
+        "facets_fuzzy": facets_fuzzy,
         "facet_stats_lang": facet_stats_lang,
         "match_histogram": match_histogram_q,
         "histogram_pipeline": histogram_pipeline_q,
@@ -2735,6 +2746,31 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
             SELECT (s // i) * i AS bucket_start,
                    count(*)::BIGINT AS n_docs, i AS interval_s
             FROM d, iv GROUP BY 1, 3 ORDER BY 1""",
+        # fuzzy-facets twin: whole-vocab levenshtein expansion under the
+        # frozen cap, then facet counts over docs matching ANY expansion
+        "facets_fuzzy": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+            ),
+            tfq AS (SELECT DISTINCT doc_id, term FROM toks),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM tfq GROUP BY term
+            ),
+            exp AS (
+              SELECT term FROM (
+                SELECT term, df, levenshtein(term, 'sprk') AS dist
+                FROM dfreq
+              ) WHERE dist <= 1
+              ORDER BY dist ASC, df DESC, term ASC LIMIT 64
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM tfq JOIN exp USING (term)
+            )
+            SELECT 'lang' AS facet_field, d.lang AS facet_value,
+                   count(*)::BIGINT AS n_docs
+            FROM documents d JOIN matched USING (doc_id)
+            GROUP BY d.lang
+            ORDER BY n_docs DESC, facet_field ASC, facet_value ASC""",
         # adjacency-matrix twin: pairwise conditional counts over the
         # match set (a <= b, zero pairs dropped, (a, b) ascending)
         "match_adjacency": f"""

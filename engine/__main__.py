@@ -763,8 +763,8 @@ def main(argv=None) -> int:
                     help="comma-separated stored-corpus metadata columns, "
                          "e.g. role,tool")
     fc.add_argument("--mode", default="OR",
-                    choices=["OR", "AND", "PREFIX", "REGEXP",
-                             "or", "and", "prefix", "regexp"])
+                    choices=["OR", "AND", "PREFIX", "REGEXP", "FUZZY",
+                             "or", "and", "prefix", "regexp", "fuzzy"])
     fc.add_argument("--max-expansions", type=int, default=64,
                     help="PREFIX mode: wildcard expansion cap")
     fc.add_argument("--filter", default=None,

@@ -3291,6 +3291,15 @@ def _facets_impl(index, query: str, fields: list, mode: str = "OR",
         rows = index.expand_regexp(query, max_expansions)
         qtf = {r["term"]: 1 for r in rows}
         mode = "OR"
+    elif mode == "FUZZY":
+        # fuzzy facets: the frozen (distance, df desc, term) cap via the
+        # memoized deletion-neighborhood lookup (engine/fuzzy.py), then
+        # the expansion matches as OR — completing the facets() mode set
+        from .fuzzy import expand_fuzzy
+        rows = expand_fuzzy(index, normalize_prefix(query), 1,
+                            max_expansions)
+        qtf = {r["term"]: 1 for r in rows}
+        mode = "OR"
     else:
         qtf = query_terms(query, index.cfg.analyzer)
     empty = spark.createDataFrame([], FACET_SCHEMA)
