@@ -21,6 +21,7 @@ Conventions for oracle parity:
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -48,6 +49,22 @@ _TS_EPOCH0 = 1767225600
 _BOOST_NOW_ISO = "2026-07-01T00:00:00"
 _BOOST_NOW_S = _TS_EPOCH0 + 181 * 86400
 _BOOST_HL_DAYS = 30.0
+# decay-function gate constants (ES function_score gauss/linear;
+# engine/docvalues.py decay_multiplier): origin mid-corpus (day 90) so
+# the two-sided |ts - origin| matters, 7-day flat offset radius
+_DECAY_ORIGIN_ISO = "2026-04-01T00:00:00"
+_DECAY_ORIGIN_S = _TS_EPOCH0 + 90 * 86400
+_DECAY_SCALE_DAYS = 45.0
+_DECAY_OFFSET_DAYS = 7.0
+# gauss sigma^2 = -scale^2 / (2 ln 0.5); linear s = scale / (1 - 0.5)
+_DECAY_SIGMA2 = -((_DECAY_SCALE_DAYS * 86400.0) ** 2) / (
+    2.0 * math.log(0.5))
+_DECAY_LINEAR_S = 30.0 * 86400.0 / 0.5
+# SQL twin of decay_multiplier's dist = max(0, |ts - origin| - offset)
+# (ts recomputed arithmetically: epoch0 + (doc_id % 180) days)
+_DECAY_DIST_SQL = (
+    f"greatest(abs(({_TS_EPOCH0} + (doc_id % 180) * 86400) "
+    f"- {_DECAY_ORIGIN_S})::DOUBLE - {_DECAY_OFFSET_DAYS * 86400.0!r}, 0)")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,6 +1546,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "now": _BOOST_NOW_ISO})
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def bm25_decay_gauss(spark, sf):
+        # ES function_score gauss decay (engine/docvalues.py
+        # decay_multiplier): two-sided |ts - origin| with an offset
+        # radius, multiplier applied AFTER the frozen BM25 summation
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search(idx, "spark join fast", k=10, mode="OR",
+                       boost={"field": "ts", "decay": "gauss",
+                              "origin": _DECAY_ORIGIN_ISO,
+                              "scale_days": _DECAY_SCALE_DAYS,
+                              "offset_days": _DECAY_OFFSET_DAYS})
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_decay_linear(spark, sf):
+        # linear decay with a scale small enough that far docs clamp to
+        # a 0.0 multiplier (the ES linear contract) — exercises exact
+        # zero-score ties resolved by the doc_id tiebreak
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search(idx, "spark join fast", k=10, mode="OR",
+                       boost={"field": "ts", "decay": "linear",
+                              "origin": _DECAY_ORIGIN_ISO,
+                              "scale_days": 30.0,
+                              "offset_days": _DECAY_OFFSET_DAYS})
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
     def search_recent(spark, sf):
         # sort-by-field (Lucene pattern): docs matching ALL query terms
         # ranked by (ts desc, doc_id asc) from the docvalue store — BM25
@@ -1912,6 +1955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": bm25_filtered,
         "bm25_dv_filtered": bm25_dv_filtered,
         "bm25_recency_boost": bm25_recency_boost,
+        "bm25_decay_gauss": bm25_decay_gauss,
+        "bm25_decay_linear": bm25_decay_linear,
         "search_recent": search_recent,
         "search_snippets": search_snippets,
         "search_facets": search_facets,
@@ -2635,6 +2680,19 @@ ORDER BY term
                 f"power(0.5, greatest(0, {_BOOST_NOW_S} - "
                 f"({_TS_EPOCH0} + (doc_id % 180) * 86400))::DOUBLE "
                 f"/ {_BOOST_HL_DAYS * 86400.0})")),
+        # decay-family twins (docvalues.decay_multiplier formulas with
+        # the engine's exact constants — sigma^2 / s rendered via repr
+        # so both sides multiply/divide the identical float64 literals)
+        "bm25_decay_gauss": _bm25_sql(
+            ["spark", "join", "fast"], "OR",
+            boost_mult=(
+                f"exp(-({_DECAY_DIST_SQL} * {_DECAY_DIST_SQL}) "
+                f"/ (2 * {_DECAY_SIGMA2!r}))")),
+        "bm25_decay_linear": _bm25_sql(
+            ["spark", "join", "fast"], "OR",
+            boost_mult=(
+                f"greatest(({_DECAY_LINEAR_S!r} - {_DECAY_DIST_SQL}) "
+                f"/ {_DECAY_LINEAR_S!r}, 0)")),
         "search_recent": f"""
 SELECT doc_id,
        round(({_TS_EPOCH0} + (doc_id % 180) * 86400)::DOUBLE, 6) AS sort_val

@@ -75,13 +75,33 @@ def cmd_search(args) -> int:
         after = (float(s), int(d))
     boost = None
     if args.boost_field:
-        if not args.boost_now:
-            print("--boost-field requires --boost-now (a frozen ISO-8601 "
-                  "UTC instant keeps runs reproducible)", file=sys.stderr)
-            return 2
-        boost = {"field": args.boost_field,
-                 "half_life_days": args.boost_half_life_days,
-                 "now": args.boost_now}
+        if args.decay:
+            if not args.boost_origin:
+                print("--decay requires --boost-origin (a frozen "
+                      "ISO-8601 UTC instant keeps runs reproducible)",
+                      file=sys.stderr)
+                return 2
+            try:  # epoch seconds accepted as well as ISO-8601
+                origin = float(args.boost_origin)
+            except ValueError:
+                origin = args.boost_origin
+            boost = {"field": args.boost_field, "decay": args.decay,
+                     "origin": origin,
+                     "scale_days": args.boost_scale_days,
+                     "decay_value": args.boost_decay_value,
+                     "offset_days": args.boost_offset_days}
+        else:
+            if not args.boost_now:
+                print("--boost-field requires --boost-now (a frozen "
+                      "ISO-8601 UTC instant keeps runs reproducible)",
+                      file=sys.stderr)
+                return 2
+            boost = {"field": args.boost_field,
+                     "half_life_days": args.boost_half_life_days,
+                     "now": args.boost_now}
+    elif args.decay:
+        print("--decay requires --boost-field", file=sys.stderr)
+        return 2
     mode_up = args.mode.upper()
     if args.slop and mode_up != "PHRASE":
         print("--slop needs --mode PHRASE", file=sys.stderr)
@@ -702,6 +722,19 @@ def main(argv=None) -> int:
                    help="recency boost: docvalue timestamp column; "
                         "score *= 0.5 ** (age / half-life)")
     s.add_argument("--boost-half-life-days", type=float, default=30.0)
+    s.add_argument("--decay", default=None,
+                   choices=("gauss", "exp", "linear"),
+                   help="ES function_score decay kind over --boost-field "
+                        "(two-sided |value - origin|; replaces the "
+                        "one-sided half-life recency form)")
+    s.add_argument("--boost-origin", default=None,
+                   help="decay origin (ISO-8601 UTC or epoch seconds)")
+    s.add_argument("--boost-scale-days", type=float, default=30.0,
+                   help="distance at which the decay multiplier equals "
+                        "--boost-decay-value")
+    s.add_argument("--boost-decay-value", type=float, default=0.5)
+    s.add_argument("--boost-offset-days", type=float, default=0.0,
+                   help="flat radius around the origin (multiplier 1.0)")
     s.add_argument("--boost-now", default=None,
                    help="ISO-8601 UTC reference instant (required with "
                         "--boost-field; frozen so runs are reproducible)")

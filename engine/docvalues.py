@@ -149,6 +149,67 @@ def recency_multiplier(index_dir: str, shard: int, gen: int, width: int,
     return m
 
 
+def _field_as_epoch_f64(slice_tbl, field: str):
+    """(loc:int64[], value:float64[]) for a shard slice's column —
+    timestamps as epoch seconds (sub-second precision kept), NULLs as
+    NaN. Shared by the decay/recency multiplier kernels."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    loc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+    col = slice_tbl.column(field)
+    if pa.types.is_timestamp(col.type):
+        ts = pc.cast(col, pa.timestamp("us")).cast(pa.int64())
+        vals = ts.to_numpy(zero_copy_only=False).astype(np.float64) / 1e6
+        vals = np.where(col.is_null().to_numpy(zero_copy_only=False),
+                        np.nan, vals)
+    else:
+        vals = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    return loc, vals
+
+
+def decay_multiplier(index_dir: str, shard: int, gen: int, width: int,
+                     field: str, kind: str, origin_s: float,
+                     scale_s: float, decay: float, offset_s: float):
+    """Width-sized float64 multiplier vector for the ES decay-function
+    family (``function_score`` ``gauss`` / ``exp`` / ``linear`` — the
+    published Elasticsearch formulas, frozen here and mirrored by the
+    DuckDB oracle twins):
+
+        dist   = max(0, |value - origin| - offset)      # two-sided
+        gauss  : exp(-dist^2 / (2*sigma^2)),  sigma^2 = -scale^2 / (2*ln d)
+        exp    : exp(lambda * dist),          lambda  = ln(d) / scale
+        linear : max(0, (s - dist) / s),      s       = scale / (1 - d)
+
+    where ``d = decay`` is the multiplier AT distance ``scale`` (ES
+    default 0.5). All three are <= 1 everywhere and 1.0 at/inside the
+    offset radius. Offsets with no docvalue row (or NULL value) get 1.0
+    — absent information never penalizes (the recency_multiplier rule).
+    One-sided recency (max(0, now - ts)) remains the separate legacy
+    ``recency_multiplier`` — both stay frozen."""
+    import math
+
+    import numpy as np
+    m = np.ones(int(width), dtype=np.float64)
+    slice_tbl = _load_shard(index_dir, shard, gen)
+    if slice_tbl is None or slice_tbl.num_rows == 0:
+        return m
+    loc, vals = _field_as_epoch_f64(slice_tbl, field)
+    valid = ~np.isnan(vals)
+    dist = np.maximum(0.0, np.abs(vals[valid] - origin_s) - offset_s)
+    if kind == "gauss":
+        sigma2 = -(scale_s * scale_s) / (2.0 * math.log(decay))
+        mult = np.exp(-(dist * dist) / (2.0 * sigma2))
+    elif kind == "exp":
+        lam = math.log(decay) / scale_s
+        mult = np.exp(lam * dist)
+    else:  # linear
+        s = scale_s / (1.0 - decay)
+        mult = np.maximum(0.0, (s - dist) / s)
+    m[loc[valid]] = mult
+    return m
+
+
 def group_values(index_dir: str, shard: int, gen: int, field: str,
                  loc):
     """Collapse-key values for the given shard-local offsets: object

@@ -377,13 +377,31 @@ def _plan_cached(index, key, build):
     return df
 
 
+def _epoch_s(v) -> float:
+    """Epoch seconds from a number or an ISO-8601 string (UTC)."""
+    if isinstance(v, str):
+        from datetime import datetime, timezone
+        return datetime.fromisoformat(v).replace(
+            tzinfo=timezone.utc).timestamp()
+    return float(v)
+
+
 def _norm_boost(index, boost: "dict | None"):
-    """Driver-side normalization of a recency-boost spec ->
-    (field, now_epoch_s, half_life_s), validated against the index's
-    docvalue schema. ``boost = {"field": <docvalue column>,
-    "half_life_days": float, "now": epoch-seconds number | ISO-8601
-    string (UTC)}``. Frozen formula (docvalues.recency_multiplier):
-    score *= 0.5 ** (max(0, now - ts) / half_life)."""
+    """Driver-side normalization of a score-multiplier boost spec into a
+    tagged tuple, validated against the index's docvalue schema. Two
+    frozen families (both applied AFTER the frozen BM25 summation,
+    inside the scorer task; every multiplier is <= 1):
+
+    * legacy one-sided recency — ``{"field", "half_life_days", "now"}``
+      -> ``("recency", field, now_s, half_life_s)``; formula
+      ``0.5 ** (max(0, now - ts) / half_life)``
+      (docvalues.recency_multiplier).
+    * ES decay family (``function_score`` gauss/exp/linear) —
+      ``{"field", "decay": kind, "origin": epoch-s | ISO-8601,
+      "scale_days": float, "decay_value": float (default 0.5, in
+      (0, 1)), "offset_days": float (default 0)}``
+      -> ``("decay", field, kind, origin_s, scale_s, decay, offset_s)``
+      (docvalues.decay_multiplier documents the formulas)."""
     if boost is None:
         return None
     field = boost["field"]
@@ -392,17 +410,30 @@ def _norm_boost(index, boost: "dict | None"):
             f"boost field {field!r} is not a docvalue column of this "
             f"index (stored: {list(index.doc_values or ())}; build with "
             f"IndexConfig(doc_values=...))")
+    if "decay" in boost:
+        kind = boost["decay"]
+        if kind not in ("gauss", "exp", "linear"):
+            raise ValueError(
+                f"decay must be one of gauss/exp/linear (got {kind!r})")
+        unknown = set(boost) - {"field", "decay", "origin", "scale_days",
+                                "decay_value", "offset_days"}
+        if unknown:
+            raise ValueError(f"unknown decay-boost keys: {sorted(unknown)}")
+        scale = float(boost["scale_days"]) * 86400.0
+        if scale <= 0:
+            raise ValueError("scale_days must be > 0")
+        d = float(boost.get("decay_value", 0.5))
+        if not (0.0 < d < 1.0):
+            raise ValueError(f"decay_value must be in (0, 1) (got {d})")
+        off = float(boost.get("offset_days", 0.0)) * 86400.0
+        if off < 0:
+            raise ValueError("offset_days must be >= 0")
+        return ("decay", field, kind, _epoch_s(boost["origin"]), scale,
+                d, off)
     hl = float(boost["half_life_days"]) * 86400.0
     if hl <= 0:
         raise ValueError("half_life_days must be > 0")
-    now = boost["now"]
-    if isinstance(now, str):
-        from datetime import datetime, timezone
-        now_s = datetime.fromisoformat(now).replace(
-            tzinfo=timezone.utc).timestamp()
-    else:
-        now_s = float(now)
-    return (field, now_s, hl)
+    return ("recency", field, _epoch_s(boost["now"]), hl)
 
 
 def _require_dv(index, dv_filter: "str | None") -> None:
@@ -1585,9 +1616,14 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
     def _boost_vec(shard: int):
         if bst is None:
             return None
+        if bst[0] == "decay":
+            from .docvalues import decay_multiplier
+            _, fld, kind, origin_s, scale_s, d, off_s = bst
+            return decay_multiplier(dv_dir, shard, dv_gen, width,
+                                    fld, kind, origin_s, scale_s, d, off_s)
         from .docvalues import recency_multiplier
         return recency_multiplier(dv_dir, shard, dv_gen, width,
-                                  bst[0], bst[1], bst[2])
+                                  bst[1], bst[2], bst[3])
 
     def _grp_closure(shard: int):
         if collapse is None:

@@ -290,9 +290,21 @@ def test_cli_docvalue_flags(tmp_path):
     rows = [json.loads(x) for x in r.stdout.splitlines()
             if x.startswith("{")]
     assert rows and all("sort_val" in x for x in rows)
-    # guards: boost without now; sort-by under PHRASE
+    # decay-family flags (gauss over the stored ts)
+    r = run("search", "--index-dir", d, "--query", "hot0 mid1", "--k", "5",
+            "--boost-field", "ts", "--decay", "gauss",
+            "--boost-origin", "2026-01-01T12:00:00",
+            "--boost-scale-days", "0.25", "--boost-offset-days", "0.05")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert any(x.startswith("{") for x in r.stdout.splitlines())
+    # guards: boost without now; decay without origin/field; sort-by
+    # under PHRASE
     assert run("search", "--index-dir", d, "--query", "hot0",
                "--boost-field", "ts").returncode == 2
+    assert run("search", "--index-dir", d, "--query", "hot0",
+               "--boost-field", "ts", "--decay", "exp").returncode == 2
+    assert run("search", "--index-dir", d, "--query", "hot0",
+               "--decay", "exp", "--boost-origin", "0").returncode == 2
     assert run("search", "--index-dir", d, "--query", "hot0 mid1",
                "--mode", "PHRASE", "--sort-by", "ts").returncode == 2
 
@@ -325,3 +337,122 @@ def test_streaming_appends_extend_store(spark, corpus_df, tmp_path):
         a = [tuple(r) for r in fn(batch_idx).collect()]
         b = [tuple(r) for r in fn(inc).collect()]
         assert a == b and a
+
+
+# --------------------------------------------------------------------
+# ES decay-function family (function_score gauss/exp/linear — r4;
+# docvalues.decay_multiplier documents the frozen formulas). Verified
+# against a pure-Python recompute over the unboosted FULL ranking,
+# exactly like the legacy recency boost above.
+# --------------------------------------------------------------------
+
+ORIGIN = "2026-01-01T12:00:00"   # mid-corpus: exercises the two-sided |x-o|
+
+
+def _decay_mult(kind, ts_s, origin_s, scale_s, d, off_s):
+    import math
+    dist = max(0.0, abs(ts_s - origin_s) - off_s)
+    if kind == "gauss":
+        sigma2 = -(scale_s * scale_s) / (2.0 * math.log(d))
+        return math.exp(-(dist * dist) / (2.0 * sigma2))
+    if kind == "exp":
+        return math.exp(math.log(d) / scale_s * dist)
+    s = scale_s / (1.0 - d)
+    return max(0.0, (s - dist) / s)
+
+
+def _decay_oracle(dv_index, corpus_rows, q, k, kind, scale_days,
+                  d=0.5, offset_days=0.0, mode="OR", role=None):
+    origin_s = _epoch(datetime.datetime.fromisoformat(ORIGIN))
+    full = Q.search(dv_index, q, k=dv_index.n_docs, mode=mode).collect()
+    out = []
+    for r in full:
+        row = corpus_rows[r.doc_id]
+        if role is not None and row.role != role:
+            continue
+        m = _decay_mult(kind, _epoch(row.ts), origin_s,
+                        scale_days * 86400.0, d, offset_days * 86400.0)
+        out.append((r.doc_id, r.score * m))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("kind", ["gauss", "exp", "linear"])
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_decay_matches_recompute(dv_index, corpus_rows, kind, mode):
+    q = "hot0 mid1"
+    boost = {"field": "ts", "decay": kind, "origin": ORIGIN,
+             "scale_days": 0.25}
+    got = [(r.doc_id, r.score) for r in
+           Q.search(dv_index, q, k=10, mode=mode, boost=boost).collect()]
+    want = _decay_oracle(dv_index, corpus_rows, q, 10, kind, 0.25,
+                         mode=mode)
+    assert [x for x, _ in got] == [x for x, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_decay_offset_and_decay_value(dv_index, corpus_rows):
+    # non-default decay_value + an offset radius inside which the
+    # multiplier is EXACTLY 1.0 (no float fuzz — dist clamps to 0)
+    boost = {"field": "ts", "decay": "gauss", "origin": ORIGIN,
+             "scale_days": 0.25, "decay_value": 0.9,
+             "offset_days": 0.05}
+    got = [(r.doc_id, r.score) for r in
+           Q.search(dv_index, "hot0 mid1", k=10, boost=boost).collect()]
+    want = _decay_oracle(dv_index, corpus_rows, "hot0 mid1", 10, "gauss",
+                         0.25, d=0.9, offset_days=0.05)
+    assert [x for x, _ in got] == [x for x, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    origin_s = _epoch(datetime.datetime.fromisoformat(ORIGIN))
+    unboosted = {r.doc_id: r.score for r in
+                 Q.search(dv_index, "hot0 mid1",
+                          k=dv_index.n_docs).collect()}
+    inside = [d_ for d_, _ in got
+              if abs(_epoch(corpus_rows[d_].ts) - origin_s)
+              <= 0.05 * 86400.0]
+    assert inside  # fixture guarantees docs inside the radius
+    for d_ in inside:
+        gs = dict(got)[d_]
+        assert gs == unboosted[d_]  # multiplier exactly 1.0
+
+
+def test_decay_composes_with_dv_filter(dv_index, corpus_rows):
+    boost = {"field": "ts", "decay": "linear", "origin": ORIGIN,
+             "scale_days": 0.5}
+    got = [(r.doc_id, r.score) for r in
+           Q.search(dv_index, "hot0 mid1", k=10, boost=boost,
+                    dv_filter="role = 'user'").collect()]
+    want = _decay_oracle(dv_index, corpus_rows, "hot0 mid1", 10,
+                         "linear", 0.5, role="user")
+    assert [x for x, _ in got] == [x for x, _ in want]
+
+
+def test_decay_validation_errors(dv_index):
+    with pytest.raises(ValueError, match="gauss/exp/linear"):
+        Q.search(dv_index, "hot0", boost={"field": "ts", "decay": "log",
+                                          "origin": ORIGIN,
+                                          "scale_days": 1})
+    with pytest.raises(ValueError, match="scale_days"):
+        Q.search(dv_index, "hot0", boost={"field": "ts", "decay": "exp",
+                                          "origin": ORIGIN,
+                                          "scale_days": 0})
+    with pytest.raises(ValueError, match="decay_value"):
+        Q.search(dv_index, "hot0", boost={"field": "ts",
+                                          "decay": "gauss",
+                                          "origin": ORIGIN,
+                                          "scale_days": 1,
+                                          "decay_value": 1.0})
+    with pytest.raises(ValueError, match="offset_days"):
+        Q.search(dv_index, "hot0", boost={"field": "ts",
+                                          "decay": "gauss",
+                                          "origin": ORIGIN,
+                                          "scale_days": 1,
+                                          "offset_days": -1})
+    with pytest.raises(ValueError, match="unknown decay-boost keys"):
+        Q.search(dv_index, "hot0", boost={"field": "ts",
+                                          "decay": "gauss",
+                                          "origin": ORIGIN,
+                                          "scale_days": 1,
+                                          "half_life_days": 3})
