@@ -1838,6 +1838,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_histogram_pipeline(idx, "spark join", "ts",
                                         7 * 86400, mode="OR")
 
+    def histogram_having_q(spark, sf):
+        # ES bucket_selector: weekly buckets of the match set that GREW
+        # versus the previous week (delta_docs > 0 — the NULL first
+        # bucket drops under SQL three-valued logic) — the predicate
+        # string is the literal one the DuckDB twin runs
+        from engine.matchops import match_histogram_having
+        idx = _packed_index(spark, sf)
+        return match_histogram_having(idx, "spark join", "ts", 7 * 86400,
+                                      "delta_docs > 0", mode="OR")
+
+    def histogram_top_q(spark, sf):
+        # ES bucket_sort: the 3 busiest 30-day buckets (n_docs desc,
+        # bucket_start asc tiebreak) of the match set
+        from engine.matchops import match_histogram_top
+        idx = _packed_index(spark, sf)
+        return match_histogram_top(idx, "spark join", "ts", 30 * 86400,
+                                   n=3, mode="OR")
+
     def more_like_this_q(spark, sf):
         # MLT: top-8 tf x idf terms of doc 3 (frozen deterministic cap:
         # tf*idf desc, term asc) scored as BM25 OR with qtf=1, source doc
@@ -1980,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_stats_lang": facet_stats_lang,
         "match_histogram": match_histogram_q,
         "histogram_pipeline": histogram_pipeline_q,
+        "histogram_having": histogram_having_q,
+        "histogram_top": histogram_top_q,
         "more_like_this": more_like_this_q,
     }
 
@@ -2955,6 +2975,49 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
                    (n_docs - lag(n_docs) OVER (ORDER BY bucket_start))
                      ::BIGINT AS delta_docs
             FROM d ORDER BY bucket_start""",
+        # bucket_selector twin: the pipeline CTE chain + the LITERAL
+        # same predicate string over the dense bucket columns
+        "histogram_having": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS s
+              FROM documents
+              WHERE len(list_intersect({_TOK_SQL},
+                                       ['join', 'spark'])) > 0),
+            h AS (
+              SELECT (s // {7 * 86400}) * {7 * 86400} AS b,
+                     count(*)::BIGINT AS n
+              FROM m GROUP BY 1),
+            g AS (
+              SELECT unnest(generate_series((SELECT min(b) FROM h),
+                                            (SELECT max(b) FROM h),
+                                            {7 * 86400})) AS bucket_start),
+            d AS (
+              SELECT g.bucket_start,
+                     coalesce(h.n, 0)::BIGINT AS n_docs
+              FROM g LEFT JOIN h ON h.b = g.bucket_start),
+            p AS (
+              SELECT bucket_start, n_docs,
+                     (sum(n_docs) OVER (ORDER BY bucket_start))::BIGINT
+                       AS cum_docs,
+                     (n_docs - lag(n_docs) OVER (ORDER BY bucket_start))
+                       ::BIGINT AS delta_docs
+              FROM d)
+            SELECT bucket_start, n_docs, cum_docs, delta_docs FROM p
+            WHERE delta_docs > 0 ORDER BY bucket_start""",
+        # bucket_sort twin: non-empty parent buckets, n_docs desc with
+        # the bucket_start tiebreak, top 3
+        "histogram_top": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS s
+              FROM documents
+              WHERE len(list_intersect({_TOK_SQL},
+                                       ['join', 'spark'])) > 0)
+            SELECT (s // {30 * 86400}) * {30 * 86400} AS bucket_start,
+                   count(*)::BIGINT AS n_docs
+            FROM m GROUP BY 1
+            ORDER BY n_docs DESC, bucket_start ASC LIMIT 3""",
         "more_like_this": _mlt_sql(3, 8, 10),
         # tombstoned (not yet purged): candidates restricted, stats global
         "bm25_deleted": _bm25_sql(["vector", "window", "merge"], "OR",

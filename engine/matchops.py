@@ -568,6 +568,61 @@ def match_histogram_pipeline(index, query: str, field: str, interval_s: int,
     return _plan_cached(index, key, build)
 
 
+def match_histogram_having(index, query: str, field: str, interval_s: int,
+                           having: str, mode: str = "OR",
+                           exclude: str | None = None,
+                           dv_filter: str | None = None) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg: keep only the histogram
+    buckets passing an ANSI-SQL predicate over the bucket columns
+    (``bucket_start``, ``n_docs``, ``cum_docs``, ``delta_docs`` — the
+    densified ``match_histogram_pipeline`` axis, so running-total and
+    derivative predicates work; ``delta_docs`` is NULL on the first
+    bucket, and a predicate over NULL drops the bucket — standard SQL
+    three-valued logic, the frozen rule the DuckDB twin shares).
+
+    Keep the predicate to the ANSI subset Spark SQL and DuckDB parse
+    identically (the dv_filter rule) so the oracle twin is the literal
+    same string. Plan: the parent pipeline's unchanged one-job plan +
+    a Filter over the bucket-bounded result — selection never touches
+    the corpus, exactly like the ES pipeline agg (which runs driver-side
+    over the reduced buckets)."""
+    h = match_histogram_pipeline(index, query, field, interval_s, mode,
+                                 exclude, dv_filter)
+    key = ("mhh", query, field, int(interval_s), having, mode.upper(),
+           exclude, dv_filter)
+    return _plan_cached(index, key,
+                        lambda: h.where(F.expr(having))
+                        .orderBy("bucket_start"))
+
+
+def match_histogram_top(index, query: str, field: str, interval_s: int,
+                        n: int = 5, asc: bool = False,
+                        mode: str = "OR", exclude: str | None = None,
+                        dv_filter: str | None = None) -> DataFrame:
+    """ES ``bucket_sort`` pipeline agg: the parent date-histogram's
+    buckets re-ranked by doc count and truncated — "the N busiest
+    (or quietest) weeks of the match set". Frozen order:
+    ``n_docs`` desc (asc when ``asc=True``), ``bucket_start`` asc as
+    the tiebreak; only NON-EMPTY parent buckets participate (the ES
+    contract — bucket_sort runs over the parent's emitted buckets, and
+    the parent emits min_doc_count >= 1 here).
+
+    Returns ``(bucket_start, n_docs)``, ordered by the sort above.
+    Plan: the parent histogram's one-job plan + TakeOrderedAndProject
+    over the bucket-bounded result — the sort input is |buckets| rows,
+    never docs (the 100 TB argument is the parent's)."""
+    h = match_histogram(index, query, field, interval_s, mode, exclude,
+                        dv_filter)
+    n = int(n)
+    if n <= 0:
+        raise ValueError("n must be >= 1")
+    key = ("mht", query, field, int(interval_s), n, bool(asc),
+           mode.upper(), exclude, dv_filter)
+    order = [F.col("n_docs").asc() if asc else F.col("n_docs").desc(),
+             F.col("bucket_start").asc()]
+    return _plan_cached(index, key, lambda: h.orderBy(*order).limit(n))
+
+
 def match_ranges(index, query: str, field: str, edges,
                  mode: str = "OR", exclude: str | None = None,
                  dv_filter: str | None = None) -> DataFrame:

@@ -226,6 +226,65 @@ def test_match_histogram_pipeline_empty(midx):
                           "delta_docs"]
 
 
+def _pipeline_reference(corpus_pdf, tok_rows, terms, interval):
+    """(grid, n, cum, delta) pandas reference for the densified pipeline
+    axis — shared by the bucket_selector/bucket_sort tests."""
+    ids = _expect_ids(tok_rows, terms, "OR")
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64)
+    counts = {}
+    for s in (secs // interval) * interval:
+        counts[int(s)] = counts.get(int(s), 0) + 1
+    lo, hi = min(counts), max(counts)
+    grid = list(range(lo, hi + 1, interval))
+    n = [counts.get(b, 0) for b in grid]
+    cum = np.cumsum(n).tolist()
+    delta = [None] + [n[i] - n[i - 1] for i in range(1, len(n))]
+    return grid, n, cum, delta
+
+
+def test_match_histogram_having(midx, corpus_pdf, tok_rows):
+    """ES bucket_selector: SQL predicate over the densified bucket
+    columns; NULL delta (first bucket) drops under three-valued logic."""
+    interval = 3600
+    grid, n, cum, delta = _pipeline_reference(
+        corpus_pdf, tok_rows, ["rare0", "rare1"], interval)
+    want = [(b, x) for b, x, d in zip(grid, n, delta)
+            if x >= 1 and d is not None and d >= 0]
+    rows = M.match_histogram_having(
+        midx, "rare0 rare1", "ts", interval,
+        "n_docs >= 1 AND delta_docs >= 0").collect()
+    assert [(r.bucket_start, r.n_docs) for r in rows] == want
+    # a predicate over cum_docs works (densified axis, running total)
+    half = cum[-1] / 2
+    want2 = [b for b, c in zip(grid, cum) if c > half]
+    rows2 = M.match_histogram_having(
+        midx, "rare0 rare1", "ts", interval,
+        f"cum_docs > {half}").collect()
+    assert [r.bucket_start for r in rows2] == want2
+    # first bucket has NULL delta -> dropped by any delta predicate
+    assert grid[0] not in [r.bucket_start for r in rows]
+
+
+def test_match_histogram_top(midx, corpus_pdf, tok_rows):
+    """ES bucket_sort: non-empty parent buckets by n_docs desc/asc with
+    the bucket_start tiebreak, truncated to n."""
+    interval = 3600
+    grid, n, _, _ = _pipeline_reference(
+        corpus_pdf, tok_rows, ["rare0", "rare1"], interval)
+    nonempty = [(b, x) for b, x in zip(grid, n) if x > 0]
+    for asc in (False, True):
+        want = sorted(nonempty,
+                      key=lambda t: (t[1] if asc else -t[1], t[0]))[:3]
+        rows = M.match_histogram_top(midx, "rare0 rare1", "ts", interval,
+                                     n=3, asc=asc).collect()
+        assert [(r.bucket_start, r.n_docs) for r in rows] == want
+    with pytest.raises(ValueError, match="n must be"):
+        M.match_histogram_top(midx, "hot0", "ts", interval, n=0)
+    assert M.match_histogram_top(midx, "nosuchterm", "ts",
+                                 interval).count() == 0
+
+
 def test_match_histogram_validation(midx):
     with pytest.raises(ValueError, match="positive"):
         M.match_histogram(midx, "hot0", "ts", 0)
