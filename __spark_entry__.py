@@ -99,6 +99,11 @@ def _corpus_from_documents(docs: DataFrame) -> DataFrame:
         .alias("ts"),
         F.col("lang"),
         F.col("source"),
+        # deliberately-sparse attribute (NULL on every 7th doc): the
+        # missing-agg gate needs real NULLs — the table's own columns
+        # have none
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("source")).alias("src_opt"),
     )
 
 
@@ -142,7 +147,7 @@ def _packed_index(spark: SparkSession, sf_dir: str, positions: bool = False):
     if key not in _PACKED_IDX_CACHE:
         d = tempfile.mkdtemp(prefix="entry_idx_")
         cfg = IndexConfig(index_positions=positions,
-                          doc_values=("lang", "source", "ts"),
+                          doc_values=("lang", "source", "ts", "src_opt"),
                           fuzzy_edits=2)
         _PACKED_IDX_CACHE[key] = build_index(
             spark, _corpus_from_documents(_docs(spark, sf_dir)), d,
@@ -1838,6 +1843,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_histogram_pipeline(idx, "spark join", "ts",
                                         7 * 86400, mode="OR")
 
+    def match_missing_q(spark, sf):
+        # ES missing agg over the deliberately-sparse src_opt docvalue
+        # (NULL on every 7th doc): match-set size + its unknown-value
+        # count, one partial row per shard
+        from engine.matchops import match_missing
+        idx = _packed_index(spark, sf)
+        return match_missing(idx, "spark join", "src_opt", mode="OR")
+
+    def string_stats_q(spark, sf):
+        # ES string_stats over the source docvalue of the match set:
+        # exact int64 length stats + Shannon entropy of the character
+        # distribution (frozen char-asc summation order)
+        from engine.matchops import match_string_stats
+        idx = _packed_index(spark, sf)
+        df = match_string_stats(idx, "spark join", "source", mode="OR")
+        return df.select("n_docs", "n_with_value", "min_len", "max_len",
+                         F.round("avg_len", 6).alias("avg_len"),
+                         F.round("entropy", 6).alias("entropy"))
+
     def histogram_having_q(spark, sf):
         # ES bucket_selector: weekly buckets of the match set that GREW
         # versus the previous week (delta_docs > 0 — the NULL first
@@ -2000,6 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_pipeline": histogram_pipeline_q,
         "histogram_having": histogram_having_q,
         "histogram_top": histogram_top_q,
+        "match_missing": match_missing_q,
+        "string_stats": string_stats_q,
         "more_like_this": more_like_this_q,
     }
 
@@ -2975,6 +3001,46 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10
                    (n_docs - lag(n_docs) OVER (ORDER BY bucket_start))
                      ::BIGINT AS delta_docs
             FROM d ORDER BY bucket_start""",
+        # missing-agg twin: src_opt reconstructed arithmetically (NULL
+        # on every 7th doc), unknown = NULL (no absent-row case in the
+        # batch corpus — every doc has a dv row)
+        "match_missing": f"""
+            WITH m AS (
+              SELECT doc_id FROM documents
+              WHERE len(list_intersect({_TOK_SQL},
+                                       ['join', 'spark'])) > 0)
+            SELECT count(*)::BIGINT AS n_docs,
+                   coalesce(sum(CASE WHEN doc_id % 7 = 0 THEN 1 END), 0)
+                     ::BIGINT AS n_missing
+            FROM m""",
+        # string_stats twin: code-point lengths (DuckDB length ==
+        # Python len) + character-distribution Shannon entropy
+        "string_stats": f"""
+            WITH m AS (
+              SELECT doc_id, source FROM documents
+              WHERE len(list_intersect({_TOK_SQL},
+                                       ['join', 'spark'])) > 0),
+            lens AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     count(source)::BIGINT AS n_with_value,
+                     min(length(source))::BIGINT AS min_len,
+                     max(length(source))::BIGINT AS max_len,
+                     round(sum(length(source))::DOUBLE / count(source),
+                           6) AS avg_len
+              FROM m),
+            cc AS (
+              SELECT ch, count(*)::DOUBLE AS c,
+                     sum(count(*)) OVER ()::DOUBLE AS t
+              FROM (SELECT unnest(string_split(source, '')) AS ch
+                    FROM m WHERE source IS NOT NULL)
+              GROUP BY ch),
+            e AS (
+              SELECT round(coalesce(sum(-(c/t)*log2(c/t)), 0), 6)
+                       AS entropy
+              FROM cc)
+            SELECT n_docs, n_with_value, min_len, max_len, avg_len,
+                   entropy
+            FROM lens, e""",
         # bucket_selector twin: the pipeline CTE chain + the LITERAL
         # same predicate string over the dense bucket columns
         "histogram_having": f"""

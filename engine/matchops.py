@@ -404,6 +404,219 @@ def match_cardinality(index, query: str, field: str, mode: str = "OR",
     return _plan_cached(index, key, build)
 
 
+def match_missing(index, query: str, field: str, mode: str = "OR",
+                  exclude: str | None = None,
+                  dv_filter: str | None = None) -> DataFrame:
+    """ES ``missing`` aggregation: how many docs in the match set have
+    NO value for a stored docvalue column (NULL value or no docvalue
+    row at all — both mean "the attribute is unknown", the same rule
+    every docvalue consumer here uses: boosts treat them as 1.0,
+    collapse/sort exclude them, stats skip them).
+
+    Returns one row ``(n_docs:long, n_missing:long)`` — match-set size
+    and its missing-value count; works for ANY stored column type
+    (unlike match_stats, which is numeric-only — a missing count has no
+    reduction-order hazard).
+
+    Plan: the shared match kernel; each shard task counts its own
+    missing offsets against its cached docvalue slice (two searchsorted
+    passes, no value materialization) and emits ONE partial row; a tiny
+    final sum. Shuffle volume = one row per shard."""
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"missing-agg field {field!r} is not a docvalue column of "
+            f"this index (stored: {list(index.doc_values or ())})")
+    key = ("mmiss", query, field, mode, exclude, dv_filter)
+
+    def build():
+        spark = index.spark
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:
+            return spark.range(1).select(
+                F.lit(0).cast("long").alias("n_docs"),
+                F.lit(0).cast("long").alias("n_missing"))
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            from .docvalues import _load_shard
+            empty = pd.DataFrame({"n": [], "miss": []})
+            if len(post_pdf) == 0:
+                return empty
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty
+            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+            if slice_tbl is None or slice_tbl.num_rows == 0:
+                # no docvalue rows in this shard: everything is missing
+                return pd.DataFrame({"n": [int(hit.size)],
+                                     "miss": [int(hit.size)]})
+            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+            nulls = slice_tbl.column(field).is_null() \
+                .to_numpy(zero_copy_only=False)
+            idx_ = np.searchsorted(sloc, hit)
+            ok = idx_ < sloc.size
+            ok[ok] &= sloc[idx_[ok]] == hit[ok]
+            n_present = int(np.count_nonzero(~nulls[idx_[ok]]))
+            return pd.DataFrame({"n": [int(hit.size)],
+                                 "miss": [int(hit.size) - n_present]})
+
+        partial = post.groupBy("shard").applyInPandas(
+            fn, "n long, miss long")
+        return partial.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("miss"), F.lit(0)).cast("long")
+            .alias("n_missing"))
+
+    return _plan_cached(index, key, build)
+
+
+def match_string_stats(index, query: str, field: str, mode: str = "OR",
+                       exclude: str | None = None,
+                       dv_filter: str | None = None) -> DataFrame:
+    """ES ``string_stats`` aggregation over a stored keyword docvalue:
+    ``(n_docs, n_with_value, min_len, max_len, avg_len, entropy)``.
+    Lengths are Python-``len`` code points (== DuckDB ``length``);
+    ``entropy`` is the Shannon entropy of the CHARACTER distribution
+    across all non-NULL values (the published ES contract). All
+    reductions are exact int64s (char counts, length sum); the only
+    float math is the final entropy/avg division, computed ONCE
+    driver-side over the globally-merged counts in frozen char-asc
+    order — bit-reproducible regardless of shard count.
+
+    Plan: shared match kernel; each shard emits its length partial (one
+    row) plus its own char-count rows (bounded by its alphabet, never
+    docs); one tiny hash agg merges counts; the alphabet-sized result is
+    collected driver-side (metadata-sized) for the frozen-order entropy
+    sum. The returned single row is a LocalRelation — no further job."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"string_stats field {field!r} is not a docvalue column of "
+            f"this index (stored: {list(index.doc_values or ())})")
+    from .docvalues import dv_path
+    schema = pads.dataset(dv_path(index.index_dir),
+                          format="parquet", partitioning="hive").schema
+    if not pa.types.is_string(schema.field(field).type):
+        raise ValueError(
+            f"match_string_stats({field!r}) wants a string docvalue "
+            f"(stored type: {schema.field(field).type}); use match_stats "
+            f"for numeric/timestamp columns")
+    key = ("msstr", query, field, mode, exclude, dv_filter)
+
+    def build():
+        import math
+        spark = index.spark
+
+        def _result(n, nv, mn, mx, sm, ent):
+            return spark.range(1).select(
+                F.lit(n).cast("long").alias("n_docs"),
+                F.lit(nv).cast("long").alias("n_with_value"),
+                F.lit(mn).cast("long").alias("min_len"),
+                F.lit(mx).cast("long").alias("max_len"),
+                (F.lit(float(sm) / nv) if nv else F.lit(None))
+                .cast("double").alias("avg_len"),
+                F.lit(ent).cast("double").alias("entropy"))
+
+        qtf = query_terms(query, index.cfg.analyzer)
+        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+            if qtf else None
+        if prep is None:
+            return _result(0, 0, None, None, 0, 0.0)
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as _pa
+            from .docvalues import _load_shard
+            cols = ("c", "cnt", "n", "nv", "mn", "mx", "sm")
+            empty = pd.DataFrame({k: [] for k in cols})
+            if len(post_pdf) == 0:
+                return empty
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty
+            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+            if slice_tbl is None or slice_tbl.num_rows == 0:
+                return pd.DataFrame(
+                    {"c": [None], "cnt": [0], "n": [int(hit.size)],
+                     "nv": [0], "mn": [0], "mx": [0], "sm": [0]})
+            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+            col = slice_tbl.column(field)
+            nulls = col.is_null().to_numpy(zero_copy_only=False)
+            idx_ = np.searchsorted(sloc, hit)
+            ok = idx_ < sloc.size
+            ok[ok] &= sloc[idx_[ok]] == hit[ok]
+            rows = idx_[ok]
+            rows = rows[~nulls[rows]]
+            if rows.size == 0:
+                return pd.DataFrame(
+                    {"c": [None], "cnt": [0], "n": [int(hit.size)],
+                     "nv": [0], "mn": [0], "mx": [0], "sm": [0]})
+            vals = col.take(_pa.array(rows, _pa.int64())) \
+                .to_pandas().tolist()
+            lens = [len(v) for v in vals]
+            from collections import Counter
+            cc = Counter("".join(vals))
+            out = pd.DataFrame({"c": list(cc.keys()),
+                                "cnt": list(cc.values())})
+            out["n"] = 0
+            out["nv"] = 0
+            out["mn"] = 0
+            out["mx"] = 0
+            out["sm"] = 0
+            head = pd.DataFrame(
+                {"c": [None], "cnt": [0], "n": [int(hit.size)],
+                 "nv": [int(len(lens))], "mn": [int(min(lens))],
+                 "mx": [int(max(lens))], "sm": [int(sum(lens))]})
+            return pd.concat([head, out], ignore_index=True)
+
+        partial = post.groupBy("shard").applyInPandas(
+            fn, "c string, cnt long, n long, nv long, mn long, mx long, "
+                "sm long")
+        merged = partial.groupBy("c").agg(
+            F.sum("cnt").alias("cnt"), F.sum("n").alias("n"),
+            F.sum("nv").alias("nv"),
+            F.min(F.when(F.col("nv") > 0, F.col("mn"))).alias("mn"),
+            F.max(F.when(F.col("nv") > 0, F.col("mx"))).alias("mx"),
+            F.sum("sm").alias("sm")).collect()  # alphabet-sized
+        n = nv = sm = 0
+        mn = mx = None
+        counts = {}
+        for r in merged:
+            if r.c is None:
+                n, nv, sm = int(r.n), int(r.nv), int(r.sm)
+                mn = None if r.mn is None else int(r.mn)
+                mx = None if r.mx is None else int(r.mx)
+            elif r.cnt:
+                counts[r.c] = counts.get(r.c, 0) + int(r.cnt)
+        if not merged:
+            return _result(0, 0, None, None, 0, 0.0)
+        total = sum(counts.values())
+        ent = 0.0
+        for ch in sorted(counts):  # frozen order: char asc
+            p = counts[ch] / total
+            ent -= p * math.log2(p)
+        return _result(n, nv, mn, mx, sm, ent)
+
+    return _plan_cached(index, key, build)
+
+
 HISTOGRAM_SCHEMA = "bucket_start long, n_docs long"
 
 

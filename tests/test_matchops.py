@@ -226,6 +226,74 @@ def test_match_histogram_pipeline_empty(midx):
                           "delta_docs"]
 
 
+@pytest.fixture(scope="module")
+def sparse_idx(spark, corpus_df, tmp_path_factory):
+    """Index whose 'opt' docvalue is NULL on every turn_idx==0 doc — the
+    missing-agg tests need real NULLs (the fixture corpus has none)."""
+    from pyspark.sql import functions as F
+    d = str(tmp_path_factory.mktemp("sparseidx") / "packed")
+    df = corpus_df.withColumn(
+        "opt", F.when(F.col("turn_idx") == 0, F.lit(None))
+        .otherwise(F.col("role")))
+    return build_index(spark, df, d,
+                       cfg=IndexConfig(doc_values=("role", "ts", "opt")))
+
+
+def test_match_missing(sparse_idx, corpus_pdf, tok_rows):
+    ids = _expect_ids(tok_rows, ["hot0", "mid1"], "OR")
+    want_missing = int((corpus_pdf.iloc[ids].turn_idx == 0).sum())
+    r = M.match_missing(sparse_idx, "hot0 mid1", "opt").collect()[0]
+    assert (r.n_docs, r.n_missing) == (len(ids), want_missing)
+    assert 0 < want_missing < len(ids)  # non-degenerate fixture
+    # a column with no NULLs -> 0 missing
+    r2 = M.match_missing(sparse_idx, "hot0 mid1", "role").collect()[0]
+    assert (r2.n_docs, r2.n_missing) == (len(ids), 0)
+    # composes with exclude + dv_filter
+    ids3 = _expect_ids(tok_rows, ["hot0", "mid1"], "OR", pdf=corpus_pdf,
+                       pred=lambda r: r.role == "user", neg=["rare0"])
+    want3 = int((corpus_pdf.iloc[ids3].turn_idx == 0).sum())
+    r3 = M.match_missing(sparse_idx, "hot0 mid1", "opt", exclude="rare0",
+                         dv_filter="role = 'user'").collect()[0]
+    assert (r3.n_docs, r3.n_missing) == (len(ids3), want3)
+    # empty match set
+    r4 = M.match_missing(sparse_idx, "nosuchterm", "opt").collect()[0]
+    assert (r4.n_docs, r4.n_missing) == (0, 0)
+    with pytest.raises(ValueError, match="not a docvalue column"):
+        M.match_missing(sparse_idx, "hot0", "nope")
+
+
+def test_match_string_stats(sparse_idx, corpus_pdf, tok_rows):
+    import math
+    from collections import Counter
+    ids = _expect_ids(tok_rows, ["hot0", "mid1"], "OR")
+    vals = corpus_pdf.iloc[ids].role.tolist()
+    lens = [len(v) for v in vals]
+    cc = Counter("".join(vals))
+    total = sum(cc.values())
+    ent = 0.0
+    for ch in sorted(cc):
+        p = cc[ch] / total
+        ent -= p * math.log2(p)
+    r = M.match_string_stats(sparse_idx, "hot0 mid1", "role").collect()[0]
+    assert (r.n_docs, r.n_with_value) == (len(ids), len(ids))
+    assert (r.min_len, r.max_len) == (min(lens), max(lens))
+    assert abs(r.avg_len - sum(lens) / len(lens)) < 1e-12
+    assert abs(r.entropy - ent) < 1e-12
+    # NULLs excluded from value stats, counted in n_docs
+    vals_o = [corpus_pdf.iloc[i].role for i in ids
+              if corpus_pdf.iloc[i].turn_idx != 0]
+    r2 = M.match_string_stats(sparse_idx, "hot0 mid1", "opt").collect()[0]
+    assert (r2.n_docs, r2.n_with_value) == (len(ids), len(vals_o))
+    # empty + validation
+    r3 = M.match_string_stats(sparse_idx, "nosuchterm", "role").collect()[0]
+    assert (r3.n_docs, r3.n_with_value) == (0, 0)
+    assert r3.avg_len is None and r3.entropy == 0.0
+    with pytest.raises(ValueError, match="string docvalue"):
+        M.match_string_stats(sparse_idx, "hot0", "ts")
+    with pytest.raises(ValueError, match="not a docvalue column"):
+        M.match_string_stats(sparse_idx, "hot0", "nope")
+
+
 def _pipeline_reference(corpus_pdf, tok_rows, terms, interval):
     """(grid, n, cum, delta) pandas reference for the densified pipeline
     axis — shared by the bucket_selector/bucket_sort tests."""
