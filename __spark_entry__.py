@@ -1302,6 +1302,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_percentiles(idx, "spark join", "ts",
                                  ps=(0.5, 0.9, 0.99))
 
+    def match_mad_ts(spark, sf):
+        # exact median-absolute-deviation (ES approximates with
+        # t-digest): both medians use the same frozen DISC rule as
+        # match_pct_ts, the deviation histogram derived driver-side
+        # from the one collected value histogram — one job total
+        from engine.matchops import match_mad
+        idx = _packed_index(spark, sf)
+        return match_mad(idx, "spark join", "ts", mode="OR")
+
     def index_stats_q(spark, sf):
         # the _stats endpoint: n_docs/n_deleted from the manifest,
         # n_terms/n_postings (Σdf) / n_tokens (Σcf) from ONE lexicon
@@ -2026,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_top": histogram_top_q,
         "match_missing": match_missing_q,
         "string_stats": string_stats_q,
+        "match_mad_ts": match_mad_ts,
         "more_like_this": more_like_this_q,
     }
 
@@ -2543,6 +2553,32 @@ ORDER BY term
                    (SELECT min(v) FROM c, n
                     WHERE cum >= ceil(q.p * n.c))::BIGINT AS value
             FROM (VALUES (0.5), (0.9), (0.99)) q(p) ORDER BY p""",
+        # exact MAD twin: the same DISC rule for both medians, the
+        # deviation histogram folded from the value histogram
+        "match_mad_ts": f"""
+            WITH t AS ({toks_cte}),
+            m AS (
+              SELECT DISTINCT doc_id FROM t
+              WHERE term IN ('join', 'spark')
+            ),
+            vals AS (
+              SELECT ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS v
+              FROM m
+            ),
+            n AS (SELECT count(*)::BIGINT AS c FROM vals),
+            h AS (SELECT v, count(*)::BIGINT AS cnt FROM vals GROUP BY v),
+            c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
+            med AS (SELECT (SELECT min(v) FROM c, n
+                            WHERE cum >= ceil(0.5 * n.c))::BIGINT AS m),
+            dh AS (SELECT abs(v - (SELECT m FROM med)) AS dv,
+                          sum(cnt)::BIGINT AS cnt
+                   FROM h GROUP BY 1),
+            dc AS (SELECT dv, sum(cnt) OVER (ORDER BY dv) AS cum FROM dh)
+            SELECT n.c AS n_values,
+                   (SELECT m FROM med) AS median,
+                   (SELECT min(dv) FROM dc, n
+                    WHERE cum >= ceil(0.5 * n.c))::BIGINT AS mad
+            FROM n""",
         "index_stats": f"""
             WITH tf AS (
               SELECT doc_id, term, count(*)::BIGINT AS tf

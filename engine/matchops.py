@@ -1713,6 +1713,145 @@ def export_matches(index, query: str, out_dir: str, mode: str = "OR",
 PCT_SCHEMA = "p double, value long"
 
 
+def _gather_value_hist(index, query: str, field: str, is_ts: bool,
+                       mode: str, exclude, dv_filter):
+    """Driver-side sorted (value, count) histogram of a stored int64/
+    timestamp docvalue over the match set — the shared reduction under
+    match_percentiles and match_mad. One job: pruned scan + shared
+    arity kernel, each shard emits its OWN distinct (value, count) rows
+    (shuffle bounded by per-shard distinct values — the exact-answer
+    floor), one hash agg, then an ordered metadata-sized collect.
+    Returns a list of Rows (possibly empty)."""
+    qtf = query_terms(query, index.cfg.analyzer)
+    prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
+        if qtf else None
+    if prep is None:
+        return []
+    post, hits, width = prep
+    dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+    def fn(key_, post_pdf):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as _pa
+        import pyarrow.compute as pc
+        from .docvalues import _load_shard
+        empty_ = pd.DataFrame({"v": [], "cnt": []})
+        if len(post_pdf) == 0:
+            return empty_
+        shard = int(post_pdf["shard"].iloc[0])
+        hit = hits(post_pdf)
+        if hit.size == 0:
+            return empty_
+        slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+        if slice_tbl is None or slice_tbl.num_rows == 0:
+            return empty_
+        sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+        col = slice_tbl.column(field)
+        nulls = col.is_null().to_numpy(zero_copy_only=False)
+        idx_ = np.searchsorted(sloc, hit)
+        ok = idx_ < sloc.size
+        ok[ok] &= sloc[idx_[ok]] == hit[ok]
+        rows = idx_[ok]
+        rows = rows[~nulls[rows]]
+        if rows.size == 0:
+            return empty_
+        if is_ts:
+            micros = pc.fill_null(
+                pc.cast(col, _pa.timestamp("us")).cast(_pa.int64()),
+                0).to_numpy(zero_copy_only=False)
+            vals = np.floor_divide(micros[rows], 1_000_000)
+        else:
+            vals = pc.fill_null(col, 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)[rows]
+        uv, cnt = np.unique(vals, return_counts=True)
+        return pd.DataFrame({"v": uv.astype(np.int64),
+                             "cnt": cnt.astype(np.int64)})
+
+    return (post.groupBy("shard").applyInPandas(fn, "v long, cnt long")
+            .groupBy("v").agg(F.sum("cnt").alias("cnt"))
+            .orderBy("v").collect())
+
+
+def _disc_value(hist, p: float, n: int):
+    """Frozen PERCENTILE_DISC walk over a sorted (v, cnt) histogram:
+    min v with cum_count(v) >= ceil(p * n)."""
+    import math
+    need = math.ceil(p * n)
+    cum = 0
+    for v, cnt in hist:
+        cum += cnt
+        if cum >= need:
+            return int(v)
+    return int(hist[-1][0])
+
+
+def match_mad(index, query: str, field: str, mode: str = "OR",
+              exclude: str | None = None,
+              dv_filter: str | None = None) -> DataFrame:
+    """ES ``median_absolute_deviation`` aggregation, EXACT (the ES one
+    is t-digest-approximate): ``MAD = median(|x - median(x)|)`` over
+    the non-NULL values of a stored timestamp/integer docvalue in the
+    match set — the robust dispersion measure ("how spread out are the
+    timestamps of turns mentioning X").
+
+    Both medians use the frozen PERCENTILE_DISC rule shared with
+    match_percentiles (min v with cum_count >= ceil(0.5 n)), written
+    out identically in the DuckDB twin — so every returned number is an
+    exact int64 and bit-reproducible. Returns one row
+    ``(n_values, median, mad)``, NULLs when the match set has no
+    values.
+
+    Plan: ONE job — the same shared distinct-value histogram reduction
+    as match_percentiles; the deviation histogram is derived driver-
+    side from the collected value histogram (|v - median| merges
+    symmetric values), so MAD costs no second pass over the data."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"mad field {field!r} is not a docvalue column of this "
+            f"index (stored: {list(index.doc_values or ())})")
+    from .docvalues import dv_path
+    schema = pads.dataset(dv_path(index.index_dir),
+                          format="parquet", partitioning="hive").schema
+    ftype = schema.field(field).type
+    is_ts = pa.types.is_timestamp(ftype)
+    if not (is_ts or pa.types.is_integer(ftype)):
+        raise ValueError(
+            f"match_mad({field!r}): only timestamp/integer docvalue "
+            f"columns are supported (stored type {ftype})")
+    key = ("mmad", query, field, mode, exclude, dv_filter)
+
+    def build():
+        spark = index.spark
+
+        def _result(n, med, mad):
+            return spark.range(1).select(
+                F.lit(n).cast("long").alias("n_values"),
+                F.lit(med).cast("long").alias("median"),
+                F.lit(mad).cast("long").alias("mad"))
+
+        hist = _gather_value_hist(index, query, field, is_ts, mode,
+                                  exclude, dv_filter)
+        if not hist:
+            return _result(0, None, None)
+        pairs = [(int(r["v"]), int(r["cnt"])) for r in hist]
+        n = sum(c for _, c in pairs)
+        med = _disc_value(pairs, 0.5, n)
+        devs = {}
+        for v, c in pairs:
+            d = abs(v - med)
+            devs[d] = devs.get(d, 0) + c
+        dev_hist = sorted(devs.items())
+        return _result(n, med, _disc_value(dev_hist, 0.5, n))
+
+    return _plan_cached(index, key, build)
+
+
 def match_percentiles(index, query: str, field: str, ps=(0.5, 0.9, 0.99),
                       mode: str = "OR", exclude: str | None = None,
                       dv_filter: str | None = None) -> DataFrame:
@@ -1770,55 +1909,8 @@ def match_percentiles(index, query: str, field: str, ps=(0.5, 0.9, 0.99),
         spark = index.spark
         empty = spark.createDataFrame(
             [(p, None) for p in ps], PCT_SCHEMA)
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
-        if prep is None:
-            return empty
-        post, hits, width = prep
-        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
-
-        def fn(key_, post_pdf):
-            import numpy as np
-            import pandas as pd
-            import pyarrow as _pa
-            import pyarrow.compute as pc
-            from .docvalues import _load_shard
-            empty_ = pd.DataFrame({"v": [], "cnt": []})
-            if len(post_pdf) == 0:
-                return empty_
-            shard = int(post_pdf["shard"].iloc[0])
-            hit = hits(post_pdf)
-            if hit.size == 0:
-                return empty_
-            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
-            if slice_tbl is None or slice_tbl.num_rows == 0:
-                return empty_
-            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
-            col = slice_tbl.column(field)
-            nulls = col.is_null().to_numpy(zero_copy_only=False)
-            idx_ = np.searchsorted(sloc, hit)
-            ok = idx_ < sloc.size
-            ok[ok] &= sloc[idx_[ok]] == hit[ok]
-            rows = idx_[ok]
-            rows = rows[~nulls[rows]]
-            if rows.size == 0:
-                return empty_
-            if is_ts:
-                micros = pc.fill_null(
-                    pc.cast(col, _pa.timestamp("us")).cast(_pa.int64()),
-                    0).to_numpy(zero_copy_only=False)
-                vals = np.floor_divide(micros[rows], 1_000_000)
-            else:
-                vals = pc.fill_null(col, 0).to_numpy(
-                    zero_copy_only=False).astype(np.int64)[rows]
-            uv, cnt = np.unique(vals, return_counts=True)
-            return pd.DataFrame({"v": uv.astype(np.int64),
-                                 "cnt": cnt.astype(np.int64)})
-
-        hist = (post.groupBy("shard").applyInPandas(fn, "v long, cnt long")
-                .groupBy("v").agg(F.sum("cnt").alias("cnt"))
-                .orderBy("v").collect())
+        hist = _gather_value_hist(index, query, field, is_ts, mode,
+                                  exclude, dv_filter)
         if not hist:
             return empty
         n = sum(r["cnt"] for r in hist)

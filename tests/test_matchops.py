@@ -294,6 +294,44 @@ def test_match_string_stats(sparse_idx, corpus_pdf, tok_rows):
         M.match_string_stats(sparse_idx, "hot0", "nope")
 
 
+def _disc(vals, p):
+    """The frozen PERCENTILE_DISC rule over a value list."""
+    import math
+    vs = sorted(vals)
+    need = math.ceil(p * len(vs))
+    return vs[need - 1]
+
+
+def test_match_mad(midx, corpus_pdf, tok_rows):
+    """Exact MAD = median(|x - median|) under the frozen DISC rule,
+    recomputed from the raw fixture timestamps."""
+    ids = _expect_ids(tok_rows, ["hot0", "mid1"], "OR")
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64).tolist()
+    med = _disc(secs, 0.5)
+    mad = _disc([abs(s - med) for s in secs], 0.5)
+    r = M.match_mad(midx, "hot0 mid1", "ts").collect()[0]
+    assert (r.n_values, r.median, r.mad) == (len(secs), med, mad)
+    assert mad > 0  # non-degenerate spread
+    # filters compose
+    ids2 = _expect_ids(tok_rows, ["hot0", "mid1"], "OR", pdf=corpus_pdf,
+                       pred=lambda x: x.role == "user")
+    secs2 = corpus_pdf.iloc[ids2].ts.values.astype(
+        "datetime64[s]").astype(np.int64).tolist()
+    med2 = _disc(secs2, 0.5)
+    mad2 = _disc([abs(s - med2) for s in secs2], 0.5)
+    r2 = M.match_mad(midx, "hot0 mid1", "ts",
+                     dv_filter="role = 'user'").collect()[0]
+    assert (r2.n_values, r2.median, r2.mad) == (len(secs2), med2, mad2)
+    # empty + validation
+    r3 = M.match_mad(midx, "nosuchterm", "ts").collect()[0]
+    assert (r3.n_values, r3.median, r3.mad) == (0, None, None)
+    with pytest.raises(ValueError, match="timestamp/integer"):
+        M.match_mad(midx, "hot0", "role")
+    with pytest.raises(ValueError, match="not a docvalue column"):
+        M.match_mad(midx, "hot0", "nope")
+
+
 def _pipeline_reference(corpus_pdf, tok_rows, terms, interval):
     """(grid, n, cum, delta) pandas reference for the densified pipeline
     axis — shared by the bucket_selector/bucket_sort tests."""
