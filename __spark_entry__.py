@@ -491,6 +491,55 @@ FROM ranked WHERE rn <= {int(n)} ORDER BY term ASC, pos ASC
 """
 
 
+def _suggest_phrase_sql(qtoks: list[str], max_edits: int = 1, n: int = 3,
+                        per_term: int = 3) -> str:
+    """DuckDB twin of ``engine.fuzzy.suggest_phrase``: per-token top
+    ``per_term`` vocabulary candidates within ``max_edits`` Levenshtein
+    (frozen cap: dist ASC, df DESC, term ASC; verbatim df=0 fallback
+    slot when the radius is empty), cartesian product, frozen unigram
+    score ``sum ln((df+1)/(N+1)) - 2.0 * edits`` — candidates found by
+    scanning the WHOLE vocabulary with DuckDB's levenshtein (the engine
+    uses the indexed deletion neighborhood), so the gate checks slot
+    completeness as well as the product/rank rule."""
+    from engine.fuzzy import PHRASE_EDIT_PENALTY
+    slots = []
+    for i, t in enumerate(qtoks):
+        slots.append(f"""
+cand_{i} AS (
+  SELECT term, levenshtein(term, '{t}')::INT AS dist, df,
+         row_number() OVER (ORDER BY levenshtein(term, '{t}') ASC,
+                            df DESC, term ASC) AS rn
+  FROM dfreq WHERE levenshtein(term, '{t}') <= {int(max_edits)}
+),
+slot_{i} AS (
+  SELECT term, dist, df FROM cand_{i} WHERE rn <= {int(per_term)}
+  UNION ALL
+  SELECT '{t}', 0, 0::BIGINT
+  WHERE NOT EXISTS (SELECT 1 FROM cand_{i})
+)""")
+    ids = range(len(qtoks))
+    phrase = " || ' ' || ".join(f"s{i}.term" for i in ids)
+    edits = " + ".join(f"s{i}.dist" for i in ids)
+    logs = " + ".join(f"ln((s{i}.df + 1)::DOUBLE / (nc.n + 1))"
+                      for i in ids)
+    froms = ", ".join(f"slot_{i} s{i}" for i in ids)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nc AS (SELECT count(*)::BIGINT AS n FROM documents),
+{",".join(slots)}
+SELECT phrase, n_edits, round(score, 6) AS score FROM (
+  SELECT {phrase} AS phrase, ({edits})::INT AS n_edits,
+         {logs} - {PHRASE_EDIT_PENALTY!r} * ({edits}) AS score
+  FROM {froms}, nc
+)
+ORDER BY score DESC, phrase ASC LIMIT {int(n)}
+"""
+
+
 def _bm25_regexp_sql(pattern: str, k: int = 10,
                      max_expansions: int = 64) -> str:
     """DuckDB twin of ``engine.query.search_regexp``: the pattern
@@ -1275,6 +1324,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _packed_index(spark, sf)
         return suggest_terms(idx, "sprk join sow", max_edits=2, n=3)
 
+    def suggest_phrase_q(spark, sf):
+        # whole-query phrase suggester: two misspelled tokens ('sprak'
+        # is 2 plain-Levenshtein edits from 'spark' — no transposition
+        # shortcut), per-slot capped candidates, frozen unigram score;
+        # the identity phrase competes and loses to the correction
+        from engine.fuzzy import suggest_phrase
+        idx = _packed_index(spark, sf)
+        df = suggest_phrase(idx, "sprak joni", max_edits=2, n=5,
+                            per_term=3)
+        return df.select("phrase", "n_edits",
+                         F.round("score", 6).alias("score"))
+
     def bm25_regexp(spark, sf):
         # regexp term query s(park|can) -> {spark, scan}: the literal
         # prefix 's' is pushed into the term-sorted lexicon scan, the
@@ -1971,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy2": bm25_fuzzy2,
         "bm25_fuzzy_capped": bm25_fuzzy_capped,
         "suggest_missing": suggest_missing,
+        "suggest_phrase": suggest_phrase_q,
         "significant_terms": significant_terms_q,
         "bm25_regexp": bm25_regexp,
         "bm25_regexp_capped": bm25_regexp_capped,
@@ -2533,6 +2595,9 @@ ORDER BY term
                                              max_expansions=1),
         "suggest_missing": _suggest_sql(["sprk", "join", "sow"],
                                         max_edits=2, n=3),
+        "suggest_phrase": _suggest_phrase_sql(["sprak", "joni"],
+                                              max_edits=2, n=5,
+                                              per_term=3),
         "significant_terms": _sig_terms_sql(["spark", "join"],
                                             n=8, sample=50),
         "bm25_synonyms": _bm25_sql(["fast", "slow", "slow"], "OR"),

@@ -38,12 +38,13 @@ def cmd_build(args) -> int:
     else:
         corpus = spark.read.parquet(args.input)
     cfg = DEFAULT
-    if args.positions or args.doc_values:
+    if args.positions or args.doc_values or args.fuzzy_edits:
         from dataclasses import replace
         cfg = replace(
             cfg, index_positions=args.positions or cfg.index_positions,
             doc_values=(tuple(args.doc_values.split(","))
-                        if args.doc_values else cfg.doc_values))
+                        if args.doc_values else cfg.doc_values),
+            fuzzy_edits=args.fuzzy_edits or cfg.fuzzy_edits)
     t0 = time.perf_counter()
     idx = build_index(spark, corpus, args.index_dir, cfg)
     wall = time.perf_counter() - t0
@@ -387,11 +388,15 @@ def cmd_suggest(args) -> int:
     token, the top-n vocabulary terms within max-edits Levenshtein in
     the frozen dist ASC / df DESC / term ASC order)."""
     from .build import load_index
-    from .fuzzy import suggest_terms
+    from .fuzzy import suggest_phrase, suggest_terms
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
-    out = suggest_terms(idx, args.query, max_edits=args.max_edits,
-                        n=args.n)
+    if args.phrase:
+        out = suggest_phrase(idx, args.query, max_edits=args.max_edits,
+                             n=args.n, per_term=args.per_term)
+    else:
+        out = suggest_terms(idx, args.query, max_edits=args.max_edits,
+                            n=args.n)
     for r in out.collect():
         print(json.dumps(r.asDict(), default=str))
     return 0
@@ -645,6 +650,10 @@ def main(argv=None) -> int:
                    help="synthetic corpus size (conversations)")
     b.add_argument("--positions", action="store_true",
                    help="store the positions stream (phrase queries)")
+    b.add_argument("--fuzzy-edits", type=int, default=0,
+                   help="build the SymSpell deletion-neighborhood table "
+                        "up to this edit depth (enables fuzzy search "
+                        "and the suggest endpoints)")
     b.add_argument("--doc-values", default=None,
                    help="comma-separated corpus columns to store as "
                         "per-shard docvalues (query-time --dv-filter / "
@@ -841,6 +850,11 @@ def main(argv=None) -> int:
     sg.add_argument("--query", required=True)
     sg.add_argument("--max-edits", type=int, default=1)
     sg.add_argument("--n", type=int, default=3)
+    sg.add_argument("--phrase", action="store_true",
+                    help="whole-query phrase suggestions "
+                         "(fuzzy.suggest_phrase) instead of per-term")
+    sg.add_argument("--per-term", type=int, default=3,
+                    help="candidates per token in phrase mode")
     sg.set_defaults(fn=cmd_suggest)
     pc = sub.add_parser("percentiles",
                         help="exact discrete percentiles of a docvalue "

@@ -284,3 +284,70 @@ def suggest_terms(index, query: str, max_edits: int = 1,
                         F.lit(0).cast("int").alias("dist"),
                         F.lit(0).cast("long").alias("sugg_df")))
     return index.spark.createDataFrame(rows, SUGGEST_SCHEMA)
+
+
+PHRASE_SUGGEST_SCHEMA = "phrase string, n_edits int, score double"
+
+# frozen per-edit penalty of the phrase-suggest score (log-likelihood
+# units; one edit costs as much as a ~7.4x df ratio)
+PHRASE_EDIT_PENALTY = 2.0
+
+
+def suggest_phrase(index, query: str, max_edits: int = 1, n: int = 3,
+                   per_term: int = 3) -> "DataFrame":
+    """Phrase (whole-query) suggester — the ES ``phrase`` suggester's
+    candidate-generate-and-rerank shape with a FROZEN unigram score
+    instead of ES's tunable smoothed LM (reproducibility is the
+    contract here):
+
+    * every query token contributes its top ``per_term`` fuzzy
+      candidates (``expand_fuzzy``'s exact SymSpell expansion under the
+      frozen cap rule: dist ASC, df DESC, term ASC); a token with no
+      in-radius vocabulary candidate rides along verbatim with
+      ``df = 0, dist = 0`` (the suggester never drops a slot);
+    * candidate phrases are the cartesian product (``per_term^T``,
+      bounded: at most 8 tokens and ``per_term <= 8`` — the ES
+      candidate-generator caps);
+    * frozen score = sum_i log((df_i + 1) / (N + 1))
+      - PHRASE_EDIT_PENALTY * total_edits, N = index.n_docs; ranked
+      score DESC, phrase ASC, top ``n``. The identity phrase (zero
+      edits) competes like any other candidate — callers wanting only
+      corrections drop ``n_edits == 0`` rows.
+
+    Returns ``(phrase, n_edits, score)``. Driver-side throughout: the
+    expansions are the memoized pruned-scan lookups expand_fuzzy
+    already does, the product/rank run over <= per_term^8 tuples, and
+    the result is a LocalRelation — zero corpus access."""
+    import itertools
+    import math
+    import re
+
+    from .config import TOKEN_PATTERN
+    toks = re.findall(TOKEN_PATTERN, (query or "").lower())
+    if not toks:
+        return (index.spark.range(0)
+                .select(F.lit("").alias("phrase"),
+                        F.lit(0).cast("int").alias("n_edits"),
+                        F.lit(0.0).alias("score")))
+    if len(toks) > 8:
+        raise ValueError(f"suggest_phrase caps at 8 tokens "
+                         f"(got {len(toks)})")
+    per_term = int(per_term)
+    if not (1 <= per_term <= 8):
+        raise ValueError("per_term must be in 1..8")
+    n_corpus = int(index.n_docs)
+    slots = []
+    for t in toks:
+        cands = [(c["term"], int(c["dist"]), int(c["df"]))
+                 for c in expand_fuzzy(index, t, max_edits, per_term)]
+        slots.append(cands or [(t, 0, 0)])
+    scored = []
+    for combo in itertools.product(*slots):
+        phrase = " ".join(c[0] for c in combo)
+        edits = sum(c[1] for c in combo)
+        score = sum(math.log((c[2] + 1) / (n_corpus + 1))
+                    for c in combo) - PHRASE_EDIT_PENALTY * edits
+        scored.append((phrase, edits, score))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return index.spark.createDataFrame(scored[:int(n)],
+                                       PHRASE_SUGGEST_SCHEMA)

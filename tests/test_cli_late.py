@@ -108,3 +108,19 @@ def test_cli_percolate_and_reindex(cli_idx, tmp_path):
     rows = _rows(_run(["search", "--index-dir", rd,
                        "--query", "hot0 hot1"]))
     assert rows
+
+
+def test_cli_suggest_phrase(tmp_path_factory):
+    # phrase suggester needs a fuzzy-enabled build (its own index:
+    # cli_idx builds without --fuzzy-edits)
+    d = str(tmp_path_factory.mktemp("cli_sugg") / "idx")
+    r = _run(["build", "--input", "synthetic", "--convs", "80",
+              "--index-dir", d, "--fuzzy-edits", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = _rows(_run(["suggest", "--index-dir", d, "--query",
+                       "hor0 mid1", "--phrase", "--max-edits", "1",
+                       "--n", "3"]))
+    assert rows and all({"phrase", "n_edits", "score"} <= set(x)
+                        for x in rows)
+    # the obvious correction appears among the suggestions
+    assert any(x["phrase"].startswith("hot0 ") for x in rows)

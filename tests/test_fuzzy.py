@@ -264,3 +264,73 @@ def test_suggest_in_vocab_token_is_pos1_dist0(fz_index, oracle_idx):
     rows = suggest_terms(fz_index, term, max_edits=1, n=3).collect()
     assert rows and rows[0]["pos"] == 1 and rows[0]["dist"] == 0 \
         and rows[0]["suggestion"] == term
+
+
+# ---- phrase (whole-query) suggester --------------------------------
+
+
+def _oracle_phrase(oracle_idx, query, d, n, per_term):
+    """Brute-force frozen recompute: per-token capped expansion with
+    (dist, df) -> cartesian product -> frozen unigram score."""
+    import itertools
+    import math
+    import re
+    from engine.config import TOKEN_PATTERN
+    from engine.fuzzy import PHRASE_EDIT_PENALTY
+    vocab = _vocab(oracle_idx)
+    n_corpus = len(oracle_idx.dl)
+    toks = re.findall(TOKEN_PATTERN, query.lower())
+    slots = []
+    for t in toks:
+        cand = sorted((levenshtein_py(t, v), -df, v)
+                      for v, df in vocab.items()
+                      if levenshtein_py(t, v) <= d)[:per_term]
+        slots.append([(v, dist, -negdf) for dist, negdf, v in cand]
+                     or [(t, 0, 0)])
+    scored = []
+    for combo in itertools.product(*slots):
+        phrase = " ".join(c[0] for c in combo)
+        edits = sum(c[1] for c in combo)
+        score = sum(math.log((c[2] + 1) / (n_corpus + 1))
+                    for c in combo) - PHRASE_EDIT_PENALTY * edits
+        scored.append((phrase, edits, score))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:n]
+
+
+@pytest.mark.parametrize("query,d", [("hot0 mid1", 1), ("hor0 mid1", 1),
+                                     ("hot9 rarr3", 2)])
+def test_suggest_phrase_matches_bruteforce(fz_index, oracle_idx, query, d):
+    from engine.fuzzy import suggest_phrase
+    got = [(r.phrase, r.n_edits, r.score) for r in
+           suggest_phrase(fz_index, query, max_edits=d, n=4,
+                          per_term=3).collect()]
+    want = _oracle_phrase(oracle_idx, query, d, 4, 3)
+    assert [(p, e) for p, e, _ in got] == [(p, e) for p, e, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-12
+
+
+def test_suggest_phrase_identity_wins_when_all_in_vocab(fz_index):
+    # an all-in-vocab query with common terms: the zero-edit identity
+    # phrase must rank first (every alternative pays the edit penalty)
+    from engine.fuzzy import suggest_phrase
+    rows = suggest_phrase(fz_index, "hot0 hot1", max_edits=1,
+                          n=3).collect()
+    assert rows[0].phrase == "hot0 hot1" and rows[0].n_edits == 0
+
+
+def test_suggest_phrase_oov_token_rides_verbatim(fz_index):
+    from engine.fuzzy import suggest_phrase
+    rows = suggest_phrase(fz_index, "qqqqqqqq hot0", max_edits=1,
+                          n=2).collect()
+    assert all(r.phrase.startswith("qqqqqqqq ") for r in rows)
+
+
+def test_suggest_phrase_validation(fz_index):
+    from engine.fuzzy import suggest_phrase
+    with pytest.raises(ValueError, match="8 tokens"):
+        suggest_phrase(fz_index, "a b c d e f g h i")
+    with pytest.raises(ValueError, match="per_term"):
+        suggest_phrase(fz_index, "hot0", per_term=0)
+    assert suggest_phrase(fz_index, "").collect() == []
