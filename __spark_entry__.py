@@ -1363,6 +1363,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_percentiles(idx, "spark join", "ts",
                                  ps=(0.5, 0.9, 0.99))
 
+    def match_all_stats(spark, sf):
+        # ES match_all ("*") over the agg surface: ts stats of EVERY
+        # live doc passing a dv_filter — no positive postings scan runs
+        # at all (engine/matchops.py _match_all_kernel)
+        from engine.matchops import match_stats
+        idx = _packed_index(spark, sf)
+        df = match_stats(idx, "*", "ts", dv_filter="lang = 'en'")
+        return df.select("n_docs", "n_with_value",
+                         F.round("min_val", 6).alias("min_val"),
+                         F.round("max_val", 6).alias("max_val"),
+                         F.round("sum_val", 6).alias("sum_val"),
+                         F.round("avg_val", 6).alias("avg_val"))
+
     def match_mad_ts(spark, sf):
         # exact median-absolute-deviation (ES approximates with
         # t-digest): both medians use the same frozen DISC rule as
@@ -2098,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_missing": match_missing_q,
         "string_stats": string_stats_q,
         "match_mad_ts": match_mad_ts,
+        "match_all_stats": match_all_stats,
         "more_like_this": more_like_this_q,
     }
 
@@ -2618,6 +2632,19 @@ ORDER BY term
                    (SELECT min(v) FROM c, n
                     WHERE cum >= ceil(q.p * n.c))::BIGINT AS value
             FROM (VALUES (0.5), (0.9), (0.99)) q(p) ORDER BY p""",
+        # match-all twin: every doc passing the filter, ts recomputed
+        # arithmetically, whole-second stats
+        "match_all_stats": f"""
+            WITH m AS (
+              SELECT ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS s
+              FROM documents WHERE lang = 'en')
+            SELECT count(*)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_with_value,
+                   round(min(s)::DOUBLE, 6) AS min_val,
+                   round(max(s)::DOUBLE, 6) AS max_val,
+                   round(sum(s)::DOUBLE, 6) AS sum_val,
+                   round(sum(s)::DOUBLE / count(*), 6) AS avg_val
+            FROM m""",
         # exact MAD twin: the same DISC rule for both medians, the
         # deviation histogram folded from the value histogram
         "match_mad_ts": f"""

@@ -108,6 +108,104 @@ def _match_kernel(index, qtf: dict, mode: str, exclude: str | None,
     return post, hits, width
 
 
+def _match_all_kernel(index, exclude: str | None, dv_filter: str | None):
+    """``query == "*"`` (the ES ``match_all``) prep for the agg surface:
+    the match set is EVERY live doc — including zero-token docs that
+    appear in no posting list — so no positive postings scan runs at
+    all. Each shard's candidates are the dense offsets
+    ``arange(valid_width)``; ``exclude`` terms (if any) ride a postings
+    scan pruned to just those terms, LEFT-joined onto the full shard
+    list so shards without negative postings still emit their docs;
+    tombstones and ``dv_filter`` compose exactly as in _match_kernel.
+
+    Dense-ids precondition: refused after ``purge_deletes`` (purge
+    leaves doc_id gaps that only the postings know about — a dense
+    arange would resurrect purged docs). Tombstoned-but-unpurged docs
+    are excluded via the shared del_closure, so the pre-purge lifecycle
+    works fine.
+
+    The 100 TB argument: match-all over N docs is O(N) by definition;
+    this plan's only data movement is the per-shard partial rows the
+    caller's aggregation emits — the postings and the corpus are never
+    read (the one scanned input is the |exclude|-term slice, usually
+    nothing)."""
+    spark = index.spark
+    width = index.shard_width
+    n_docs = int(index.n_docs)
+    n_ids = int(getattr(index, "n_ids", 0) or 0)
+    if n_ids > n_docs:
+        raise ValueError(
+            "match-all ('*') is undefined after purge_deletes: purged "
+            "doc_ids leave gaps a dense scan cannot see — aggregate "
+            "with an explicit query, or reindex")
+    if n_docs == 0:
+        return None
+    acfg = index.cfg.analyzer
+    neg = sorted(set(tokenize_py(exclude, acfg))) if exclude else []
+    lex = index.lookup_terms(neg) if neg else {}
+    neg = [t for t in neg if t in lex]
+    n_shards = (n_docs + width - 1) // width
+    base = spark.createDataFrame([(s,) for s in range(n_shards)],
+                                 "shard int")
+    if neg:
+        buckets = sorted({lex[t]["bucket"] for t in neg})
+        negpost = (index.postings()
+                   .filter(F.col("bucket").isin(buckets)
+                           & F.col("term").isin(sorted(neg)))
+                   .select("shard", "term", "doc_ids", "tfs"))
+        post = base.join(negpost, "shard", "left")
+    else:
+        post = (base.withColumn("term", F.lit(None).cast("string"))
+                .withColumn("doc_ids", F.lit(None).cast("binary"))
+                .withColumn("tfs", F.lit(None).cast("binary")))
+    _require_dv(index, dv_filter)
+    dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+    del_locs = _del_closure(index)
+
+    def hits(post_pdf, allowed_loc=None):
+        import numpy as np
+        from . import codec as C
+        shard = int(post_pdf["shard"].iloc[0])
+        start = shard * width
+        valid = min(width, n_docs - start)
+        cnt = np.zeros(width, dtype=np.int32)
+        cnt[:valid] = 1
+        for i in range(len(post_pdf)):
+            if post_pdf["doc_ids"].iloc[i] is None:
+                continue
+            ids, _ = C.decode_postings(post_pdf["doc_ids"].iloc[i],
+                                       post_pdf["tfs"].iloc[i])
+            cnt[ids - start] = -1
+        if del_locs is not None:
+            dl_ = del_locs(shard)
+            if dl_ is not None:
+                cnt[dl_] = -1
+        if dv_filter is not None:
+            from .docvalues import eval_filter
+            allow = np.zeros(width, dtype=bool)
+            allow[eval_filter(dv_dir, shard, dv_gen, dv_filter)] = True
+            cnt[~allow] = -1
+        if allowed_loc is not None:
+            allow = np.zeros(width, dtype=bool)
+            allow[allowed_loc] = True
+            cnt[~allow] = -1
+        return np.flatnonzero(cnt > 0)
+
+    return post, hits, width
+
+
+def _prep_match(index, query: str, mode: str, exclude, dv_filter):
+    """Shared query->kernel dispatch for every match-set aggregation:
+    ``"*"`` routes to the match-all kernel (no positive postings scan),
+    anything else analyzes and routes to _match_kernel; None = provably
+    empty."""
+    if (query or "").strip() == "*":
+        return _match_all_kernel(index, exclude, dv_filter)
+    qtf = query_terms(query, index.cfg.analyzer)
+    return _match_kernel(index, qtf, mode, exclude, dv_filter) \
+        if qtf else None
+
+
 def match_count(index, query: str, mode: str = "OR",
                 exclude: str | None = None,
                 doc_filter: str | None = None,
@@ -134,9 +232,7 @@ def match_count(index, query: str, mode: str = "OR",
 
     def build():
         spark = index.spark
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         if prep is None:  # empty match set: a driver-only LocalRelation
             return spark.range(1).select(
                 F.lit(0).cast("long").alias("n_docs"))
@@ -226,9 +322,7 @@ def match_stats(index, query: str, field: str, mode: str = "OR",
 
     def build():
         spark = index.spark
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         empty = spark.range(1).select(
             F.lit(0).cast("long").alias("n_docs"),
             F.lit(0).cast("long").alias("n_with_value"),
@@ -349,9 +443,7 @@ def match_cardinality(index, query: str, field: str, mode: str = "OR",
 
     def build():
         spark = index.spark
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         if prep is None:
             return spark.range(1).select(
                 F.lit(0).cast("long").alias("n_values"))
@@ -433,9 +525,7 @@ def match_missing(index, query: str, field: str, mode: str = "OR",
 
     def build():
         spark = index.spark
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         if prep is None:
             return spark.range(1).select(
                 F.lit(0).cast("long").alias("n_docs"),
@@ -530,9 +620,7 @@ def match_string_stats(index, query: str, field: str, mode: str = "OR",
                 .cast("double").alias("avg_len"),
                 F.lit(ent).cast("double").alias("entropy"))
 
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         if prep is None:
             return _result(0, 0, None, None, 0, 0.0)
         post, hits, width = prep
@@ -668,9 +756,7 @@ def match_histogram(index, query: str, field: str, interval_s: int,
 
     def build():
         spark = index.spark
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         if prep is None:
             return spark.createDataFrame([], HISTOGRAM_SCHEMA)
         post, hits, width = prep
@@ -884,9 +970,7 @@ def match_ranges(index, query: str, field: str, edges,
     def build():
         spark = index.spark
         out_schema = "lo long, hi long, n_docs long"
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         if prep is None:
             return spark.createDataFrame([], out_schema)
         post, hits, width = prep
@@ -1001,9 +1085,7 @@ def facet_stats(index, query: str, group_field: str, stat_field: str,
         out_schema = ("facet_value string, n_docs long, n_with_value long, "
                       "min_val double, max_val double, sum_val double, "
                       "avg_val double")
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         if prep is None:
             return spark.createDataFrame([], out_schema)
         post, hits, width = prep
@@ -1172,9 +1254,7 @@ def match_composite(index, query: str, fields, size: int = 10,
         out_schema = ", ".join(
             [f"{f_} {sql_t[k_]}" for f_, k_ in zip(fields, kinds)]
             + ["n_docs long"])
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         if prep is None:
             return spark.createDataFrame([], out_schema)
         post, hits, width = prep
@@ -1352,9 +1432,7 @@ def match_filters(index, query: str, filters: dict,
                                         "bucket string")
         zero = name_df.select(
             "bucket", F.lit(0).cast("long").alias("n_docs"))
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         if prep is None:  # empty match set: every bucket counts 0
             return zero.orderBy("bucket")
         post, hits, width = prep
@@ -1435,9 +1513,7 @@ def match_adjacency(index, query: str, filters: dict,
     def build():
         spark = index.spark
         out_schema = "a string, b string, n_docs long"
-        qtf = query_terms(query, index.cfg.analyzer)
-        prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-            if qtf else None
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
         if prep is None:
             return spark.createDataFrame([], out_schema)
         post, hits, width = prep
@@ -1662,7 +1738,6 @@ def export_matches(index, query: str, out_dir: str, mode: str = "OR",
     _warn_if_stale(index)
     mode = mode.upper()
     spark = index.spark
-    qtf = query_terms(query, index.cfg.analyzer)
     corpus = index.corpus()
     if columns:
         missing = [c for c in columns if c not in corpus.columns]
@@ -1671,8 +1746,7 @@ def export_matches(index, query: str, out_dir: str, mode: str = "OR",
                              f"stored corpus ({corpus.columns})")
         corpus = corpus.select(
             "doc_id", *[c for c in columns if c != "doc_id"])
-    prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-        if qtf else None
+    prep = _prep_match(index, query, mode, exclude, dv_filter)
     if prep is None:  # provably empty: write just the schema
         corpus.limit(0).write.mode("overwrite").parquet(out_dir)
         return spark.read.parquet(out_dir)
@@ -1722,9 +1796,7 @@ def _gather_value_hist(index, query: str, field: str, is_ts: bool,
     (shuffle bounded by per-shard distinct values — the exact-answer
     floor), one hash agg, then an ordered metadata-sized collect.
     Returns a list of Rows (possibly empty)."""
-    qtf = query_terms(query, index.cfg.analyzer)
-    prep = _match_kernel(index, qtf, mode, exclude, dv_filter) \
-        if qtf else None
+    prep = _prep_match(index, query, mode, exclude, dv_filter)
     if prep is None:
         return []
     post, hits, width = prep

@@ -837,3 +837,57 @@ def test_match_adjacency_reference(midx, corpus_pdf, tok_rows):
                              {"u": "role = 'user'"}).collect() == []
     with pytest.raises(ValueError, match="at least one"):
         M.match_adjacency(midx, "hot0", {})
+
+
+# ---- match_all ("*") over the aggregation surface ------------------
+
+
+def test_match_all_count_and_stats(midx, corpus_pdf):
+    n = len(corpus_pdf)
+    assert M.match_count(midx, "*").collect()[0].n_docs == n
+    # stats over every doc == pandas recompute over the whole corpus
+    secs = corpus_pdf.ts.values.astype("datetime64[s]").astype(np.int64)
+    r = M.match_stats(midx, "*", "ts").collect()[0]
+    assert (r.n_docs, r.n_with_value) == (n, n)
+    assert (int(r.min_val), int(r.max_val), int(r.sum_val)) == \
+        (int(secs.min()), int(secs.max()), int(secs.sum()))
+    # histogram over every doc
+    want = {}
+    for s in (secs // 86400) * 86400:
+        want[int(s)] = want.get(int(s), 0) + 1
+    got = {r.bucket_start: r.n_docs for r in
+           M.match_histogram(midx, "*", "ts", 86400).collect()}
+    assert got == want
+
+
+def test_match_all_exclude_and_dv_filter(midx, corpus_pdf, tok_rows):
+    n = len(corpus_pdf)
+    # exclude rides a pruned postings scan of just the negative term
+    n_hot0 = sum(1 for s in tok_rows if "hot0" in s)
+    r = M.match_count(midx, "*", exclude="hot0").collect()[0]
+    assert r.n_docs == n - n_hot0 and n_hot0 > 0
+    # dv_filter composes (match-all restricted to role = 'user')
+    n_user = int((corpus_pdf.role == "user").sum())
+    r2 = M.match_count(midx, "*", dv_filter="role = 'user'").collect()[0]
+    assert r2.n_docs == n_user
+    # both together
+    n_both = sum(1 for i, s in enumerate(tok_rows)
+                 if "hot0" not in s and corpus_pdf.iloc[i].role == "user")
+    r3 = M.match_count(midx, "*", exclude="hot0",
+                       dv_filter="role = 'user'").collect()[0]
+    assert r3.n_docs == n_both
+
+
+def test_match_all_respects_tombstones_and_refuses_purge(
+        spark, corpus_df, tmp_path):
+    from engine.deletes import delete_docs, purge_deletes
+    d = str(tmp_path / "ma_del")
+    idx = build_index(spark, corpus_df, d,
+                      cfg=IndexConfig(doc_values=("role", "ts")))
+    n = int(idx.n_docs)
+    gone = delete_docs(idx, "text LIKE '%hot0%'")
+    assert gone > 0
+    assert M.match_count(idx, "*").collect()[0].n_docs == n - gone
+    idx = purge_deletes(idx)
+    with pytest.raises(ValueError, match="purge"):
+        M.match_count(idx, "*")
