@@ -418,6 +418,37 @@ def cmd_percentiles(args) -> int:
     return 0
 
 
+def _one_row_cmd(args, fn):
+    """Shared driver for the single-row match-set agg subcommands."""
+    from .build import load_index
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    out = fn(idx, args.query, args.field, mode=args.mode,
+             exclude=args.exclude, dv_filter=args.dv_filter)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_mad(args) -> int:
+    """Exact median-absolute-deviation (matchops.match_mad)."""
+    from .matchops import match_mad
+    return _one_row_cmd(args, match_mad)
+
+
+def cmd_missing(args) -> int:
+    """Missing-value count over the match set (matchops.match_missing)."""
+    from .matchops import match_missing
+    return _one_row_cmd(args, match_missing)
+
+
+def cmd_string_stats(args) -> int:
+    """String length stats + character entropy over the match set
+    (matchops.match_string_stats)."""
+    from .matchops import match_string_stats
+    return _one_row_cmd(args, match_string_stats)
+
+
 def cmd_stats(args) -> int:
     """Index statistics (build.index_stats — manifest scalars + one
     lexicon aggregation)."""
@@ -467,6 +498,10 @@ def cmd_histogram(args) -> int:
     spark = _spark(args)
     idx = load_index(spark, args.index_dir)
     if args.auto:
+        if args.having or args.top:
+            print("--having/--top need a fixed --interval-s (the "
+                  "pipeline runs over one chosen grain)", file=sys.stderr)
+            return 2
         out = match_auto_histogram(idx, args.query, args.field,
                                    target_buckets=args.target_buckets,
                                    mode=args.mode, exclude=args.exclude,
@@ -474,6 +509,23 @@ def cmd_histogram(args) -> int:
     elif args.interval_s is None:
         print("--interval-s is required (or use --auto)", file=sys.stderr)
         return 2
+    elif args.having and args.top:
+        print("--having and --top are mutually exclusive",
+              file=sys.stderr)
+        return 2
+    elif args.having:
+        from .matchops import match_histogram_having
+        out = match_histogram_having(idx, args.query, args.field,
+                                     args.interval_s, args.having,
+                                     mode=args.mode, exclude=args.exclude,
+                                     dv_filter=args.dv_filter)
+    elif args.top:
+        from .matchops import match_histogram_top
+        out = match_histogram_top(idx, args.query, args.field,
+                                  args.interval_s, n=args.top,
+                                  asc=args.asc, mode=args.mode,
+                                  exclude=args.exclude,
+                                  dv_filter=args.dv_filter)
     else:
         out = match_histogram(idx, args.query, args.field,
                               args.interval_s, mode=args.mode,
@@ -917,7 +969,47 @@ def main(argv=None) -> int:
                     choices=["OR", "AND", "or", "and"])
     hg.add_argument("--exclude", default=None)
     hg.add_argument("--dv-filter", default=None)
+    hg.add_argument("--having", default=None, metavar="PRED",
+                    help="bucket_selector: SQL predicate over the dense "
+                         "bucket columns (n_docs/cum_docs/delta_docs)")
+    hg.add_argument("--top", type=int, default=None, metavar="N",
+                    help="bucket_sort: the N busiest buckets")
+    hg.add_argument("--asc", action="store_true",
+                    help="--top: quietest instead of busiest")
     hg.set_defaults(fn=cmd_histogram)
+    md = sub.add_parser("mad",
+                        help="exact median-absolute-deviation of a "
+                             "docvalue column over the match set")
+    md.add_argument("--index-dir", required=True)
+    md.add_argument("--query", required=True)
+    md.add_argument("--field", required=True)
+    md.add_argument("--mode", default="OR",
+                    choices=["OR", "AND", "or", "and"])
+    md.add_argument("--exclude", default=None)
+    md.add_argument("--dv-filter", default=None)
+    md.set_defaults(fn=cmd_mad)
+    ms = sub.add_parser("missing",
+                        help="missing-value count of a docvalue column "
+                             "over the match set")
+    ms.add_argument("--index-dir", required=True)
+    ms.add_argument("--query", required=True)
+    ms.add_argument("--field", required=True)
+    ms.add_argument("--mode", default="OR",
+                    choices=["OR", "AND", "or", "and"])
+    ms.add_argument("--exclude", default=None)
+    ms.add_argument("--dv-filter", default=None)
+    ms.set_defaults(fn=cmd_missing)
+    ss = sub.add_parser("string-stats",
+                        help="length stats + character entropy of a "
+                             "string docvalue over the match set")
+    ss.add_argument("--index-dir", required=True)
+    ss.add_argument("--query", required=True)
+    ss.add_argument("--field", required=True)
+    ss.add_argument("--mode", default="OR",
+                    choices=["OR", "AND", "or", "and"])
+    ss.add_argument("--exclude", default=None)
+    ss.add_argument("--dv-filter", default=None)
+    ss.set_defaults(fn=cmd_string_stats)
     cp = sub.add_parser("composite",
                         help="composite aggregation: one page of the "
                              "full key-tuple bucket walk (resumable "

@@ -124,3 +124,35 @@ def test_cli_suggest_phrase(tmp_path_factory):
                         for x in rows)
     # the obvious correction appears among the suggestions
     assert any(x["phrase"].startswith("hot0 ") for x in rows)
+
+
+def test_cli_new_agg_surface(tmp_path_factory):
+    # mad / missing / string-stats / histogram --having/--top /
+    # match_all ("*") through spark-submit, one shared dv build
+    d = str(tmp_path_factory.mktemp("cli_aggs") / "idx")
+    r = _run(["build", "--input", "synthetic", "--convs", "100",
+              "--index-dir", d, "--doc-values", "role,ts"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = _rows(_run(["mad", "--index-dir", d, "--query", "hot0",
+                       "--field", "ts"]))
+    assert rows and {"n_values", "median", "mad"} <= set(rows[0])
+    rows = _rows(_run(["missing", "--index-dir", d, "--query", "*",
+                       "--field", "role"]))
+    assert rows and rows[0]["n_missing"] == 0 and rows[0]["n_docs"] > 0
+    rows = _rows(_run(["string-stats", "--index-dir", d, "--query",
+                       "hot0", "--field", "role"]))
+    assert rows and rows[0]["entropy"] > 0
+    rows = _rows(_run(["histogram", "--index-dir", d, "--query", "hot0",
+                       "--field", "ts", "--interval-s", "3600",
+                       "--having", "delta_docs > 0"]))
+    assert all({"bucket_start", "cum_docs"} <= set(x) for x in rows)
+    rows = _rows(_run(["histogram", "--index-dir", d, "--query", "*",
+                       "--field", "ts", "--interval-s", "3600",
+                       "--top", "2"]))
+    assert len(rows) == 2
+    # guards
+    assert _run(["histogram", "--index-dir", d, "--query", "hot0",
+                 "--field", "ts", "--interval-s", "3600", "--having",
+                 "n_docs > 0", "--top", "2"]).returncode == 2
+    assert _run(["histogram", "--index-dir", d, "--query", "hot0",
+                 "--field", "ts", "--auto", "--top", "2"]).returncode == 2
