@@ -1671,6 +1671,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top.select("doc_id",
                           F.round("sort_val", 6).alias("sort_val"))
 
+    def search_recent_page2(spark, sf):
+        # field-sorted cursor pagination (ES search_after on a non-score
+        # sort): page 1's last (sort_val, doc_id) verbatim -> ranks
+        # 11..20 of the (ts desc, doc_id asc) order; the after-filter
+        # is pushed into the shard kernel (oracle: OFFSET 10)
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        p1 = Q.search_sorted(idx, "spark join", "ts", k=10,
+                             mode="AND").collect()
+        last = p1[-1]
+        top = Q.search_sorted(idx, "spark join", "ts", k=10, mode="AND",
+                              after=(last["sort_val"], last["doc_id"]))
+        return top.select("doc_id",
+                          F.round("sort_val", 6).alias("sort_val"))
+
     def search_snippets(spark, sf):
         # E8 snippet materialization: top-10 BM25 hits with a +-3-token
         # context window around the first query-term occurrence, computed
@@ -2084,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_decay_gauss": bm25_decay_gauss,
         "bm25_decay_linear": bm25_decay_linear,
         "search_recent": search_recent,
+        "search_recent_page2": search_recent_page2,
         "search_snippets": search_snippets,
         "search_facets": search_facets,
         "facets_filtered": facets_filtered,
@@ -2873,6 +2889,13 @@ SELECT doc_id,
 FROM documents
 WHERE list_has_all({_TOK_SQL}, ['spark', 'join'])
 ORDER BY sort_val DESC, doc_id ASC LIMIT 10
+""",
+        "search_recent_page2": f"""
+SELECT doc_id,
+       round(({_TS_EPOCH0} + (doc_id % 180) * 86400)::DOUBLE, 6) AS sort_val
+FROM documents
+WHERE list_has_all({_TOK_SQL}, ['spark', 'join'])
+ORDER BY sort_val DESC, doc_id ASC LIMIT 10 OFFSET 10
 """,
         "search_snippets": _snippet_sql(["spark", "join", "fast"], 10, 3),
         "search_facets": _facets_sql(["spark", "join", "fast"], "OR",

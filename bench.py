@@ -364,6 +364,26 @@ def main():
                 hits_per_group=3).collect())
             queries["search_top_hits"] = round(dt, 4)
 
+            # late-r4 agg rows: match-all stats (NO positive postings
+            # scan — the dense-offset kernel), exact MAD (one shared
+            # value-histogram job)
+            from engine.matchops import match_mad, match_stats
+            match_stats(dvx, "*", "ts").collect()
+            dt, _ = tbest(lambda: match_stats(dvx, "*", "ts").collect())
+            queries["match_all_stats"] = round(dt, 4)
+            # MAD folds driver-side at plan time (LocalRelation result),
+            # so evict its plan-cache entry per run to time the real job
+            from engine.query import _plan_cache
+
+            def _mad_once():
+                _plan_cache(dvx).pop(
+                    ("mmad", "hot0 hot1", "ts", "OR", None, None), None)
+                match_mad(dvx, "hot0 hot1", "ts").collect()
+
+            _mad_once()
+            dt, _ = tbest(_mad_once)
+            queries["match_mad"] = round(dt, 4)
+
             # r4 feature: delete lifecycle (engine/deletes.py) on the dv
             # index (nothing later reuses it): tombstone ~1/3 of the
             # corpus (role='tool'), search with the per-shard tombstone

@@ -138,9 +138,9 @@ def cmd_search(args) -> int:
         print("--dv-filter needs --mode OR|AND|FUZZY "
               "(phrase/prefix queries take --filter)", file=sys.stderr)
         return 2
-    if args.sort_by and (boost or after is not None):
+    if args.sort_by and boost:
         print("--sort-by replaces the score ranking: it composes with "
-              "--dv-filter/--exclude but not --boost-*/--after",
+              "--dv-filter/--exclude/--after but not --boost-*",
               file=sys.stderr)
         return 2
     if args.collapse and (args.sort_by or boost or after is not None
@@ -178,7 +178,7 @@ def cmd_search(args) -> int:
         top = Q.search_sorted(idx, args.query, args.sort_by, k=args.k,
                               mode=args.mode, ascending=args.asc,
                               exclude=args.exclude,
-                              dv_filter=args.dv_filter)
+                              dv_filter=args.dv_filter, after=after)
     elif args.dis_query:
         if (mode_up != "OR" or after is not None or args.synonyms
                 or args.min_match or term_boosts or args.query

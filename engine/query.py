@@ -989,7 +989,8 @@ def search_top_hits(index, query: str, field: str, k: int = 10,
 def search_sorted(index, query: str, field: str, k: int = 10,
                   mode: str = "AND", ascending: bool = False,
                   exclude: str | None = None,
-                  dv_filter: str | None = None) -> DataFrame:
+                  dv_filter: str | None = None,
+                  after: "tuple | None" = None) -> DataFrame:
     """Match-set top-k ranked by a STORED docvalue field (the Lucene
     sort-by-field pattern — e.g. "most recent docs mentioning X"):
     docs matching ``query`` under ``mode`` semantics, ranked by
@@ -1002,6 +1003,12 @@ def search_sorted(index, query: str, field: str, k: int = 10,
     undefined, and silently ranking them first/last would poison page 1.
     The oracle twin adds ``AND <field> IS NOT NULL``. ``exclude`` (NOT
     terms) and ``dv_filter`` compose exactly as in ``search``.
+
+    ``after=(sort_val, doc_id)``: cursor pagination over the field sort
+    (the ES search_after rule on a non-score sort) — strictly-after
+    docs in the frozen ``(field asc/desc, doc_id asc)`` order; the
+    cursor compare is pushed into the shard kernel, so deep pages cost
+    the same one-scan plan as page 1. Pass page N's last row verbatim.
 
     Plan shape (the 100 TB argument): the ONLY scan is the pruned
     postings read — no corpus scan, no score computation. Each scorer
@@ -1018,16 +1025,20 @@ def search_sorted(index, query: str, field: str, k: int = 10,
             f"index (stored: {list(index.doc_values or ())}; build with "
             f"IndexConfig(doc_values=...))")
     _require_dv(index, dv_filter)
+    if after is not None:
+        after = (float(after[0]), int(after[1]))
     key = ("ss", query, field, k, mode.upper(), ascending, exclude,
-           dv_filter)
+           dv_filter, after)
     return _plan_cached(index, key, lambda: _search_sorted_impl(
-        index, query, field, k, mode, ascending, exclude, dv_filter))
+        index, query, field, k, mode, ascending, exclude, dv_filter,
+        after))
 
 
 def _search_sorted_impl(index, query: str, field: str, k: int,
                         mode: str, ascending: bool,
                         exclude: str | None,
-                        dv_filter: str | None) -> DataFrame:
+                        dv_filter: str | None,
+                        after: "tuple | None" = None) -> DataFrame:
     import numpy as np
     spark = index.spark
     mode = mode.upper()
@@ -1091,6 +1102,17 @@ def _search_sorted_impl(index, query: str, field: str, k: int,
         vals = sort_values(dv_dir, shard, dv_gen, field, hit)
         ok = ~np.isnan(vals)   # frozen: NULL sort keys are excluded
         hit, vals = hit[ok], vals[ok]
+        if after is not None:
+            # cursor pushed into the shard kernel (the search_after
+            # rule on the (field, doc_id) sort): strictly after
+            # (a_val, a_doc) in the frozen order
+            a_val, a_doc = after
+            gid = hit + start
+            if ascending:
+                keep = (vals > a_val) | ((vals == a_val) & (gid > a_doc))
+            else:
+                keep = (vals < a_val) | ((vals == a_val) & (gid > a_doc))
+            hit, vals = hit[keep], vals[keep]
         if hit.size == 0:
             return empty_r
         # per-shard top-k in the frozen (field asc/desc, doc_id asc)

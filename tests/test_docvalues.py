@@ -290,6 +290,16 @@ def test_cli_docvalue_flags(tmp_path):
     rows = [json.loads(x) for x in r.stdout.splitlines()
             if x.startswith("{")]
     assert rows and all("sort_val" in x for x in rows)
+    # field-sorted cursor pagination: page 2 via --after
+    last = rows[-1]
+    r = run("search", "--index-dir", d, "--query", "hot0", "--k", "5",
+            "--sort-by", "ts", "--mode", "AND",
+            "--after", f"{last['sort_val']},{last['doc_id']}")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows2 = [json.loads(x) for x in r.stdout.splitlines()
+             if x.startswith("{")]
+    assert rows2 and not ({(x["sort_val"], x["doc_id"]) for x in rows}
+                          & {(x["sort_val"], x["doc_id"]) for x in rows2})
     # decay-family flags (gauss over the stored ts)
     r = run("search", "--index-dir", d, "--query", "hot0 mid1", "--k", "5",
             "--boost-field", "ts", "--decay", "gauss",
@@ -456,3 +466,34 @@ def test_decay_validation_errors(dv_index):
                                           "origin": ORIGIN,
                                           "scale_days": 1,
                                           "half_life_days": 3})
+
+
+def test_search_sorted_pagination_walk(dv_index, corpus_rows):
+    """Field-sorted cursor pagination: pages of 5 stitched together ==
+    the one-shot top-15, for both sort directions."""
+    for asc in (False, True):
+        want = [(r.doc_id, r.sort_val) for r in
+                Q.search_sorted(dv_index, "hot0", "ts", k=15,
+                                mode="AND", ascending=asc).collect()]
+        got = []
+        after = None
+        for _ in range(3):
+            page = Q.search_sorted(dv_index, "hot0", "ts", k=5,
+                                   mode="AND", ascending=asc,
+                                   after=after).collect()
+            got.extend((r.doc_id, r.sort_val) for r in page)
+            if len(page) < 5:
+                break
+            after = (page[-1].sort_val, page[-1].doc_id)
+        assert got == want and len(got) == 15
+
+
+def test_search_sorted_after_filters_compose(dv_index):
+    full = Q.search_sorted(dv_index, "hot0 mid1", "ts", k=12, mode="OR",
+                           dv_filter="role = 'user'").collect()
+    assert len(full) == 12
+    last5 = (full[4].sort_val, full[4].doc_id)
+    page2 = Q.search_sorted(dv_index, "hot0 mid1", "ts", k=7, mode="OR",
+                            dv_filter="role = 'user'",
+                            after=last5).collect()
+    assert [tuple(r) for r in page2] == [tuple(r) for r in full[5:]]
