@@ -1376,6 +1376,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.round("sum_val", 6).alias("sum_val"),
                          F.round("avg_val", 6).alias("avg_val"))
 
+    def facet_stats_by_avg(spark, sf):
+        # terms agg ordered by a stats SUB-AGG metric (ES _order_ on
+        # stats.avg, ascending): per-lang ts stats of the match set
+        # ranked by avg_val asc, facet_value tiebreak
+        from engine.matchops import facet_stats
+        idx = _packed_index(spark, sf)
+        df = facet_stats(idx, "spark", "lang", "ts", order_by="avg",
+                         ascending=True)
+        return df.select("facet_value", "n_docs", "n_with_value",
+                         F.round("min_val", 6).alias("min_val"),
+                         F.round("max_val", 6).alias("max_val"),
+                         F.round("sum_val", 6).alias("sum_val"),
+                         F.round("avg_val", 6).alias("avg_val"))
+
+    def rare_terms_src(spark, sf):
+        # exact rare_terms (ES approximates with a CuckooFilter): the
+        # source values appearing at most twice among docs matching
+        # BOTH terms — globally-merged counts, filtered post-merge
+        from engine.matchops import rare_terms
+        idx = _packed_index(spark, sf)
+        return rare_terms(idx, "spark join", "source", max_doc_count=2,
+                          n=10, mode="AND")
+
     def match_mad_ts(spark, sf):
         # exact median-absolute-deviation (ES approximates with
         # t-digest): both medians use the same frozen DISC rule as
@@ -2128,6 +2151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats": string_stats_q,
         "match_mad_ts": match_mad_ts,
         "match_all_stats": match_all_stats,
+        "facet_stats_by_avg": facet_stats_by_avg,
+        "rare_terms_src": rare_terms_src,
         "more_like_this": more_like_this_q,
     }
 
@@ -2648,6 +2673,33 @@ ORDER BY term
                    (SELECT min(v) FROM c, n
                     WHERE cum >= ceil(q.p * n.c))::BIGINT AS value
             FROM (VALUES (0.5), (0.9), (0.99)) q(p) ORDER BY p""",
+        # terms-agg-by-sub-agg twin: the facet_stats_lang CTE with the
+        # metric ordering (avg asc, NULLs last, facet_value tiebreak)
+        "facet_stats_by_avg": f"""
+            WITH m AS (
+              SELECT doc_id, lang,
+                     ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS s
+              FROM documents
+              WHERE len(list_intersect({_TOK_SQL}, ['spark'])) > 0)
+            SELECT lang AS facet_value, count(*)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_with_value,
+                   round(min(s)::DOUBLE, 6) AS min_val,
+                   round(max(s)::DOUBLE, 6) AS max_val,
+                   round(sum(s)::DOUBLE, 6) AS sum_val,
+                   round(sum(s)::DOUBLE / count(*), 6) AS avg_val
+            FROM m GROUP BY lang
+            ORDER BY avg_val ASC NULLS LAST,
+                     facet_value ASC NULLS FIRST""",
+        # exact rare_terms twin: global counts, post-merge threshold
+        "rare_terms_src": f"""
+            WITH m AS (
+              SELECT doc_id, source FROM documents
+              WHERE list_has_all({_TOK_SQL}, ['join', 'spark'])),
+            c AS (
+              SELECT source AS facet_value, count(*)::BIGINT AS n_docs
+              FROM m WHERE source IS NOT NULL GROUP BY source)
+            SELECT facet_value, n_docs FROM c WHERE n_docs <= 2
+            ORDER BY n_docs ASC, facet_value ASC LIMIT 10""",
         # match-all twin: every doc passing the filter, ts recomputed
         # arithmetically, whole-second stats
         "match_all_stats": f"""

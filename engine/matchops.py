@@ -1037,7 +1037,9 @@ def match_ranges(index, query: str, field: str, edges,
 
 def facet_stats(index, query: str, group_field: str, stat_field: str,
                 mode: str = "OR", exclude: str | None = None,
-                dv_filter: str | None = None) -> DataFrame:
+                dv_filter: str | None = None,
+                order_by: str = "count", ascending: bool = False,
+                n: int | None = None) -> DataFrame:
     """Terms aggregation with a stats sub-aggregation (the ES
     ``aggs: {terms: {field: g}, aggs: {stats: {field: v}}}`` pattern —
     "per language: how many matching turns, and their time range"):
@@ -1078,7 +1080,14 @@ def facet_stats(index, query: str, group_field: str, stat_field: str,
             f"facet_stats(stat_field={stat_field!r}): only timestamp/"
             f"integer docvalue columns are supported; stored type is "
             f"{stype}")
-    key = ("fs", query, group_field, stat_field, mode, exclude, dv_filter)
+    order_by = order_by.lower()
+    if order_by not in ("count", "min", "max", "sum", "avg"):
+        raise ValueError(f"order_by must be count/min/max/sum/avg "
+                         f"(got {order_by!r})")
+    if n is not None and int(n) <= 0:
+        raise ValueError("n must be >= 1")
+    key = ("fs", query, group_field, stat_field, mode, exclude, dv_filter,
+           order_by, bool(ascending), None if n is None else int(n))
 
     def build():
         spark = index.spark
@@ -1149,7 +1158,7 @@ def facet_stats(index, query: str, group_field: str, stat_field: str,
                     F.min(F.when(F.col("nv") > 0, F.col("mn"))).alias("_mn"),
                     F.max(F.when(F.col("nv") > 0, F.col("mx"))).alias("_mx"),
                     F.sum(F.when(F.col("nv") > 0, F.col("sm"))).alias("_sm")))
-        return (agg.select(
+        out = (agg.select(
             F.col("g").alias("facet_value"), "n_docs",
             F.col("_nv").alias("n_with_value"),
             F.col("_mn").cast("double").alias("min_val"),
@@ -1157,8 +1166,109 @@ def facet_stats(index, query: str, group_field: str, stat_field: str,
             F.col("_sm").cast("double").alias("sum_val"),
             F.when(F.col("_nv") > 0,
                    F.col("_sm").cast("double") / F.col("_nv"))
-            .alias("avg_val"))
-            .orderBy(F.desc("n_docs"), F.asc_nulls_first("facet_value")))
+            .alias("avg_val")))
+        # ES terms-agg ordering: by doc count (default) or by a stats
+        # sub-agg metric (_order_: {"stats.avg": ...}); frozen rule —
+        # metric NULLs (groups with no stat values) rank LAST either
+        # direction, tiebreak facet_value asc (NULL group first, the
+        # facets() rule)
+        col = {"count": "n_docs", "min": "min_val", "max": "max_val",
+               "sum": "sum_val", "avg": "avg_val"}[order_by]
+        primary = (F.asc_nulls_last(col) if ascending
+                   else F.desc_nulls_last(col))
+        out = out.orderBy(primary, F.asc_nulls_first("facet_value"))
+        return out.limit(int(n)) if n is not None else out
+
+    return _plan_cached(index, key, build)
+
+
+def rare_terms(index, query: str, field: str, max_doc_count: int = 1,
+               n: int = 10, mode: str = "OR",
+               exclude: str | None = None,
+               dv_filter: str | None = None) -> DataFrame:
+    """ES ``rare_terms`` aggregation, exact (ES uses a CuckooFilter
+    approximation): the distinct values of a stored docvalue column
+    whose GLOBAL doc count over the match set is <= ``max_doc_count``
+    — the long-tail complement of the terms agg ("which sources appear
+    at most twice among turns mentioning X"). NULL values never form a
+    bucket (the ES contract: rare_terms skips missing).
+
+    Returns ``(facet_value:string, n_docs:long)`` ordered
+    (n_docs asc, facet_value asc), limited to ``n`` rows.
+
+    Plan: the shared match kernel; each shard emits its OWN distinct
+    (value, count) rows (map-side combine, shuffle bounded by per-shard
+    distinct values — the same exact-answer floor as
+    match_cardinality); one hash agg merges counts; the rarity filter
+    runs AFTER the global merge (a value can be locally rare but
+    globally common), then TakeOrderedAndProject."""
+    import pyarrow as pa
+    from .query import _warn_if_stale
+    _warn_if_stale(index)
+    mode = mode.upper()
+    max_doc_count = int(max_doc_count)
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    n = int(n)
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if field not in (index.doc_values or ()):
+        raise ValueError(
+            f"rare_terms field {field!r} is not a docvalue column of "
+            f"this index (stored: {list(index.doc_values or ())})")
+    key = ("rare", query, field, max_doc_count, n, mode, exclude,
+           dv_filter)
+
+    def build():
+        spark = index.spark
+        prep = _prep_match(index, query, mode, exclude, dv_filter)
+        if prep is None:
+            return spark.createDataFrame(
+                [], "facet_value string, n_docs long")
+        post, hits, width = prep
+        dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+        def fn(key_, post_pdf):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+            from .docvalues import _load_shard
+            empty = pd.DataFrame({"v": [], "cnt": []})
+            if len(post_pdf) == 0:
+                return empty
+            shard = int(post_pdf["shard"].iloc[0])
+            hit = hits(post_pdf)
+            if hit.size == 0:
+                return empty
+            slice_tbl = _load_shard(dv_dir, shard, dv_gen)
+            if slice_tbl is None or slice_tbl.num_rows == 0:
+                return empty
+            sloc = slice_tbl.column("loc").to_numpy(zero_copy_only=False)
+            col = slice_tbl.column(field)
+            nulls = col.is_null().to_numpy(zero_copy_only=False)
+            idx_ = np.searchsorted(sloc, hit)
+            ok = idx_ < sloc.size
+            ok[ok] &= sloc[idx_[ok]] == hit[ok]
+            rows = idx_[ok]
+            rows = rows[~nulls[rows]]
+            if rows.size == 0:
+                return empty
+            vals = pc.cast(col.take(_pa.array(rows, _pa.int64())),
+                           _pa.string())
+            vc = pc.value_counts(vals)
+            return pd.DataFrame(
+                {"v": vc.field("values").to_pandas(),
+                 "cnt": vc.field("counts").to_pandas()})
+
+        partial = post.groupBy("shard").applyInPandas(
+            fn, "v string, cnt long")
+        return (partial.groupBy("v")
+                .agg(F.sum("cnt").cast("long").alias("n_docs"))
+                .where(F.col("n_docs") <= max_doc_count)
+                .select(F.col("v").alias("facet_value"), "n_docs")
+                .orderBy(F.asc("n_docs"), F.asc("facet_value"))
+                .limit(n))
 
     return _plan_cached(index, key, build)
 

@@ -891,3 +891,60 @@ def test_match_all_respects_tombstones_and_refuses_purge(
     idx = purge_deletes(idx)
     with pytest.raises(ValueError, match="purge"):
         M.match_count(idx, "*")
+
+
+# ---- terms-agg ordering + rare_terms --------------------------------
+
+
+def test_facet_stats_order_by_metric(midx, corpus_pdf, tok_rows):
+    """ES terms-agg ordered by a stats sub-agg: avg asc/desc with the
+    frozen facet_value tiebreak, vs a pandas recompute."""
+    ids = _expect_ids(tok_rows, ["hot0", "mid1"], "OR")
+    sub = corpus_pdf.iloc[ids]
+    secs = sub.ts.values.astype("datetime64[s]").astype(np.int64)
+    import pandas as pd
+    g = pd.DataFrame({"v": sub.role.values, "s": secs}).groupby("v")
+    stats = {v: (len(x), x.s.mean()) for v, x in g}
+    for asc in (True, False):
+        want = sorted(stats.items(),
+                      key=lambda t: (t[1][1] if asc else -t[1][1], t[0]))
+        rows = M.facet_stats(midx, "hot0 mid1", "role", "ts",
+                             order_by="avg", ascending=asc).collect()
+        assert [r.facet_value for r in rows] == [v for v, _ in want]
+        for r in rows:
+            assert abs(r.avg_val - stats[r.facet_value][1]) < 1e-9
+    # top-n cap under the metric order
+    rows = M.facet_stats(midx, "hot0 mid1", "role", "ts",
+                         order_by="sum", n=2).collect()
+    assert len(rows) == 2
+    with pytest.raises(ValueError, match="order_by"):
+        M.facet_stats(midx, "hot0", "role", "ts", order_by="median")
+    with pytest.raises(ValueError, match="n must be"):
+        M.facet_stats(midx, "hot0", "role", "ts", n=0)
+
+
+def test_rare_terms(sparse_idx, corpus_pdf, tok_rows):
+    """Exact rare_terms vs pandas: global counts filtered to <=
+    max_doc_count, NULL never a bucket, (count, value) asc order."""
+    ids = _expect_ids(tok_rows, ["hot0", "mid1"], "OR")
+    sub = corpus_pdf.iloc[ids]
+    # 'opt' is NULL on turn_idx==0 docs; counts per surviving role value
+    vals = [r.role for _, r in sub.iterrows() if r.turn_idx != 0]
+    import collections
+    cnt = collections.Counter(vals)
+    for mdc in (1, max(cnt.values())):
+        want = sorted(((c, v) for v, c in cnt.items() if c <= mdc))
+        rows = M.rare_terms(sparse_idx, "hot0 mid1", "opt",
+                            max_doc_count=mdc, n=50).collect()
+        assert [(r.n_docs, r.facet_value) for r in rows] == want
+    # threshold at max -> every value appears; NULL absent
+    rows = M.rare_terms(sparse_idx, "hot0 mid1", "opt",
+                        max_doc_count=10**9, n=50).collect()
+    assert len(rows) == len(cnt)
+    assert all(r.facet_value is not None for r in rows)
+    # empty + validation
+    assert M.rare_terms(sparse_idx, "nosuchterm", "opt").collect() == []
+    with pytest.raises(ValueError, match="max_doc_count"):
+        M.rare_terms(sparse_idx, "hot0", "opt", max_doc_count=0)
+    with pytest.raises(ValueError, match="not a docvalue"):
+        M.rare_terms(sparse_idx, "hot0", "nope")
