@@ -1251,6 +1251,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              query_weight=1.0, rescore_weight=2.0)
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def bm25_vector_rescore(spark, sf):
+        # hybrid text+vector rescore (engine/rescore.py
+        # search_rescore_vector): BM25 top-50 re-ranked by wq*bm25 +
+        # wv*cosine(embedding[0], embedding[doc_id]) — the window ids
+        # pushed into the embeddings parquet scan, frozen ann_cosine
+        # formula, unknown-embedding docs contribute 0.0
+        from engine.rescore import search_rescore_vector
+        idx = _packed_index(spark, sf)
+        emb = _emb(spark, sf)
+        qv = emb.filter(F.col("vec_id") == 0) \
+            .select("embedding").collect()[0][0]
+        top = search_rescore_vector(idx, "spark join fast", emb, qv,
+                                    k=10, window=50, query_weight=1.0,
+                                    vector_weight=2.0)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
     def bm25_groups(spark, sf):
         # group-level ranked retrieval (engine/matchops.py search_groups
         # — the ES has_child / score_mode pattern; over transcripts,
@@ -2075,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_hits": bm25_top_hits,
         "bm25_rrf": bm25_rrf,
         "bm25_rescore": bm25_rescore,
+        "bm25_vector_rescore": bm25_vector_rescore,
         "bm25_groups": bm25_groups,
         "bm25_page2": bm25_page2,
         "bm25_prefix": bm25_prefix,
@@ -2639,6 +2656,27 @@ ORDER BY term
         "bm25_rescore": _rescore_sql(["spark", "join", "fast"],
                                      ["join", "fast"], k=10, window=50,
                                      wq=1.0, wr=2.0),
+        # hybrid twin: primary raw window LEFT JOINed to the full
+        # cosine set (frozen ann_cosine formula), engine's literal
+        # wq*p + wv*coalesce(cos, 0) combine
+        "bm25_vector_rescore": f"""
+WITH p AS ({_bm25_sql(["spark", "join", "fast"], "OR", k=50,
+                      raw_score=True)}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+           / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])))
+           AS cos
+  FROM embeddings CROSS JOIN q)
+SELECT p.doc_id,
+       round(1.0 * p.score + 2.0 * coalesce(c.cos, 0.0), 6) AS score
+FROM p LEFT JOIN c USING (doc_id)
+ORDER BY (1.0 * p.score + 2.0 * coalesce(c.cos, 0.0)) DESC,
+         p.doc_id ASC
+LIMIT 10""",
         "bm25_groups": _groups_sql(["spark", "join", "fast"], "source",
                                    k=10, score_mode="sum"),
         "bm25_page2": _bm25_sql(["spark", "join", "fast"], "OR", offset=10),

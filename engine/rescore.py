@@ -69,3 +69,67 @@ def search_rescore(index, query: str, rescore_query: str, k: int = 10,
              for d, r in zip(ids, primary)]
     top = sorted(fused, key=lambda t: (-t[1], t[0]))[:int(k)]
     return index.spark.createDataFrame(top, RESCORE_SCHEMA)
+
+
+def search_rescore_vector(index, query: str, emb: DataFrame, query_vec,
+                          k: int = 10, window: int = 50,
+                          query_weight: float = 1.0,
+                          vector_weight: float = 1.0, mode: str = "OR",
+                          exclude: str | None = None,
+                          doc_filter: str | None = None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Hybrid text+vector rescoring — the ES ``rescore``-with-knn /
+    RRF-alternative hybrid pattern, score-combined instead of
+    rank-combined: the BM25 top-``window`` re-ranked by
+
+        final = query_weight * bm25 + vector_weight * cosine(q, emb)
+
+    with the SAME frozen window/weights/tiebreak contract as
+    ``search_rescore``. The cosine is the engine's frozen expression
+    (similarity.cosine_expr: double-cast left-fold dot / norms — the
+    ann_cosine-gated formula); a window doc with NO embedding row (or a
+    zero-norm vector -> NULL cosine) contributes ``0.0``, the unknown-
+    never-penalizes rule.
+
+    ``emb`` is any DataFrame carrying (``id_col``, ``vec_col``) with
+    ids in the index's doc_id space (the driver's embeddings table:
+    vec_id == doc_id).
+
+    Plan shape (the 100 TB argument): the primary is one unchanged
+    pruned-scan job; the <= window collected ids become an ``isin``
+    predicate PUSHED INTO the embeddings parquet scan (row-group
+    pruning — the table is never fully read); cosine runs JVM-side
+    over <= window rows; the weighted combine is driver-side; the
+    result is a jobless local relation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from .similarity import _query_lit, dot_expr, norm_expr
+    Q._warn_if_stale(index)
+    if int(k) > int(window):
+        raise ValueError(f"k ({k}) must be <= window ({window}): docs "
+                         "outside the rescore window are never rescored")
+    wq, wv = float(query_weight), float(vector_weight)
+    qv = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in qv))
+    if qn == 0.0:
+        raise ValueError("query_vec must be non-zero")
+    primary = Q.search(index, query, k=int(window), mode=mode,
+                       exclude=exclude, doc_filter=doc_filter).collect()
+    if not primary:
+        return Q._empty_topk(index.spark)
+    ids = [int(r["doc_id"]) for r in primary]
+    vd = F.col(vec_col).cast("array<double>")
+    cos_rows = (emb.filter(F.col(id_col).isin(ids))
+                .select(F.col(id_col).cast("long").alias("doc_id"),
+                        (dot_expr(vd, _query_lit(qv))
+                         / (norm_expr(vd) * F.lit(qn))).alias("cos"))
+                .collect())
+    cmap = {int(r["doc_id"]): float(r["cos"])
+            for r in cos_rows if r["cos"] is not None}
+    fused = [(d, wq * float(r["score"]) + wv * cmap.get(d, 0.0))
+             for d, r in zip(ids, primary)]
+    top = sorted(fused, key=lambda t: (-t[1], t[0]))[:int(k)]
+    return index.spark.createDataFrame(top, RESCORE_SCHEMA)

@@ -90,3 +90,82 @@ def test_validation_and_empty(rsidx):
         rescore.search_rescore(rsidx, "hot0", "hot1", k=20, window=10)
     df = rescore.search_rescore(rsidx, "nosuchterm", "hot0")
     assert df.count() == 0 and df.columns == ["doc_id", "score"]
+
+
+# ---- hybrid text+vector rescore ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, rsidx):
+    """Deterministic per-doc embeddings (dim 16, seeded by doc_id),
+    with every 5th doc MISSING an embedding row (the unknown-never-
+    penalizes contract needs absent rows)."""
+    import numpy as np
+    n = int(rsidx.n_docs)
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]])
+            for i in range(n) if i % 5 != 0]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").cache(), vecs
+
+
+def _cos(a, b):
+    import math
+    ad = [float(x) for x in a]
+    bd = [float(x) for x in b]
+    dot = 0.0
+    for x, y in zip(ad, bd):
+        dot += x * y
+    na = math.sqrt(sum(x * x for x in ad))
+    nb = math.sqrt(sum(x * x for x in bd))
+    return dot / (na * nb)
+
+
+def test_vector_rescore_matches_recompute(rsidx, emb_df):
+    emb, vecs = emb_df
+    qv = [float(x) for x in vecs[1]]
+    win = Q.search(rsidx, "hot0 rare3", k=40).collect()
+    want = []
+    for r in win:
+        d = int(r["doc_id"])
+        c = _cos(vecs[d].tolist(), qv) if d % 5 != 0 else 0.0
+        want.append((d, 1.0 * float(r["score"]) + 2.0 * c))
+    want = sorted(want, key=lambda t: (-t[1], t[0]))[:10]
+    got = [(r.doc_id, r.score) for r in
+           rescore.search_rescore_vector(
+               rsidx, "hot0 rare3", emb, qv, k=10, window=40,
+               vector_weight=2.0).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # vector weight actually changes the order vs plain BM25 top-10
+    plain = [int(r["doc_id"]) for r in win[:10]]
+    assert [d for d, _ in got] != plain
+
+
+def test_vector_rescore_pushdown_and_validation(rsidx, emb_df, spark):
+    emb, vecs = emb_df
+    qv = [float(x) for x in vecs[0]]
+    with pytest.raises(ValueError, match="must be <= window"):
+        rescore.search_rescore_vector(rsidx, "hot0", emb, qv, k=20,
+                                      window=10)
+    with pytest.raises(ValueError, match="non-zero"):
+        rescore.search_rescore_vector(rsidx, "hot0", emb,
+                                      [0.0] * 16, k=5, window=10)
+    # empty primary -> empty local relation
+    out = rescore.search_rescore_vector(rsidx, "zzznoterm", emb, qv,
+                                        k=5, window=10)
+    assert out.collect() == []
+    # the window-ids filter reaches the parquet scan when emb is a
+    # parquet read (pushed In predicate -> row-group pruning)
+    import tempfile
+    d = tempfile.mkdtemp(prefix="embp_") + "/emb"
+    emb.write.mode("overwrite").parquet(d)
+    pemb = spark.read.parquet(d)
+    ids = [int(r["doc_id"]) for r in
+           Q.search(rsidx, "hot0 rare3", k=10).collect()]
+    from pyspark.sql import functions as F
+    plan = (pemb.filter(F.col("vec_id").isin(ids)).select("vec_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [In(vec_id" in plan
