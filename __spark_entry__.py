@@ -1736,6 +1736,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return snip.select("doc_id", F.round("score", 6).alias("score"),
                            "snippet")
 
+    def search_snippets_multi(spark, sf):
+        # ES highlight number_of_fragments: one fragment per
+        # distinct-term first anchor (ascending, first 2, no overlap
+        # merge), ' ... '-joined — the same pruned <= k corpus read
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search(idx, "spark join fast", k=10, mode="OR")
+        snip = Q.materialize_snippets(idx, top, "spark join fast",
+                                      window=3, n_fragments=2)
+        return snip.select("doc_id", F.round("score", 6).alias("score"),
+                           "snippet")
+
     def search_facets(spark, sf):
         # faceted search (r4): per-facet-value doc counts over the FULL
         # match set of the boolean query — both the lang and source
@@ -2141,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_recent": search_recent,
         "search_recent_page2": search_recent_page2,
         "search_snippets": search_snippets,
+        "search_snippets_multi": search_snippets_multi,
         "search_facets": search_facets,
         "facets_filtered": facets_filtered,
         "facets_top": facets_top,
@@ -2285,6 +2298,38 @@ def _snippet_sql(query_terms: list[str], k: int = 10,
     query term."""
     return _snippet_over(_bm25_sql(query_terms, "OR", k), query_terms,
                          window)
+
+
+def _snippet_multi_sql(query_terms: list[str], k: int = 10,
+                       window: int = 3, n_fragments: int = 2) -> str:
+    """DuckDB twin of materialize_snippets(n_fragments>1): one fragment
+    per distinct-term first anchor (ascending, first n kept, overlaps
+    NOT merged), ' ... '-joined — list_sort/list_distinct/list_filter/
+    list_transform mirror the Spark expression tree exactly."""
+    terms = sorted(set(query_terms))
+    nullifs = ", ".join(f"nullif(list_position(toks, '{t}'), 0)"
+                        for t in terms)
+    return f"""
+WITH topk AS ({_bm25_sql(query_terms, "OR", k)}),
+t AS (
+  SELECT d.doc_id, tk.score, {_TOK_SQL} AS toks
+  FROM documents d JOIN topk tk USING (doc_id)
+),
+a AS (
+  SELECT doc_id, score, toks,
+         list_sort(list_distinct(list_filter([{nullifs}],
+                                             x -> x IS NOT NULL)))
+           [1 : {int(n_fragments)}] AS anchors
+  FROM t
+)
+SELECT doc_id, score,
+       coalesce(array_to_string(
+         list_transform(anchors,
+                        a -> array_to_string(
+                          toks[greatest(1, a - {window}) : a + {window}],
+                          ' ')),
+         ' ... '), '') AS snippet
+FROM a ORDER BY score DESC, doc_id ASC"""
 
 
 def _facets_sql(query_terms: list[str], mode: str, fields: list[str],
@@ -2988,6 +3033,8 @@ WHERE list_has_all({_TOK_SQL}, ['spark', 'join'])
 ORDER BY sort_val DESC, doc_id ASC LIMIT 10 OFFSET 10
 """,
         "search_snippets": _snippet_sql(["spark", "join", "fast"], 10, 3),
+        "search_snippets_multi": _snippet_multi_sql(
+            ["spark", "join", "fast"], 10, 3, 2),
         "search_facets": _facets_sql(["spark", "join", "fast"], "OR",
                                      ["lang", "source"]),
         "facets_filtered": _facets_sql(["hash", "join"], "AND",

@@ -274,7 +274,8 @@ def cmd_search(args) -> int:
                        demote=demote)
     if args.snippets:
         out = Q.materialize_snippets(idx, top, snippet_query,
-                                     window=args.snippet_window)
+                                     window=args.snippet_window,
+                                     n_fragments=args.fragments)
     elif args.text:
         out = Q.materialize_packed(idx, top)
     else:
@@ -807,6 +808,10 @@ def main(argv=None) -> int:
     s.add_argument("--snippets", action="store_true",
                    help="materialize contextual snippets")
     s.add_argument("--snippet-window", type=int, default=3)
+    s.add_argument("--fragments", type=int, default=1,
+                   help="--snippets: fragments per doc (ES highlight "
+                        "number_of_fragments; anchors = distinct-term "
+                        "first occurrences, ascending)")
     s.set_defaults(fn=cmd_search)
     sb = sub.add_parser("search-batch",
                         help="whole query set in ONE Spark job (E9)")

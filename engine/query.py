@@ -3153,7 +3153,8 @@ def materialize_packed(index, topk: DataFrame) -> DataFrame:
 
 
 def materialize_snippets(index, topk: DataFrame, query: str,
-                         window: int = 3) -> DataFrame:
+                         window: int = 3,
+                         n_fragments: int = 1) -> DataFrame:
     """E8 extension: top-k rows with a contextual snippet — ``window``
     analyzer tokens either side of the FIRST occurrence of any query
     term (earliest position across terms; frozen contract, mirrored by
@@ -3167,6 +3168,14 @@ def materialize_snippets(index, topk: DataFrame, query: str,
     (``_corpus_pruned``) and the tokenize expression runs on <= k rows;
     ranking columns (score, n_phrase, ...) are carried generically and
     the top-k's own row order is preserved.
+
+    ``n_fragments > 1`` (the ES highlight ``number_of_fragments``):
+    fragments anchor on the first occurrence of EACH query term present
+    in the doc — anchor positions distinct-sorted ascending, the first
+    ``n_fragments`` kept, one +-``window`` token slice per anchor,
+    joined by ``" ... "``. Adjacent fragments may overlap (no merge —
+    the frozen rule stays a pure expression tree); the single-fragment
+    default is the unchanged legacy expression.
     """
     from pyspark.sql import types as T
 
@@ -3188,16 +3197,37 @@ def materialize_snippets(index, topk: DataFrame, query: str,
     # total for exotic top-k inputs (e.g. phrase results).
     pos_cols = [F.nullif(F.array_position(F.col("_toks"), F.lit(t)),
                          F.lit(0)) for t in terms]
-    p = F.coalesce(F.least(*pos_cols) if len(pos_cols) > 1 else pos_cols[0],
-                   F.lit(1)) if pos_cols else F.lit(1)
-    start = F.greatest(F.lit(1), p - F.lit(window))
-    length = p + F.lit(window) - start + F.lit(1)  # slice clamps the end
+    if int(n_fragments) < 1:
+        raise ValueError("n_fragments must be >= 1")
+    if int(n_fragments) > 1 and pos_cols:
+        # multi-fragment: distinct-sorted anchors, first n, one slice
+        # per anchor, " ... "-joined — still a pure expression tree
+        anchors = F.slice(
+            F.array_sort(F.array_distinct(F.filter(
+                F.array(*pos_cols), lambda x: x.isNotNull()))),
+            1, int(n_fragments))
+        frag = F.transform(
+            anchors,
+            lambda a: F.array_join(
+                F.slice(F.col("_toks"),
+                        F.greatest(F.lit(1), a - F.lit(window)),
+                        a + F.lit(window)
+                        - F.greatest(F.lit(1), a - F.lit(window))
+                        + F.lit(1)), " "))
+        snippet = F.coalesce(F.array_join(frag, " ... "), F.lit(""))
+    else:
+        p = F.coalesce(
+            F.least(*pos_cols) if len(pos_cols) > 1 else pos_cols[0],
+            F.lit(1)) if pos_cols else F.lit(1)
+        start = F.greatest(F.lit(1), p - F.lit(window))
+        length = p + F.lit(window) - start + F.lit(1)  # slice clamps
+        snippet = F.array_join(F.slice(F.col("_toks"), start, length),
+                               " ")
     corpus = _corpus_pruned(index, [r["doc_id"] for r in rows])
     return (corpus.join(F.broadcast(small), "doc_id")
             .withColumn("_toks", toks)
             .select("doc_id", *rank_cols,
-                    F.array_join(F.slice(F.col("_toks"), start, length), " ")
-                    .alias("snippet"), "_rank")
+                    snippet.alias("snippet"), "_rank")
             .orderBy("_rank").drop("_rank"))
 
 

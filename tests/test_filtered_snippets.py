@@ -262,3 +262,45 @@ def test_batch_snippets_match_per_query(packed_index):
                 for r in Q.materialize_snippets(
                     packed_index, top, q["query"], window=2).collect()]
         assert by_q.get(q["id"], []) == want, q["id"]
+
+
+def test_multi_fragment_snippets(spark, tmp_path):
+    """n_fragments > 1: one fragment per distinct-term first anchor in
+    ascending position order, ' ... '-joined; exact strings on a
+    handmade corpus."""
+    import pandas as pd
+
+    from engine import query as Q
+    from engine.build import build_index
+    texts = [
+        # alpha at pos 1, omega at pos 8: two disjoint fragments
+        "alpha one two three four five six omega seven eight",
+        # only alpha present: one fragment despite n_fragments=2
+        "zero alpha one two three four five six seven eight",
+        # anchors close together: overlapping fragments kept (no merge)
+        "one alpha omega two three four five six seven eight",
+    ]
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i:03d}" for i in range(len(texts))],
+        "turn_idx": np.zeros(len(texts), dtype=np.int32),
+        "role": ["user"] * len(texts),
+        "text": texts,
+        "tool": [""] * len(texts),
+        "ts": pd.Timestamp("2026-01-01"),
+    })
+    idx = build_index(spark, spark.createDataFrame(pdf),
+                      str(tmp_path / "mfidx"))
+    top = Q.search(idx, "alpha omega", k=10)
+    got = {r["doc_id"]: r["snippet"] for r in
+           Q.materialize_snippets(idx, top, "alpha omega", window=1,
+                                  n_fragments=2).collect()}
+    assert got[0] == "alpha one ... six omega seven"
+    assert got[1] == "zero alpha one"
+    assert got[2] == "one alpha omega ... alpha omega two"
+    # n_fragments=1 stays the legacy first-anchor expression
+    got1 = {r["doc_id"]: r["snippet"] for r in
+            Q.materialize_snippets(idx, top, "alpha omega",
+                                   window=1).collect()}
+    assert got1[0] == "alpha one"
+    with pytest.raises(ValueError, match="n_fragments"):
+        Q.materialize_snippets(idx, top, "alpha omega", n_fragments=0)
