@@ -1097,6 +1097,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top.select(gid.alias("doc_id"),
                           F.round("score", 6).alias("score"))
 
+    def bm25_multi_boosted(spark, sf):
+        # ES indices_boost: member 1 (the fresh half) weighted 3x —
+        # scores multiply AFTER the frozen summation, per-member order
+        # (and WAND routing) untouched, only the interleave shifts
+        from engine.multi import search_multi
+        a, b = _multi_indexes(spark, sf)
+        top = search_multi([a, b], "spark join fast", k=10,
+                           index_boosts=[1.0, 3.0])
+        gid = (F.col("doc_id")
+               + F.when(F.col("index_id") == 1,
+                        F.lit(a.n_docs)).otherwise(F.lit(0)))
+        return top.select(gid.alias("doc_id"),
+                          F.round("score", 6).alias("score"))
+
     def bm25_bool(spark, sf):
         # ES bool query (engine/query.py search_bool): must="spark"
         # required, should="join fast" optional-but-scoring — the doc
@@ -2091,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm": bm25_msm,
         "term_vectors": term_vectors,
         "bm25_multi": bm25_multi,
+        "bm25_multi_boosted": bm25_multi_boosted,
         "bm25_bool": bm25_bool,
         "bm25_bool_msm": bm25_bool_msm,
         "bm25_term_boosts": bm25_term_boosts,
@@ -2648,6 +2663,13 @@ FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
 ORDER BY term
 """,
         "bm25_multi": _bm25_sql(["spark", "join", "fast"], "OR"),
+        # indices_boost twin: the member split is the stable-order
+        # doc_id halves (conv-id prefix cut at n//2), boost as a
+        # per-doc multiplier over the union scoring
+        "bm25_multi_boosted": _bm25_sql(
+            ["spark", "join", "fast"], "OR",
+            boost_mult=("CASE WHEN doc_id < (SELECT count(*) // 2 "
+                        "FROM documents) THEN 1.0 ELSE 3.0 END")),
         "bm25_bool": _bm25_sql(["spark", "join", "fast"], "OR",
                                must_terms=["spark"]),
         "bm25_bool_msm": _bm25_sql(["spark", "join", "fast", "vector"],

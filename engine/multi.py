@@ -85,7 +85,8 @@ def _idf(n_docs: int, df: int, variant: str) -> float:
 
 def search_multi(indexes: list, query: str, k: int = 10, mode: str = "OR",
                  use_wand: "bool | str" = "auto",
-                 exclude: str | None = None) -> DataFrame:
+                 exclude: str | None = None,
+                 index_boosts: "list | None" = None) -> DataFrame:
     """BM25 top-k across several packed indexes with exact global stats.
 
     Returns (index_id, doc_id, score): ``index_id`` is the position in
@@ -102,8 +103,26 @@ def search_multi(indexes: list, query: str, k: int = 10, mode: str = "OR",
     the UNION corpus (per doc, arity still demands all terms — a doc
     can only match inside its own index). ``exclude`` drops docs
     containing any excluded term, per member (same frozen NOT contract
-    as ``search``)."""
+    as ``search``).
+
+    ``index_boosts``: per-member positive weights (the ES
+    ``indices_boost`` rule) — member ``i``'s scores multiply by
+    ``index_boosts[i]`` AFTER the frozen summation (one JVM-side
+    multiply per emitted row). A constant positive multiplier preserves
+    each member's internal order, so per-member WAND routing stays
+    rank-safe unchanged; only the cross-member interleave shifts."""
     _require_compat(indexes)
+    if index_boosts is not None:
+        if len(index_boosts) != len(indexes):
+            raise ValueError(
+                f"index_boosts must have one weight per index "
+                f"(got {len(index_boosts)} for {len(indexes)})")
+        index_boosts = [float(w) for w in index_boosts]
+        if any(not math.isfinite(w) or w <= 0 for w in index_boosts):
+            raise ValueError("index_boosts must be finite and > 0 "
+                             "(a constant positive multiplier is what "
+                             "keeps member-internal order, and WAND, "
+                             "rank-safe)")
     spark = indexes[0].spark
     mode = mode.upper()
     acfg = indexes[0].cfg.analyzer
@@ -203,8 +222,11 @@ def search_multi(indexes: list, query: str, k: int = 10, mode: str = "OR",
         scored = (post.groupBy("shard")
                   .applyInPandas(_make_fn(width, neg_set, del_locs, routed),
                                  "doc_id long, score double"))
+        w_i = index_boosts[i] if index_boosts is not None else None
+        score_col = (F.col("score") * F.lit(w_i)).alias("score") \
+            if w_i is not None and w_i != 1.0 else F.col("score")
         parts.append(scored.select(F.lit(i).alias("index_id"),
-                                   "doc_id", "score"))
+                                   "doc_id", score_col))
     if not parts:
         return empty
     out = parts[0]

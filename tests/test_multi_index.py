@@ -105,3 +105,39 @@ def test_multi_refuses_mixed_configs(three, spark, corpus_df,
         cfg=replace(DEFAULT, bm25=replace(DEFAULT.bm25, k1=0.5)))
     with pytest.raises(ValueError, match="BM25 constants"):
         search_multi([members[0], other], "hot0")
+
+
+def test_index_boosts_recompute(three):
+    """indices_boost: member scores multiply AFTER the frozen summation
+    — recompute from the unboosted per-member rows."""
+    from engine.multi import search_multi
+    (a, b), _ = three
+    plain = search_multi([a, b], "hot0 mid1", k=10 ** 6).collect()
+    w = [1.0, 3.0]
+    want = sorted(((r.index_id, r.doc_id, r.score * w[r.index_id])
+                   for r in plain),
+                  key=lambda t: (-t[2], t[0], t[1]))[:10]
+    got = [(r.index_id, r.doc_id, r.score) for r in
+           search_multi([a, b], "hot0 mid1", k=10,
+                        index_boosts=w).collect()]
+    assert [(i, d) for i, d, _ in got] == [(i, d) for i, d, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-12
+    # the boost actually changes the interleave
+    assert [(r.index_id, r.doc_id) for r in plain[:10]] != \
+        [(i, d) for i, d, _ in got]
+    # identity weights == plain (fast path: no multiply column)
+    same = [(r.index_id, r.doc_id, r.score) for r in
+            search_multi([a, b], "hot0 mid1", k=10,
+                         index_boosts=[1.0, 1.0]).collect()]
+    assert same == [(r.index_id, r.doc_id, r.score) for r in plain[:10]]
+
+
+def test_index_boosts_validation(three):
+    from engine.multi import search_multi
+    (a, b), _ = three
+    import pytest as _pt
+    with _pt.raises(ValueError, match="one weight per index"):
+        search_multi([a, b], "hot0", index_boosts=[1.0])
+    with _pt.raises(ValueError, match="finite and > 0"):
+        search_multi([a, b], "hot0", index_boosts=[1.0, 0.0])
