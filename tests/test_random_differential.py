@@ -101,3 +101,69 @@ def test_random_scoring_variants_match_oracle(packed_index, oracle_idx):
             want = oracle_idx.search_dis_max(subs, tie, k=k)
             ctx = (case, "dismax", subs, tie, k)
         assert got == want, ctx
+
+
+@pytest.fixture(scope="module")
+def dv_packed_index(spark, corpus_df, tmp_path_factory):
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    d = str(tmp_path_factory.mktemp("rdiff_dv") / "packed")
+    return build_index(spark, corpus_df, d,
+                       cfg=IndexConfig(doc_values=("role", "ts")))
+
+
+def test_random_decay_boosts_match_recompute(dv_packed_index, oracle_idx,
+                                             corpus_pdf):
+    """Decay-function boosts (gauss/exp/linear + the legacy half-life)
+    under random parameters: ranking == unboosted full ranking x the
+    frozen multiplier, recomputed in pure Python."""
+    import datetime
+    import math
+
+    from engine import query as Q
+    rng = np.random.default_rng(20260821)
+    pool = ["hot0", "hot1"] + [f"w{i:03d}" for i in range(2, 40)]
+    epoch = [ts.replace(tzinfo=datetime.timezone.utc).timestamp()
+             for ts in (t.to_pydatetime() for t in corpus_pdf.ts)]
+    t_lo, t_hi = min(epoch), max(epoch)
+
+    def mult(kind, x, origin, scale, d, off):
+        if kind == "recency":
+            return 0.5 ** (max(0.0, origin - x) / scale)
+        dist = max(0.0, abs(x - origin) - off)
+        if kind == "gauss":
+            return math.exp(-(dist * dist)
+                            / (2.0 * (-(scale * scale)
+                                      / (2.0 * math.log(d)))))
+        if kind == "exp":
+            return math.exp(math.log(d) / scale * dist)
+        s = scale / (1.0 - d)
+        return max(0.0, (s - dist) / s)
+
+    for case in range(12):
+        q = " ".join(rng.choice(pool, size=int(rng.integers(1, 4))))
+        k = int(rng.integers(1, 12))
+        kind = str(rng.choice(["gauss", "exp", "linear", "recency"]))
+        origin = float(t_lo + rng.random() * (t_hi - t_lo))
+        scale_days = float(rng.choice([0.05, 0.2, 0.5]))
+        d = float(rng.choice([0.3, 0.5, 0.8]))
+        off_days = float(rng.choice([0.0, 0.02]))
+        if kind == "recency":
+            boost = {"field": "ts", "half_life_days": scale_days,
+                     "now": origin}
+        else:
+            boost = {"field": "ts", "decay": kind, "origin": origin,
+                     "scale_days": scale_days, "decay_value": d,
+                     "offset_days": off_days}
+        full = oracle_idx.search(q, k=oracle_idx.n_docs, mode="OR")
+        want = sorted(
+            ((doc, s * mult(kind, epoch[doc], origin,
+                            scale_days * 86400.0, d, off_days * 86400.0))
+             for doc, s in full),
+            key=lambda t: (-t[1], t[0]))[:k]
+        got = [(r["doc_id"], r["score"]) for r in
+               Q.search(dv_packed_index, q, k=k, boost=boost).collect()]
+        ctx = (case, kind, q, k, origin, scale_days, d, off_days)
+        assert [x for x, _ in got] == [x for x, _ in want], ctx
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, ctx
