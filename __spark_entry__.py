@@ -698,6 +698,7 @@ def _bm25_sql(query_terms: list[str], mode: str, k: int = 10,
               exclude: list[str] | None = None,
               where: str | None = None, offset: int = 0,
               boost_mult: str | None = None,
+              boost_add: str | None = None,
               corpus_where: str | None = None,
               min_match: int | None = None,
               weights: dict | None = None,
@@ -799,7 +800,7 @@ FROM scored
 {_not_in_clause(exclude)}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 ''' if raw_score else f'''SELECT doc_id,
-       round(score{f" * ({boost_mult})" if boost_mult else ""}, 6) AS score
+       round(score{f" * ({boost_mult})" if boost_mult else ""}{f" + ({boost_add})" if boost_add else ""}, 6) AS score
 FROM scored
 {_not_in_clause(exclude)}
 ORDER BY score DESC, doc_id ASC LIMIT {k}{f" OFFSET {offset}" if offset else ""}
@@ -1713,6 +1714,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "offset_days": _DECAY_OFFSET_DAYS})
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
+    def bm25_decay_sum(spark, sf):
+        # ES function_score boost_mode=sum with a function weight:
+        # score + w * gauss(ts) — additive combine AFTER the frozen
+        # summation (engine/query.py _score_shard_exhaustive)
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        top = Q.search(idx, "spark join fast", k=10, mode="OR",
+                       boost={"field": "ts", "decay": "gauss",
+                              "origin": _DECAY_ORIGIN_ISO,
+                              "scale_days": _DECAY_SCALE_DAYS,
+                              "offset_days": _DECAY_OFFSET_DAYS,
+                              "boost_mode": "sum", "weight": 0.5})
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
     def search_recent(spark, sf):
         # sort-by-field (Lucene pattern): docs matching ALL query terms
         # ranked by (ts desc, doc_id asc) from the docvalue store — BM25
@@ -2165,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_recency_boost": bm25_recency_boost,
         "bm25_decay_gauss": bm25_decay_gauss,
         "bm25_decay_linear": bm25_decay_linear,
+        "bm25_decay_sum": bm25_decay_sum,
         "search_recent": search_recent,
         "search_recent_page2": search_recent_page2,
         "search_snippets": search_snippets,
@@ -3040,6 +3056,13 @@ LIMIT 10""",
             boost_mult=(
                 f"greatest(({_DECAY_LINEAR_S!r} - {_DECAY_DIST_SQL}) "
                 f"/ {_DECAY_LINEAR_S!r}, 0)")),
+        # boost_mode=sum twin: score + weight * gauss — the engine's
+        # additive combine with the function weight folded into v
+        "bm25_decay_sum": _bm25_sql(
+            ["spark", "join", "fast"], "OR",
+            boost_add=(
+                f"0.5 * exp(-({_DECAY_DIST_SQL} * {_DECAY_DIST_SQL}) "
+                f"/ (2 * {_DECAY_SIGMA2!r}))")),
         "search_recent": f"""
 SELECT doc_id,
        round(({_TS_EPOCH0} + (doc_id % 180) * 86400)::DOUBLE, 6) AS sort_val

@@ -90,7 +90,9 @@ def cmd_search(args) -> int:
                      "origin": origin,
                      "scale_days": args.boost_scale_days,
                      "decay_value": args.boost_decay_value,
-                     "offset_days": args.boost_offset_days}
+                     "offset_days": args.boost_offset_days,
+                     "boost_mode": args.boost_mode,
+                     "weight": args.boost_weight}
         else:
             if not args.boost_now:
                 print("--boost-field requires --boost-now (a frozen "
@@ -797,6 +799,11 @@ def main(argv=None) -> int:
     s.add_argument("--boost-decay-value", type=float, default=0.5)
     s.add_argument("--boost-offset-days", type=float, default=0.0,
                    help="flat radius around the origin (multiplier 1.0)")
+    s.add_argument("--boost-mode", default="multiply",
+                   choices=("multiply", "sum"),
+                   help="decay combine rule: score * v or score + v "
+                        "(v = --boost-weight * decay)")
+    s.add_argument("--boost-weight", type=float, default=1.0)
     s.add_argument("--boost-now", default=None,
                    help="ISO-8601 UTC reference instant (required with "
                         "--boost-field; frozen so runs are reproducible)")

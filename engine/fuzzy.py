@@ -341,6 +341,13 @@ def suggest_phrase(index, query: str, max_edits: int = 1, n: int = 3,
         cands = [(c["term"], int(c["dist"]), int(c["df"]))
                  for c in expand_fuzzy(index, t, max_edits, per_term)]
         slots.append(cands or [(t, 0, 0)])
+    prod = 1
+    for sl in slots:
+        prod *= len(sl)
+    if prod > 65536:
+        raise ValueError(
+            f"suggest_phrase candidate space too large ({prod} phrases "
+            f"> 65536): lower per_term or shorten the query")
     scored = []
     for combo in itertools.product(*slots):
         phrase = " ".join(c[0] for c in combo)

@@ -244,12 +244,17 @@ def _score_shard_exhaustive(post_pdf, qtfs, idfs, cfg, k, mode, width,
     if hit.size == 0:
         return None
     if boost_vec is not None:
-        # score = (BM25 sum) * multiplier — multiplication AFTER the
-        # frozen per-term summation, mirroring the oracle twins exactly
-        # (docvalues.recency_multiplier documents the formula). Applied
+        # score = (BM25 sum) * v or + v — combined AFTER the frozen
+        # per-term summation, mirroring the oracle twins exactly
+        # (docvalues.recency_multiplier / decay_multiplier document the
+        # function; v already carries the ES function weight). Applied
         # at hit positions only; cursor compare and top-k use the
         # boosted score (the ranking the caller pages through).
-        acc[hit] *= boost_vec[hit]
+        bv, bcomb = boost_vec
+        if bcomb == "sum":
+            acc[hit] += bv[hit]
+        else:
+            acc[hit] *= bv[hit]
     if demmask is not None:
         # boosting-query demotion — frozen operation order: the plain
         # BM25 sum, then the recency multiplier (boost_vec), THEN the
@@ -400,8 +405,13 @@ def _norm_boost(index, boost: "dict | None"):
       ``{"field", "decay": kind, "origin": epoch-s | ISO-8601,
       "scale_days": float, "decay_value": float (default 0.5, in
       (0, 1)), "offset_days": float (default 0)}``
-      -> ``("decay", field, kind, origin_s, scale_s, decay, offset_s)``
-      (docvalues.decay_multiplier documents the formulas)."""
+      -> ``("decay", field, kind, origin_s, scale_s, decay, offset_s,
+      combine, weight)`` (docvalues.decay_multiplier documents the
+      formulas). Optional ``"boost_mode": "multiply" (default) |
+      "sum"`` and ``"weight": w > 0`` follow the ES function_score
+      rule: the function value is ``w * decay(x)``, combined as
+      ``score * v`` or ``score + v`` — in either mode AFTER the frozen
+      summation, exhaustive-only routing."""
     if boost is None:
         return None
     field = boost["field"]
@@ -416,9 +426,19 @@ def _norm_boost(index, boost: "dict | None"):
             raise ValueError(
                 f"decay must be one of gauss/exp/linear (got {kind!r})")
         unknown = set(boost) - {"field", "decay", "origin", "scale_days",
-                                "decay_value", "offset_days"}
+                                "decay_value", "offset_days",
+                                "boost_mode", "weight"}
         if unknown:
             raise ValueError(f"unknown decay-boost keys: {sorted(unknown)}")
+        combine = boost.get("boost_mode", "multiply")
+        if combine not in ("multiply", "sum"):
+            raise ValueError(f"boost_mode must be multiply or sum "
+                             f"(got {combine!r})")
+        weight = float(boost.get("weight", 1.0))
+        import math as _math
+        if not _math.isfinite(weight) or weight <= 0:
+            raise ValueError(f"weight must be finite and > 0 "
+                             f"(got {weight})")
         scale = float(boost["scale_days"]) * 86400.0
         if scale <= 0:
             raise ValueError("scale_days must be > 0")
@@ -429,7 +449,7 @@ def _norm_boost(index, boost: "dict | None"):
         if off < 0:
             raise ValueError("offset_days must be >= 0")
         return ("decay", field, kind, _epoch_s(boost["origin"]), scale,
-                d, off)
+                d, off, combine, weight)
     hl = float(boost["half_life_days"]) * 86400.0
     if hl <= 0:
         raise ValueError("half_life_days must be > 0")
@@ -1640,12 +1660,15 @@ def _search_impl(index, query: str, k: int = 10, mode: str = "OR",
             return None
         if bst[0] == "decay":
             from .docvalues import decay_multiplier
-            _, fld, kind, origin_s, scale_s, d, off_s = bst
-            return decay_multiplier(dv_dir, shard, dv_gen, width,
-                                    fld, kind, origin_s, scale_s, d, off_s)
+            _, fld, kind, origin_s, scale_s, d, off_s, combine, w = bst
+            m = decay_multiplier(dv_dir, shard, dv_gen, width,
+                                 fld, kind, origin_s, scale_s, d, off_s)
+            if w != 1.0:
+                m = m * w
+            return (m, combine)
         from .docvalues import recency_multiplier
-        return recency_multiplier(dv_dir, shard, dv_gen, width,
-                                  bst[1], bst[2], bst[3])
+        return (recency_multiplier(dv_dir, shard, dv_gen, width,
+                                   bst[1], bst[2], bst[3]), "multiply")
 
     def _grp_closure(shard: int):
         if collapse is None:

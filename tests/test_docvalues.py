@@ -497,3 +497,47 @@ def test_search_sorted_after_filters_compose(dv_index):
                             dv_filter="role = 'user'",
                             after=last5).collect()
     assert [tuple(r) for r in page2] == [tuple(r) for r in full[5:]]
+
+
+def test_decay_boost_mode_sum_and_weight(dv_index, corpus_rows):
+    """ES function_score boost_mode=sum + function weight: score + w*m,
+    combined after the frozen summation — pure-Python recompute."""
+    origin_s = _epoch(datetime.datetime.fromisoformat(ORIGIN))
+    w = 0.35
+    full = Q.search(dv_index, "hot0 mid1", k=dv_index.n_docs).collect()
+    want = []
+    for r in full:
+        m = _decay_mult("gauss", _epoch(corpus_rows[r.doc_id].ts),
+                        origin_s, 0.25 * 86400.0, 0.5, 0.0)
+        want.append((r.doc_id, r.score + w * m))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    boost = {"field": "ts", "decay": "gauss", "origin": ORIGIN,
+             "scale_days": 0.25, "boost_mode": "sum", "weight": w}
+    got = [(r.doc_id, r.score) for r in
+           Q.search(dv_index, "hot0 mid1", k=10, boost=boost).collect()]
+    assert [x for x, _ in got] == [x for x, _ in want[:10]]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # weight in multiply mode: score * (w * m)
+    boost_m = {"field": "ts", "decay": "linear", "origin": ORIGIN,
+               "scale_days": 0.5, "weight": 2.0}
+    got_m = [(r.doc_id, r.score) for r in
+             Q.search(dv_index, "hot0 mid1", k=10,
+                      boost=boost_m).collect()]
+    want_m = []
+    for r in full:
+        m = _decay_mult("linear", _epoch(corpus_rows[r.doc_id].ts),
+                        origin_s, 0.5 * 86400.0, 0.5, 0.0)
+        want_m.append((r.doc_id, r.score * (2.0 * m)))
+    want_m.sort(key=lambda t: (-t[1], t[0]))
+    assert [x for x, _ in got_m] == [x for x, _ in want_m[:10]]
+    # validation
+    with pytest.raises(ValueError, match="boost_mode"):
+        Q.search(dv_index, "hot0", boost={"field": "ts", "decay": "exp",
+                                          "origin": ORIGIN,
+                                          "scale_days": 1,
+                                          "boost_mode": "avg"})
+    with pytest.raises(ValueError, match="weight"):
+        Q.search(dv_index, "hot0", boost={"field": "ts", "decay": "exp",
+                                          "origin": ORIGIN,
+                                          "scale_days": 1, "weight": 0})
