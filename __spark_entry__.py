@@ -1837,6 +1837,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("qid", "doc_id",
                           F.round("score", 6).alias("score"))
 
+    def batch_boosted(spark, sf):
+        # E9 with per-entry decay boosts: one job runs a gauss-boosted
+        # entry, an additive-decay entry, and a plain entry over the
+        # SAME pruned scan (one boost vector per distinct spec per
+        # shard); oracle = UNION ALL of the per-query twins
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        qset = [
+            {"id": "g", "query": "spark join fast", "mode": "OR",
+             "boost": {"field": "ts", "decay": "gauss",
+                       "origin": _DECAY_ORIGIN_ISO,
+                       "scale_days": _DECAY_SCALE_DAYS,
+                       "offset_days": _DECAY_OFFSET_DAYS}},
+            {"id": "s", "query": "spark join fast", "mode": "OR",
+             "boost": {"field": "ts", "decay": "gauss",
+                       "origin": _DECAY_ORIGIN_ISO,
+                       "scale_days": _DECAY_SCALE_DAYS,
+                       "offset_days": _DECAY_OFFSET_DAYS,
+                       "boost_mode": "sum", "weight": 0.5}},
+            {"id": "plain", "query": "spark join fast", "mode": "OR"},
+        ]
+        out = Q.search_batch(idx, qset, k=10)
+        return out.select("qid", "doc_id",
+                          F.round("score", 6).alias("score"))
+
     def batch_snippets(spark, sf):
         # E8 x E9 (r4): snippets for a WHOLE search_batch result in one
         # pruned corpus scan — per-qid anchor terms via one CASE
@@ -2190,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets_top": facets_top,
         "facets_prefix": facets_prefix,
         "batch_mixed": batch_mixed,
+        "batch_boosted": batch_boosted,
         "batch_snippets": batch_snippets,
         "bm25_deleted": bm25_deleted,
         "bm25_purged": bm25_purged,
@@ -3089,6 +3115,21 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10 OFFSET 10
         "facets_prefix": _facets_sql([], "OR", ["lang", "source"],
                                      prefix="s"),
         "batch_mixed": _batch_mixed_sql(10),
+        "batch_boosted": " UNION ALL ".join(
+            f"SELECT '{qid}' AS qid, doc_id, score FROM ({sql})"
+            for qid, sql in [
+                ("g", _bm25_sql(["spark", "join", "fast"], "OR",
+                                boost_mult=(
+                                    f"exp(-({_DECAY_DIST_SQL} * "
+                                    f"{_DECAY_DIST_SQL}) / (2 * "
+                                    f"{_DECAY_SIGMA2!r}))"))),
+                ("plain", _bm25_sql(["spark", "join", "fast"], "OR")),
+                ("s", _bm25_sql(["spark", "join", "fast"], "OR",
+                                boost_add=(
+                                    f"0.5 * exp(-({_DECAY_DIST_SQL} * "
+                                    f"{_DECAY_DIST_SQL}) / (2 * "
+                                    f"{_DECAY_SIGMA2!r}))"))),
+            ]),
         "batch_snippets": _batch_snippets_sql(10, 3),
         "match_count": f"""
             WITH toks AS ({toks_cte})

@@ -1867,7 +1867,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        demotes: dict | None = None,
                        dismaxes: dict | None = None,
                        dv_preds: dict | None = None,
-                       dv_ctx: tuple | None = None):
+                       dv_ctx: tuple | None = None,
+                       boosts: dict | None = None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -1935,6 +1936,29 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             allow = np.ones(width, dtype=bool)
         allow[denied_loc] = False
     dv_masks: dict = {}
+    boost_vecs: dict = {}
+
+    def _boost_v(bst):
+        """Per-entry score-boost vector — each DISTINCT normalized
+        boost spec is computed ONCE per shard task from the cached
+        docvalue slice and shared by every entry carrying it (the same
+        multi-tenant pattern as _dv_mask). Returns (vec, combine)."""
+        v = boost_vecs.get(bst)
+        if v is None:
+            if bst[0] == "decay":
+                from .docvalues import decay_multiplier
+                _, fld, kind, o_, sc_, d_, off_, comb, w_ = bst
+                m = decay_multiplier(dv_ctx[0], shard, dv_ctx[1], width,
+                                     fld, kind, o_, sc_, d_, off_)
+                if w_ != 1.0:
+                    m = m * w_
+            else:
+                from .docvalues import recency_multiplier
+                comb = "multiply"
+                m = recency_multiplier(dv_ctx[0], shard, dv_ctx[1],
+                                       width, bst[1], bst[2], bst[3])
+            v = boost_vecs[bst] = (m, comb)
+        return v
 
     def _dv_mask(pred: str):
         """Per-entry dv_filter mask — each DISTINCT predicate is
@@ -2000,6 +2024,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
         q_dem = demotes.get(qid) if demotes else None
         q_dm = dismaxes.get(qid) if dismaxes else None
         q_dvp = dv_preds.get(qid) if dv_preds else None
+        q_bst = boosts.get(qid) if boosts else None
         if q_dm is not None:
             # DIS_MAX entry (same frozen combine as search_dis_max:
             # total folded in subquery LIST order over 0.0-defaulted
@@ -2055,7 +2080,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             continue
         if (use_wand and mode == "OR" and len(terms_here) > 1
                 and not q_negs and q_mm <= 1 and q_must is None
-                and q_dem is None and q_dvp is None):
+                and q_dem is None and q_dvp is None and q_bst is None):
             mass = sum(decoded[t][0].size for t in terms_here)
             seed = min(decoded[t][0].size for t in terms_here)
             if use_wand is True or (mass >= WAND_MIN_SHARD_POSTINGS
@@ -2104,6 +2129,16 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
             # drop docs containing ANY excluded term, before top-k
             ex = np.unique(np.concatenate([decoded[t][0] for t in q_negs]))
             hit = hit[~np.isin(hit, ex, assume_unique=True)]
+        if q_bst is not None and hit.size:
+            # per-entry decay/recency boost — identical frozen combine
+            # and operation order as the single-query kernel (boost,
+            # THEN demote); boosted positions are a subset of touched,
+            # so the shared accumulator reset below covers them
+            bv, bcomb = _boost_v(q_bst)
+            if bcomb == "sum":
+                acc[hit] += bv[hit]
+            else:
+                acc[hit] *= bv[hit]
         if q_dem and hit.size:
             # boosting-query demotion (same frozen contract as
             # search_boosting: multiply AFTER the frozen summation;
@@ -2284,6 +2319,16 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                  "rank by n_phrase, not BM25")
             if per_q[q["id"]]:
                 per_q[q["id"]] = _apply_term_boosts(per_q[q["id"]], b)
+    # optional per-entry "boost" (decay/recency score multiplier —
+    # search(boost=)'s frozen contract, normalized driver-side; entries
+    # carrying one route exhaustive, like the single-query path)
+    boosts_by_qid = {}
+    for q in queries:
+        if q.get("boost"):
+            if q["mode"].upper() == "PHRASE":
+                raise ValueError(f"boost on {q['id']!r}: PHRASE entries "
+                                 "rank by n_phrase, not BM25")
+            boosts_by_qid[q["id"]] = _norm_boost(index, q["boost"])
     phrases = {q["id"]: tokenize_py(q["query"], acfg) for q in queries
                if q["mode"].upper() == "PHRASE"}
     # optional per-entry "slop" (sloppy phrase — same frozen in-order
@@ -2433,7 +2478,10 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                    width, wand_mode, allowed_loc=loc,
                                    negs=negs, phrases=phrases, msm=msm,
                                    slops=slops, musts=musts, minsh=minsh,
-                                   demotes=demotes, dismaxes=dismaxes)
+                                   demotes=demotes, dismaxes=dismaxes,
+                                   dv_preds=dv_preds,
+                                   dv_ctx=(dv_dir, dv_gen),
+                                   boosts=boosts_by_qid or None)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -2456,7 +2504,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                    musts=musts, minsh=minsh,
                                    demotes=demotes, dismaxes=dismaxes,
                                    dv_preds=dv_preds,
-                                   dv_ctx=(dv_dir, dv_gen))
+                                   dv_ctx=(dv_dir, dv_gen),
+                                   boosts=boosts_by_qid or None)
             return r if r is not None else pd.DataFrame(
                 {"qid": [], "doc_id": [], "score": []})
 

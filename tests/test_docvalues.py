@@ -541,3 +541,60 @@ def test_decay_boost_mode_sum_and_weight(dv_index, corpus_rows):
         Q.search(dv_index, "hot0", boost={"field": "ts", "decay": "exp",
                                           "origin": ORIGIN,
                                           "scale_days": 1, "weight": 0})
+
+
+def test_batch_per_entry_boost_matches_single(dv_pos_index):
+    """Per-entry decay/recency boost in search_batch == the single-query
+    path with the same spec; two entries sharing a spec share one
+    per-shard vector (the multi-tenant pattern)."""
+    idx = dv_pos_index
+    gauss = {"field": "ts", "decay": "gauss",
+             "origin": "2026-01-01T12:00:00", "scale_days": 0.25}
+    rec = {"field": "ts", "half_life_days": 7.0, "now": NOW}
+    sum_b = {"field": "ts", "decay": "linear",
+             "origin": "2026-01-01T12:00:00", "scale_days": 0.5,
+             "boost_mode": "sum", "weight": 0.3}
+    qset = [{"id": "g", "query": "hot0 mid1", "mode": "OR",
+             "boost": gauss},
+            {"id": "g2", "query": "hot0 hot1", "mode": "AND",
+             "boost": gauss},
+            {"id": "r", "query": "hot0", "mode": "OR", "boost": rec,
+             "exclude": "mid1"},
+            {"id": "s", "query": "hot0 mid1", "mode": "OR",
+             "boost": sum_b},
+            {"id": "plain", "query": "hot0 mid1", "mode": "OR"}]
+    got = {}
+    for r in Q.search_batch(idx, qset, k=10).collect():
+        got.setdefault(r.qid, []).append((r.doc_id, r.score))
+    for q in qset:
+        want = [(r.doc_id, r.score) for r in
+                Q.search(idx, q["query"], k=10, mode=q["mode"],
+                         exclude=q.get("exclude"),
+                         boost=q.get("boost")).collect()]
+        assert got.get(q["id"], []) == want, q["id"]
+    with pytest.raises(ValueError, match="PHRASE entries"):
+        Q.search_batch(idx, [{"id": "p", "query": "hot0 hot1",
+                              "mode": "PHRASE", "boost": gauss}])
+
+
+def test_batch_entry_dv_filter_composes_with_doc_filter(dv_pos_index):
+    """Regression (late r4): per-entry dv_filter must survive on the
+    batch-global doc_filter cogroup path (it was silently dropped)."""
+    idx = dv_pos_index
+    qset = [{"id": "a", "query": "hot0 mid1", "mode": "OR",
+             "dv_filter": "role = 'user'"},
+            {"id": "b", "query": "hot0 mid1", "mode": "OR"}]
+    got = {}
+    for r in Q.search_batch(idx, qset, k=10,
+                            doc_filter="turn_idx >= 1").collect():
+        got.setdefault(r.qid, []).append((r.doc_id, r.score))
+    want_a = [(r.doc_id, r.score) for r in
+              Q.search(idx, "hot0 mid1", k=10,
+                       doc_filter="turn_idx >= 1",
+                       dv_filter="role = 'user'").collect()]
+    want_b = [(r.doc_id, r.score) for r in
+              Q.search(idx, "hot0 mid1", k=10,
+                       doc_filter="turn_idx >= 1").collect()]
+    assert got.get("a", []) == want_a
+    assert got.get("b", []) == want_b
+    assert want_a != want_b  # the entry filter actually bites
