@@ -248,3 +248,17 @@ def test_percolate_scan_pruned(spark, tmp_path_factory):
     plan = _formatted(percolate(qidx, "hot0 something rare3"))
     assert re.search(r"PartitionFilters: \[.*bucket", plan), plan
     assert re.search(r"PushedFilters: \[.*\(term", plan), plan
+
+
+def test_match_all_plan_scan_free(plan_idx):
+    """match_all ('*') aggregation: NO file scan at all — the shard
+    list is a driver-built local relation; with exclude, exactly ONE
+    pruned postings scan of just the negative terms appears."""
+    from engine.matchops import match_count
+    plan = _formatted(match_count(plan_idx, "*"))
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
+    plan2 = _formatted(match_count(plan_idx, "*", exclude="hot0"))
+    schemas = re.findall(r"ReadSchema: (\S+)", plan2)
+    assert len(schemas) == 1, schemas  # the neg-terms postings scan only
+    assert re.search(r"PushedFilters: \[.*\(term", plan2), plan2
+    assert re.search(r"PartitionFilters: \[.*bucket", plan2), plan2
