@@ -1591,6 +1591,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.min("value"), 6).alias("min_value"),
                      F.round(F.max("value"), 6).alias("max_value")))
 
+    def streaming_windowed(spark, sf):
+        # J2 under the HARD gate: the watermarked windowed agg executed
+        # as a REAL Structured Streaming query — readStream file source,
+        # 30-min watermark state, availableNow trigger, memory sink
+        # (complete mode == the batch equivalence the twin checks).
+        # The streaming machinery (state store, watermark advance) runs
+        # for real; the result is deterministic because availableNow
+        # processes the full input.
+        import shutil
+        import tempfile
+
+        from engine.streaming import windowed_turn_counts
+        src = tempfile.mkdtemp(prefix="entry_stream_src_")
+        shutil.copy(f"{sf}/events.parquet", src + "/events.parquet")
+        schema = spark.read.parquet(f"{sf}/events.parquet").schema
+        # events store TIMESTAMP_NTZ; watermarks need TIMESTAMP —
+        # round-trip through the UTC session tz (identity on wall-clock)
+        stream = (spark.readStream.schema(schema).parquet(src)
+                  .select(F.col("ts").cast("timestamp").alias("ts"),
+                          F.col("event_type").alias("role")))
+        agg = windowed_turn_counts(stream, window="1 hour",
+                                   watermark="30 minutes")
+        name = "streaming_windowed_gate"
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="entry_stream_ckpt_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return (spark.table(name)
+                .select(F.col("window_start").cast("timestamp_ntz")
+                        .alias("window_start"),
+                        F.col("role").alias("event_type"),
+                        F.col("n_turns").alias("n")))
+
     def user_sessions(spark, sf):
         # session-window aggregation (30-min inactivity gap) per user
         e = spark.read.parquet(f"{sf}/events.parquet")
@@ -2192,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": near_dup_embeddings,
         "knn_join": knn_join,
         "events_hourly": events_hourly,
+        "streaming_windowed": streaming_windowed,
         "user_sessions": user_sessions,
         "media_features": media_features,
         "bm25_incremental": bm25_incremental,
@@ -3469,6 +3505,12 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10 OFFSET 10
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value
+            FROM events GROUP BY 1, 2""",
+        # streaming twin: Spark's unified semantics make the complete-
+        # mode availableNow stream equal the batch tumbling-window agg
+        "streaming_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2""",
         "user_sessions": """
             WITH o AS (
