@@ -1897,6 +1897,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("qid", "doc_id",
                           F.round("score", 6).alias("score"))
 
+    def batch_per_k(spark, sf):
+        # ES _msearch per-entry size: each entry cut at its OWN k on
+        # the shared scan (kernel-level per-qid cuts + a literal-map
+        # window limit); oracle = UNION ALL of per-query twins at the
+        # matching LIMITs
+        from engine import query as Q
+        idx = _packed_index(spark, sf)
+        qset = [{"id": "k5", "query": "spark join fast", "mode": "OR",
+                 "k": 5},
+                {"id": "k15", "query": "spark join fast", "mode": "OR",
+                 "k": 15},
+                {"id": "kd", "query": "spark hash", "mode": "AND"}]
+        out = Q.search_batch(idx, qset, k=10)
+        return out.select("qid", "doc_id",
+                          F.round("score", 6).alias("score"))
+
     def batch_snippets(spark, sf):
         # E8 x E9 (r4): snippets for a WHOLE search_batch result in one
         # pruned corpus scan — per-qid anchor terms via one CASE
@@ -2252,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets_prefix": facets_prefix,
         "batch_mixed": batch_mixed,
         "batch_boosted": batch_boosted,
+        "batch_per_k": batch_per_k,
         "batch_snippets": batch_snippets,
         "bm25_deleted": bm25_deleted,
         "bm25_purged": bm25_purged,
@@ -3151,6 +3168,14 @@ ORDER BY sort_val DESC, doc_id ASC LIMIT 10 OFFSET 10
         "facets_prefix": _facets_sql([], "OR", ["lang", "source"],
                                      prefix="s"),
         "batch_mixed": _batch_mixed_sql(10),
+        "batch_per_k": " UNION ALL ".join(
+            f"SELECT '{qid}' AS qid, doc_id, score FROM ({sql})"
+            for qid, sql in [
+                ("k15", _bm25_sql(["spark", "join", "fast"], "OR",
+                                  k=15)),
+                ("k5", _bm25_sql(["spark", "join", "fast"], "OR", k=5)),
+                ("kd", _bm25_sql(["spark", "hash"], "AND", k=10)),
+            ]),
         "batch_boosted": " UNION ALL ".join(
             f"SELECT '{qid}' AS qid, doc_id, score FROM ({sql})"
             for qid, sql in [

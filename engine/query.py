@@ -1868,7 +1868,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        dismaxes: dict | None = None,
                        dv_preds: dict | None = None,
                        dv_ctx: tuple | None = None,
-                       boosts: dict | None = None):
+                       boosts: dict | None = None,
+                       ks: dict | None = None):
     """Score EVERY query of the batch against one doc-range shard with a
     shared decode cache (E9's scale design).
 
@@ -1984,6 +1985,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
     if use_wand:  # "auto" or True
         from .wand import score_shard_wand
     for qid, qt in per_q.items():
+        q_k = ks.get(qid, k) if ks else k
         terms_here = [t for t in sorted(qt) if t in decoded]
         if not terms_here:
             continue
@@ -2007,7 +2009,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                 # shared batch mask with this entry's own mask
                 p_allow = (_dv_mask(p_dvp) if allow is None
                            else (allow & _dv_mask(p_dvp)))
-            hit = _phrase_hits(seq, dec, k, width,
+            hit = _phrase_hits(seq, dec, q_k, width,
                                allow_mask=p_allow, neg_loc=neg_loc,
                                slop=(slops.get(qid, 0) if slops else 0))
             if hit is not None:
@@ -2071,7 +2073,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                 keep &= ~np.isin(hit, ex, assume_unique=True)
             hit, sc = hit[keep], sc[keep]
             if hit.size:
-                hit_k, scores = C.topk_tiebreak(hit, sc, k)
+                hit_k, scores = C.topk_tiebreak(hit, sc, q_k)
                 r = pd.DataFrame(
                     {"doc_id": (hit_k + start).astype(np.int64),
                      "score": scores})
@@ -2087,7 +2089,8 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                                     and seed * WAND_SEED_FRAC < mass):
                 sub = post_pdf[post_pdf["term"].isin(terms_here)]
                 r = score_shard_wand(sub, {t: float(n) for t, n in qt.items()},
-                                     idfs, cfg, k, width, allow_mask=allow)
+                                     idfs, cfg, q_k, width,
+                                     allow_mask=allow)
                 if r is not None:
                     r.insert(0, "qid", qid)
                     outs.append(r)
@@ -2151,7 +2154,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                 m_ = np.isin(hit, dm, assume_unique=True)
                 acc[hit[m_]] *= q_dem[1]
         if hit.size:
-            hit_k, scores = C.topk_tiebreak(hit, acc[hit], k)
+            hit_k, scores = C.topk_tiebreak(hit, acc[hit], q_k)
             r = pd.DataFrame({"doc_id": (hit_k + start).astype(np.int64),
                               "score": scores})
             r.insert(0, "qid", qid)
@@ -2319,6 +2322,12 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                  "rank by n_phrase, not BM25")
             if per_q[q["id"]]:
                 per_q[q["id"]] = _apply_term_boosts(per_q[q["id"]], b)
+    # optional per-entry "k" (the ES _msearch per-entry size): each
+    # entry's result is cut at its own k, defaulting to the call-level k
+    ks_by_qid = {q["id"]: int(q["k"]) for q in queries if "k" in q}
+    for qid_, k_ in ks_by_qid.items():
+        if k_ < 1:
+            raise ValueError(f"k on {qid_!r} must be >= 1")
     # optional per-entry "boost" (decay/recency score multiplier —
     # search(boost=)'s frozen contract, normalized driver-side; entries
     # carrying one route exhaustive, like the single-query path)
@@ -2481,7 +2490,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                    demotes=demotes, dismaxes=dismaxes,
                                    dv_preds=dv_preds,
                                    dv_ctx=(dv_dir, dv_gen),
-                                   boosts=boosts_by_qid or None)
+                                   boosts=boosts_by_qid or None,
+                                   ks=ks_by_qid or None)
             return r if r is not None else empty_r
 
         scored = (post.groupBy("shard")
@@ -2505,7 +2515,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                    demotes=demotes, dismaxes=dismaxes,
                                    dv_preds=dv_preds,
                                    dv_ctx=(dv_dir, dv_gen),
-                                   boosts=boosts_by_qid or None)
+                                   boosts=boosts_by_qid or None,
+                                   ks=ks_by_qid or None)
             return r if r is not None else pd.DataFrame(
                 {"qid": [], "doc_id": [], "score": []})
 
@@ -2513,8 +2524,17 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                   .applyInPandas(fn,
                                  "qid string, doc_id long, score double"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    if ks_by_qid:
+        # per-entry size: qid -> its own k via a tiny literal map
+        pairs = []
+        for qid_, k_ in ks_by_qid.items():
+            pairs += [F.lit(qid_), F.lit(k_)]
+        k_col = F.coalesce(F.element_at(F.create_map(*pairs),
+                                        F.col("qid")), F.lit(k))
+    else:
+        k_col = F.lit(k)
     return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k).drop("_rn")
+            .filter(F.col("_rn") <= k_col).drop("_rn")
             .orderBy("qid", F.desc("score"), F.asc("doc_id")))
 
 

@@ -401,3 +401,28 @@ def test_search_batch_per_entry_dv_filter(spark, corpus_df, tmp_path):
     with _pt.raises(ValueError, match="docvalue"):
         Q.search_batch(plain, [{"id": "x", "query": "hot0", "mode": "OR",
                                 "dv_filter": "role = 'user'"}], k=5)
+
+
+def test_batch_per_entry_k(spark, corpus_df, tmp_path_factory):
+    """ES _msearch per-entry size: each entry cut at its OWN k (top-k
+    prefix identity vs the single-query path), default k for the rest."""
+    from engine import query as Q
+    from engine.build import build_index
+    d = str(tmp_path_factory.mktemp("bk") / "i")
+    idx = build_index(spark, corpus_df, d)
+    qset = [{"id": "small", "query": "hot0 mid1", "mode": "OR", "k": 3},
+            {"id": "big", "query": "hot0 mid1", "mode": "OR", "k": 15},
+            {"id": "dflt", "query": "hot0 hot1", "mode": "AND"}]
+    got = {}
+    for r in Q.search_batch(idx, qset, k=10).collect():
+        got.setdefault(r.qid, []).append((r.doc_id, r.score))
+    for qid, kk in (("small", 3), ("big", 15), ("dflt", 10)):
+        q = next(x for x in qset if x["id"] == qid)
+        want = [(r.doc_id, r.score) for r in
+                Q.search(idx, q["query"], k=kk, mode=q["mode"]).collect()]
+        assert got.get(qid, []) == want, qid
+        assert len(got.get(qid, [])) == kk
+    import pytest as _pt
+    with _pt.raises(ValueError, match="must be >= 1"):
+        Q.search_batch(idx, [{"id": "z", "query": "hot0", "mode": "OR",
+                              "k": 0}])
