@@ -799,11 +799,12 @@ QUALIFY rk <= {k}
 FROM scored
 {_not_in_clause(exclude)}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
-''' if raw_score else f'''SELECT doc_id,
-       round(score{f" * ({boost_mult})" if boost_mult else ""}{f" + ({boost_add})" if boost_add else ""}, 6) AS score
-FROM scored
-{_not_in_clause(exclude)}
-ORDER BY score DESC, doc_id ASC LIMIT {k}{f" OFFSET {offset}" if offset else ""}
+''' if raw_score else f'''SELECT doc_id, round(b, 6) AS score
+FROM (SELECT doc_id,
+             score{f" * ({boost_mult})" if boost_mult else ""}{f" + ({boost_add})" if boost_add else ""} AS b
+      FROM scored
+      {_not_in_clause(exclude)})
+ORDER BY b DESC, doc_id ASC LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 '''}"""
 
 

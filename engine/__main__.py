@@ -94,6 +94,23 @@ def cmd_search(args) -> int:
                      "boost_mode": args.boost_mode,
                      "weight": args.boost_weight}
         else:
+            # legacy recency branch: the decay-family flags are only
+            # read when --decay is given; a non-default value here
+            # would otherwise be silently ignored (ADVICE r4)
+            _decay_only = [
+                ("--boost-scale-days", args.boost_scale_days, 30.0),
+                ("--boost-decay-value", args.boost_decay_value, 0.5),
+                ("--boost-offset-days", args.boost_offset_days, 0.0),
+                ("--boost-mode", args.boost_mode, "multiply"),
+                ("--boost-weight", args.boost_weight, 1.0),
+                ("--boost-origin", args.boost_origin, None),
+            ]
+            _set = [f for f, v, d in _decay_only if v != d]
+            if _set:
+                print(f"{', '.join(_set)} require --decay (without it "
+                      "--boost-field runs the plain recency boost and "
+                      "would ignore them)", file=sys.stderr)
+                return 2
             if not args.boost_now:
                 print("--boost-field requires --boost-now (a frozen "
                       "ISO-8601 UTC instant keeps runs reproducible)",

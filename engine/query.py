@@ -2072,6 +2072,13 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                     [decoded[t][0] for t in q_negs]))
                 keep &= ~np.isin(hit, ex, assume_unique=True)
             hit, sc = hit[keep], sc[keep]
+            if q_bst is not None and hit.size:
+                # per-entry decay/recency boost on a DIS_MAX entry —
+                # same frozen operation order as the plain-entry path
+                # below (boost AFTER the dis_max combine, before top-k);
+                # ADVICE r4: this branch used to drop the boost silently
+                bv, bcomb = _boost_v(q_bst)
+                sc = sc + bv[hit] if bcomb == "sum" else sc * bv[hit]
             if hit.size:
                 hit_k, scores = C.topk_tiebreak(hit, sc, q_k)
                 r = pd.DataFrame(

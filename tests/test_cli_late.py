@@ -156,3 +156,13 @@ def test_cli_new_agg_surface(tmp_path_factory):
                  "n_docs > 0", "--top", "2"]).returncode == 2
     assert _run(["histogram", "--index-dir", d, "--query", "hot0",
                  "--field", "ts", "--auto", "--top", "2"]).returncode == 2
+
+
+def test_cli_decay_flag_guard(cli_idx):
+    """Decay-family flags without --decay exit 2 (ADVICE r4: the legacy
+    recency branch silently ignored them)."""
+    r = _run(["search", "--index-dir", cli_idx, "--query", "hot0",
+              "--boost-field", "ts", "--boost-now", "2026-02-01T00:00:00",
+              "--boost-mode", "sum"])
+    assert r.returncode == 2
+    assert "--decay" in r.stderr

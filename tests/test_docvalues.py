@@ -575,6 +575,21 @@ def test_batch_per_entry_boost_matches_single(dv_pos_index):
     with pytest.raises(ValueError, match="PHRASE entries"):
         Q.search_batch(idx, [{"id": "p", "query": "hot0 hot1",
                               "mode": "PHRASE", "boost": gauss}])
+    # DIS_MAX entries carry boost too (ADVICE r4: the dis_max branch
+    # used to drop it silently). A single-subquery dis_max is bit-equal
+    # to the plain OR score of that subquery, so both combine branches
+    # (multiply / sum) anchor exactly to the boosted single-query path.
+    dm_set = [{"id": "d1", "mode": "DIS_MAX", "queries": ["hot0 mid1"],
+               "tie_breaker": 0.0, "boost": gauss},
+              {"id": "d2", "mode": "DIS_MAX", "queries": ["hot0 mid1"],
+               "tie_breaker": 0.7, "boost": sum_b}]
+    got_dm = {}
+    for r in Q.search_batch(idx, dm_set, k=10).collect():
+        got_dm.setdefault(r.qid, []).append((r.doc_id, r.score))
+    for qid, b in (("d1", gauss), ("d2", sum_b)):
+        want = [(r.doc_id, r.score) for r in
+                Q.search(idx, "hot0 mid1", k=10, boost=b).collect()]
+        assert got_dm.get(qid, []) == want, qid
 
 
 def test_batch_entry_dv_filter_composes_with_doc_filter(dv_pos_index):
