@@ -1395,6 +1395,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_percentiles(idx, "spark join", "ts",
                                  ps=(0.5, 0.9, 0.99))
 
+    def match_pct_binned(spark, sf):
+        # bounded-state percentiles (VERDICT r4 #2): FORCED-binned with
+        # a coarse n_bins so the frozen integer rule (width =
+        # max(1, ceil(span/n_bins)), bin = (v-vmin)//width, value =
+        # vmin + width * DISC-bin lower edge) is BINDING at gate scale;
+        # the twin reproduces width/bin/walk in pure int64 arithmetic
+        from engine.matchops import match_percentiles
+        idx = _packed_index(spark, sf)
+        return match_percentiles(idx, "spark join", "ts",
+                                 ps=(0.5, 0.9, 0.99), method="binned",
+                                 n_bins=16)
+
+    def match_mad_binned(spark, sf):
+        # bounded-state MAD: both medians DISC-walk the same coarse bin
+        # histogram with lower-edge representatives — driver state
+        # <= n_bins rows regardless of field cardinality
+        from engine.matchops import match_mad
+        idx = _packed_index(spark, sf)
+        return match_mad(idx, "spark join", "ts", method="binned",
+                         n_bins=16)
+
     def match_all_stats(spark, sf):
         # ES match_all ("*") over the agg surface: ts stats of EVERY
         # live doc passing a dv_filter — no positive postings scan runs
@@ -2227,6 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": bm25_synonyms,
         "index_stats": index_stats_q,
         "match_pct_ts": match_pct_ts,
+        "match_pct_binned": match_pct_binned,
+        "match_mad_binned": match_mad_binned,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -2874,6 +2897,71 @@ LIMIT 10""",
                    (SELECT min(v) FROM c, n
                     WHERE cum >= ceil(q.p * n.c))::BIGINT AS value
             FROM (VALUES (0.5), (0.9), (0.99)) q(p) ORDER BY p""",
+        # bounded-state binned percentiles twin: the frozen integer
+        # binning rule in pure int64 (width = max(1, ceil(span/16)) via
+        # (span + 15) // 16; bin = (v - vmin) // width; value = lower
+        # edge of the DISC bin) — bit-identical to the engine's walk
+        "match_pct_binned": f"""
+            WITH t AS ({toks_cte}),
+            m AS (
+              SELECT DISTINCT doc_id FROM t
+              WHERE term IN ('spark', 'join')
+            ),
+            vals AS (
+              SELECT ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS v
+              FROM m
+            ),
+            s AS (SELECT min(v) AS vmin, max(v) AS vmax,
+                         count(*)::BIGINT AS n FROM vals),
+            w AS (SELECT vmin, n,
+                         greatest(1, (vmax - vmin + 16) // 16) AS wd
+                  FROM s),
+            h AS (SELECT (v - w.vmin) // w.wd AS b,
+                         count(*)::BIGINT AS cnt
+                  FROM vals, w GROUP BY 1),
+            c AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum FROM h)
+            SELECT q.p::DOUBLE AS p,
+                   ((SELECT vmin FROM w) + (SELECT wd FROM w) *
+                    (SELECT min(b) FROM c
+                     WHERE cum >= ceil(q.p * (SELECT n FROM w))))::BIGINT
+                     AS value
+            FROM (VALUES (0.5), (0.9), (0.99)) q(p) ORDER BY p""",
+        # bounded-state binned MAD twin: both medians DISC-walk the bin
+        # histogram, values represented by bin lower edges
+        "match_mad_binned": f"""
+            WITH t AS ({toks_cte}),
+            m AS (
+              SELECT DISTINCT doc_id FROM t
+              WHERE term IN ('join', 'spark')
+            ),
+            vals AS (
+              SELECT ({_TS_EPOCH0} + (doc_id % 180) * 86400)::BIGINT AS v
+              FROM m
+            ),
+            s AS (SELECT min(v) AS vmin, max(v) AS vmax,
+                         count(*)::BIGINT AS n FROM vals),
+            w AS (SELECT vmin, n,
+                         greatest(1, (vmax - vmin + 16) // 16) AS wd
+                  FROM s),
+            h AS (SELECT (v - w.vmin) // w.wd AS b,
+                         count(*)::BIGINT AS cnt
+                  FROM vals, w GROUP BY 1),
+            c AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum FROM h),
+            med AS (SELECT (SELECT vmin FROM w) + (SELECT wd FROM w) *
+                           (SELECT min(b) FROM c
+                            WHERE cum >= ceil(0.5 * (SELECT n FROM w)))
+                           AS mv),
+            dh AS (SELECT abs((SELECT vmin FROM w)
+                              + (SELECT wd FROM w) * b
+                              - (SELECT mv FROM med)) AS dv,
+                          sum(cnt)::BIGINT AS cnt
+                   FROM h GROUP BY 1),
+            dc AS (SELECT dv, sum(cnt) OVER (ORDER BY dv) AS cum FROM dh)
+            SELECT (SELECT n FROM w) AS n_values,
+                   (SELECT mv FROM med)::BIGINT AS median,
+                   (SELECT min(dv) FROM dc
+                    WHERE cum >= ceil(0.5 * (SELECT n FROM w)))::BIGINT
+                    AS mad""",
         # terms-agg-by-sub-agg twin: the facet_stats_lang CTE with the
         # metric ordering (avg asc, NULLs last, facet_value tiebreak)
         "facet_stats_by_avg": f"""

@@ -38,11 +38,43 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from engine.quiet import wait_quiet_busy  # noqa: E402
+
 
 def tdur(fn, *a, **kw):
     t0 = time.perf_counter()
     out = fn(*a, **kw)
     return time.perf_counter() - t0, out
+
+
+# Per-row ambient-load readings (VERDICT r4 #1: BENCH_r04's build rows
+# were 2.4x contention-inflated because the wait-for-quiet guard lived
+# only in bench/run_scaling.py). Every BUILD row now starts behind
+# engine/quiet.py's instantaneous-busy guard, and the reading it
+# actually started under ships in the artifact so a contaminated
+# capture is self-evident instead of indistinguishable from a
+# regression.
+AMBIENT: dict[str, list] = {}
+
+
+def guard(name: str) -> None:
+    """Wait-for-quiet before a timed build row; record the ambient
+    reading (1-min loadavg + instantaneous co-tenant busy fraction +
+    seconds waited) under the row's name."""
+    AMBIENT.setdefault(name, []).append(wait_quiet_busy())
+
+
+def tbuild(name: str, mk, n: int = 2):
+    """Guarded best-of-n for BUILD rows: ``mk(i)`` returns the zero-arg
+    thunk for attempt ``i`` (attempts build into DISTINCT dirs — resume
+    short-circuits a same-dir rebuild); each attempt starts behind the
+    quiet guard, min wins (interference only ever slows a run)."""
+    best, out = None, None
+    for i in range(max(1, n)):
+        guard(name)
+        dt, out = tdur(mk(i))
+        best = dt if best is None else min(best, dt)
+    return best, out
 
 
 def tbest(fn, n: int = 2):
@@ -115,8 +147,13 @@ def main():
         # the scaling metric is transcript build throughput only.
         if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
             qs = entry.queries()
+            # single attempt (the entry-module builds memoize per
+            # session, so a second call would time the cache hit), but
+            # guarded like every build row
+            guard("docs_index_build")
             dt, _ = tdur(entry._packed_index, spark, sf_dir)
             queries["docs_index_build"] = round(dt, 4)
+            guard("ann_layout_build")
             dt, _ = tdur(entry._ann_layout, spark, sf_dir, "lsh")
             dt2, _ = tdur(entry._ann_layout, spark, sf_dir, "ivf")
             queries["ann_layout_build"] = round(dt + dt2, 4)
@@ -142,8 +179,11 @@ def main():
         warm.unpersist()
         # two full-size builds into SEPARATE dirs (resume would
         # short-circuit a rebuild of the same dir); min = steady state,
-        # first = cold (reported, excluded from the headline total)
+        # first = cold (reported, excluded from the headline total);
+        # both attempts start behind the quiet guard (VERDICT r4 #1)
+        guard("index_build")
         t_cold_b, _ = tdur(build_index, spark, corpus, f"{work}/warm2")
+        guard("index_build")
         t_build, idx = tdur(build_index, spark, corpus, f"{work}/transcripts")
         queries["index_build_cold"] = round(t_cold_b, 4)
         t_build = min(t_build, t_cold_b)
@@ -159,9 +199,12 @@ def main():
         if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
             from engine.config import IndexConfig
             from engine.manifest import Manifest
-            t_merged, _ = tdur(build_index, spark, corpus, f"{work}/merged",
-                               IndexConfig(pack_docs_per_slice=4096))
-            man = Manifest.load(f"{work}/merged")
+            t_merged, _ = tbuild(
+                "index_build_merged",
+                lambda i: lambda: build_index(
+                    spark, corpus, f"{work}/merged{i}",
+                    IndexConfig(pack_docs_per_slice=4096)))
+            man = Manifest.load(f"{work}/merged1")
             queries["index_build_merged"] = round(t_merged, 4)
             queries["merge_passes"] = man.n_passes
             queries["merged_turns_per_sec"] = round(n_turns / t_merged, 1)
@@ -174,8 +217,11 @@ def main():
         # from the headline total for round-over-round comparability
         if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
             from engine.config import IndexConfig as _IC
-            t_pos, pidx = tdur(build_index, spark, corpus, f"{work}/pos",
-                               _IC(index_positions=True))
+            t_pos, pidx = tbuild(
+                "positions_index_build",
+                lambda i: lambda: build_index(
+                    spark, corpus, f"{work}/pos{i}",
+                    _IC(index_positions=True)))
             queries["positions_index_build"] = round(t_pos, 4)
             Q.search_phrase(pidx, "hot0 hot1", k=10).collect()  # warm
             dt, _ = tbest(lambda: Q.search_phrase(
@@ -215,8 +261,11 @@ def main():
             wcorp = spark_wand_corpus(spark, n_w, n_hot=n_hot,
                                       n_parts=max(8, int(cpus))).persist()
             wcorp.count()
-            t_wb, widx = tdur(build_index, spark, wcorp, f"{work}/wand",
-                              _ICW(n_slices=1, block_size=32))
+            t_wb, widx = tbuild(
+                "wand_corpus_build",
+                lambda i: lambda: build_index(
+                    spark, wcorp, f"{work}/wand{i}",
+                    _ICW(n_slices=1, block_size=32)))
             wcorp.unpersist()
             queries["wand_corpus_build"] = round(t_wb, 4)
             wq = wand_query(n_hot)
@@ -313,8 +362,11 @@ def main():
         # excluded from the headline total (new workload).
         if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
             from engine.config import IndexConfig as _ICdv
-            t_dv, dvx = tdur(build_index, spark, corpus, f"{work}/dv",
-                             _ICdv(doc_values=("role", "ts")))
+            t_dv, dvx = tbuild(
+                "dv_index_build",
+                lambda i: lambda: build_index(
+                    spark, corpus, f"{work}/dv{i}",
+                    _ICdv(doc_values=("role", "ts"))))
             queries["dv_index_build"] = round(t_dv, 4)
             Q.search(dvx, "hot0 hot1", k=10,
                      dv_filter="role = 'user'").collect()  # warm
@@ -376,8 +428,11 @@ def main():
             from engine.query import _plan_cache
 
             def _mad_once():
-                _plan_cache(dvx).pop(
-                    ("mmad", "hot0 hot1", "ts", "OR", None, None), None)
+                pc = _plan_cache(dvx)
+                for k_ in [k_ for k_ in pc
+                           if isinstance(k_, tuple) and k_
+                           and k_[0] == "mmad"]:
+                    pc.pop(k_, None)
                 match_mad(dvx, "hot0 hot1", "ts").collect()
 
             _mad_once()
@@ -391,12 +446,14 @@ def main():
             # rewrite + lexicon/stats rebuild) and the post-purge search.
             # Rows excluded from the headline total (new workload).
             from engine.deletes import delete_docs, purge_deletes
+            guard("delete_mark")
             t_mark, _ = tdur(delete_docs, dvx, "role = 'tool'")
             queries["delete_mark"] = round(t_mark, 4)
             Q.search(dvx, "hot0 hot1", k=10).collect()  # warm tomb cache
             dt, _ = tbest(lambda: Q.search(
                 dvx, "hot0 hot1", k=10).collect())
             queries["search_deleted"] = round(dt, 4)
+            guard("purge_wall")
             t_purge, pvx = tdur(purge_deletes, dvx)
             queries["purge_wall"] = round(t_purge, 4)
             Q.search(pvx, "hot0 hot1", k=10).collect()  # warm
@@ -470,6 +527,7 @@ def main():
         # standard OR scoring job on the memoized expansion. Excluded
         # from the headline total (new workload).
         from engine.fuzzy import enable_fuzzy
+        guard("fuzzy_enable")
         t_fz, _ = tdur(enable_fuzzy, idx, 1)
         queries["fuzzy_enable"] = round(t_fz, 4)
         t0 = time.perf_counter()
@@ -548,6 +606,7 @@ def main():
                  "mode": "AND"} for i in range(999)]
                + [{"id": "alert-hot", "query": "hot0 hot1",
                    "mode": "AND"}])
+        guard("percolate_register_1k")
         t_reg, _qx = tdur(register_queries, spark, _pq,
                           f"{work}/percolator")
         queries["percolate_register_1k"] = round(t_reg, 4)
@@ -674,6 +733,10 @@ def main():
             "sf": sf,
             "n_turns": n_turns,
             "cpus": int(cpus),
+            # per-build-row ambient readings (loadavg + co-tenant busy
+            # fraction + seconds the guard waited) — a contaminated
+            # capture is visible in the artifact itself (VERDICT r4 #1)
+            "ambient": AMBIENT,
         }
         try:
             out["merge_stage_walls"] = merge_walls  # per-pass D5 evidence

@@ -29,36 +29,13 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-
-def _loadavg() -> float:
-    try:
-        with open("/proc/loadavg") as f:
-            return float(f.read().split()[0])
-    except Exception:
-        return 0.0
-
-
-def _wait_quiet(thresh: float | None = None,
-                max_wait_s: int | None = None) -> float:
-    """Co-tenancy guard: the grading harness shares this box and runs
-    bursty jobs; starting a timed level under ambient load corrupts the
-    ratio. Wait (bounded) for the 1-min loadavg to settle. Bounds are
-    env-tunable (SPARK_GRAFT_QUIET_THRESH / SPARK_GRAFT_QUIET_WAIT_S):
-    when ambient load is persistently high the guard cannot help —
-    best-of-N with min-wins is then the only defense — so a caller can
-    cap the wasted wait instead of stalling 10 min per repeat."""
-    import time
-    if thresh is None:
-        thresh = float(os.environ.get("SPARK_GRAFT_QUIET_THRESH", "2.0"))
-    if max_wait_s is None:
-        max_wait_s = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "600"))
-    t0 = time.time()
-    load = _loadavg()
-    while load >= thresh and time.time() - t0 < max_wait_s:
-        time.sleep(15)
-        load = _loadavg()
-    return load
+# co-tenancy guard: the grading harness shares this box and runs bursty
+# jobs; starting a timed level under ambient load corrupts the ratio.
+# Shared with bench.py since r5 (VERDICT r4 #1) — see engine/quiet.py
+# for the loadavg-vs-instantaneous-busy rationale.
+from engine.quiet import wait_quiet_load as _wait_quiet  # noqa: E402
 
 
 def run(cpus: int, n_convs: int, sf_dir: str,

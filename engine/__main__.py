@@ -432,7 +432,8 @@ def cmd_percentiles(args) -> int:
     ps = tuple(float(x) for x in args.ps.split(","))
     out = match_percentiles(idx, args.query, args.field, ps=ps,
                             mode=args.mode, exclude=args.exclude,
-                            dv_filter=args.dv_filter)
+                            dv_filter=args.dv_filter, method=args.method,
+                            n_bins=args.n_bins)
     for r in out.collect():
         print(json.dumps(r.asDict(), default=str))
     return 0
@@ -451,9 +452,18 @@ def _one_row_cmd(args, fn):
 
 
 def cmd_mad(args) -> int:
-    """Exact median-absolute-deviation (matchops.match_mad)."""
+    """Median-absolute-deviation (matchops.match_mad): exact below the
+    cardinality guard, bounded-state binned above it / on request."""
+    from .build import load_index
     from .matchops import match_mad
-    return _one_row_cmd(args, match_mad)
+    spark = _spark(args)
+    idx = load_index(spark, args.index_dir)
+    out = match_mad(idx, args.query, args.field, mode=args.mode,
+                    exclude=args.exclude, dv_filter=args.dv_filter,
+                    method=args.method, n_bins=args.n_bins)
+    for r in out.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
 
 
 def cmd_missing(args) -> int:
@@ -948,6 +958,11 @@ def main(argv=None) -> int:
     pc.add_argument("--mode", default="OR", choices=["OR", "AND"])
     pc.add_argument("--exclude")
     pc.add_argument("--dv-filter")
+    pc.add_argument("--method", default="auto",
+                    choices=["auto", "exact", "binned"],
+                    help="binned = bounded-state fixed-width histogram "
+                         "(lower-edge DISC); auto guards on cardinality")
+    pc.add_argument("--n-bins", type=int, default=4096)
     pc.set_defaults(fn=cmd_percentiles)
     si = sub.add_parser("stats",
                         help="index statistics (docs/terms/postings/"
@@ -1016,6 +1031,11 @@ def main(argv=None) -> int:
                     choices=["OR", "AND", "or", "and"])
     md.add_argument("--exclude", default=None)
     md.add_argument("--dv-filter", default=None)
+    md.add_argument("--method", default="auto",
+                    choices=["auto", "exact", "binned"],
+                    help="binned = bounded-state fixed-width histogram "
+                         "(lower-edge DISC); auto guards on cardinality")
+    md.add_argument("--n-bins", type=int, default=4096)
     md.set_defaults(fn=cmd_mad)
     ms = sub.add_parser("missing",
                         help="missing-value count of a docvalue column "

@@ -948,3 +948,108 @@ def test_rare_terms(sparse_idx, corpus_pdf, tok_rows):
         M.rare_terms(sparse_idx, "hot0", "opt", max_doc_count=0)
     with pytest.raises(ValueError, match="not a docvalue"):
         M.rare_terms(sparse_idx, "hot0", "nope")
+
+
+# ---- binned percentiles / MAD (bounded-state path, r5) -----------------
+
+
+def _ref_binned(vals, n_bins):
+    """The frozen integer binning rule: (vmin, width, {bin: count})."""
+    vmin, vmax = min(vals), max(vals)
+    span = vmax - vmin + 1
+    wd = max(1, -(-span // n_bins))
+    hist = {}
+    for v in vals:
+        b = (v - vmin) // wd
+        hist[b] = hist.get(b, 0) + 1
+    return vmin, wd, hist
+
+
+def _disc_hist(hist, p, n):
+    import math
+    need = math.ceil(p * n)
+    cum = 0
+    for k in sorted(hist):
+        cum += hist[k]
+        if cum >= need:
+            return k
+    return max(hist)
+
+
+def test_match_percentiles_binned_rules(midx, corpus_pdf, tok_rows):
+    """Forced-binned percentiles follow the frozen lower-edge rule
+    (recomputed from raw fixture timestamps); with n_bins >= span the
+    width collapses to 1 and binned == exact bit-for-bit; the auto
+    guard routes by the distinct-count threshold."""
+    ids = _expect_ids(tok_rows, ["hot0", "hot1"], "OR")
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64).tolist()
+    ps = (0.25, 0.5, 0.9, 1.0)
+    # coarse forced-binned vs the reference rule
+    vmin, wd, hist = _ref_binned(secs, 8)
+    assert wd > 1  # binning must actually be lossy here
+    want = [(p, vmin + wd * _disc_hist(hist, p, len(secs))) for p in ps]
+    got = [(r["p"], r["value"]) for r in
+           M.match_percentiles(midx, "hot0 hot1", "ts", ps=ps,
+                               method="binned", n_bins=8).collect()]
+    assert got == want
+    # n_bins >= span -> width 1 -> binned == exact
+    span = max(secs) - min(secs) + 1
+    exact = [(r["p"], r["value"]) for r in
+             M.match_percentiles(midx, "hot0 hot1", "ts", ps=ps,
+                                 method="exact").collect()]
+    fine = [(r["p"], r["value"]) for r in
+            M.match_percentiles(midx, "hot0 hot1", "ts", ps=ps,
+                                method="binned",
+                                n_bins=int(span)).collect()]
+    assert fine == exact
+    # auto guard: threshold 0 -> binned; huge threshold -> exact
+    auto_b = [(r["p"], r["value"]) for r in
+              M.match_percentiles(midx, "hot0 hot1", "ts", ps=ps,
+                                  n_bins=8,
+                                  binned_threshold=0).collect()]
+    assert auto_b == want
+    auto_e = [(r["p"], r["value"]) for r in
+              M.match_percentiles(midx, "hot0 hot1", "ts",
+                                  ps=ps).collect()]
+    assert auto_e == exact
+    with pytest.raises(ValueError, match="auto|exact|binned"):
+        M.match_percentiles(midx, "hot0", "ts", method="tdigest")
+    with pytest.raises(ValueError, match="n_bins"):
+        M.match_percentiles(midx, "hot0", "ts", n_bins=1)
+
+
+def test_match_mad_binned(midx, corpus_pdf, tok_rows):
+    """Forced-binned MAD: both medians DISC-walk the bin histogram with
+    lower-edge representatives; fine binning reproduces exact."""
+    ids = _expect_ids(tok_rows, ["hot0", "mid1"], "OR")
+    secs = corpus_pdf.iloc[ids].ts.values.astype(
+        "datetime64[s]").astype(np.int64).tolist()
+    n = len(secs)
+    vmin, wd, hist = _ref_binned(secs, 8)
+    med = vmin + wd * _disc_hist(hist, 0.5, n)
+    dev = {}
+    for b, c in hist.items():
+        d = abs(vmin + wd * b - med)
+        dev[d] = dev.get(d, 0) + c
+    import math
+    need, cum, mad = math.ceil(0.5 * n), 0, None
+    for d in sorted(dev):
+        cum += dev[d]
+        if cum >= need:
+            mad = d
+            break
+    r = M.match_mad(midx, "hot0 mid1", "ts", method="binned",
+                    n_bins=8).collect()[0]
+    assert (r.n_values, r.median, r.mad) == (n, med, mad)
+    # fine binning (width 1) == exact
+    span = max(secs) - min(secs) + 1
+    rf = M.match_mad(midx, "hot0 mid1", "ts", method="binned",
+                     n_bins=int(span)).collect()[0]
+    re_ = M.match_mad(midx, "hot0 mid1", "ts",
+                      method="exact").collect()[0]
+    assert (rf.n_values, rf.median, rf.mad) == \
+        (re_.n_values, re_.median, re_.mad)
+    # empty match set through the binned path
+    r0 = M.match_mad(midx, "nosuchterm", "ts", method="binned").collect()[0]
+    assert (r0.n_values, r0.median, r0.mad) == (0, None, None)
