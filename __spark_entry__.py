@@ -155,6 +155,28 @@ def _packed_index(spark: SparkSession, sf_dir: str, positions: bool = False):
     return _PACKED_IDX_CACHE[key]
 
 
+_MF_IDX_CACHE: dict = {}
+
+
+def _mf_index(spark: SparkSession, sf_dir: str):
+    """Build-once MULTI-FIELD index per (session, corpus): lang + source
+    indexed as their own field-prefixed term spaces alongside text
+    (IndexConfig.extra_fields — engine/pack.py, engine/query.py
+    search_multi_match). A separate physical index from _packed_index
+    (whose single-field lexicon stats the index_stats gate freezes)."""
+    import tempfile
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MF_IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="entry_mfidx_")
+        cfg = IndexConfig(extra_fields=("lang", "source"))
+        _MF_IDX_CACHE[key] = build_index(
+            spark, _corpus_from_documents(_docs(spark, sf_dir)), d,
+            cfg=cfg)
+    return _MF_IDX_CACHE[key]
+
+
 _MULTI_IDX_CACHE: dict = {}
 
 
@@ -808,6 +830,60 @@ ORDER BY b DESC, doc_id ASC LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 '''}"""
 
 
+def _multi_match_sql(query_tokens: list[str], fields: list, tie: float,
+                     mt: str = "best_fields", k: int = 10) -> str:
+    """DuckDB twin of engine.query.search_multi_match (multi-field BM25
+    over IndexConfig.extra_fields): one scored CTE per field — the
+    field's OWN tokens/dl/avgdl/df (prefixed-term df == count of docs
+    whose FIELD contains the token) under the corpus-global N — then the
+    union of matching docs and the engine kernel's exact float64
+    combine: v_f = boost_f * sum_f; best_fields = greatest(v..) + tie *
+    ((v1 + v2 + ..) - greatest(v..)); most_fields = the plain left-fold
+    total. avgdl_f = avg over ALL docs of the field's token count (the
+    engine's frozen sum(cf_f)/n_docs identity). Ordered by the
+    UNROUNDED combined score (rounded only in the projection)."""
+    from collections import Counter
+    qtf = Counter(query_tokens)
+    terms_in = ", ".join(f"'{t}'" for t in sorted(qtf))
+    qtf_rows = ", ".join(f"('{t}', {float(n)!r}::DOUBLE)"
+                         for t, n in sorted(qtf.items()))
+    ctes, unions, joins, vcols = [], [], [], []
+    for i, (name, boost) in enumerate(fields, 1):
+        tok = f"regexp_extract_all(lower({name}), '[a-z0-9]+')"
+        ctes.append(f"""dl{i} AS (
+  SELECT doc_id, len({tok}) AS dl FROM documents),
+st{i} AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl{i}),
+tf{i} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({tok}) AS term FROM documents)
+  WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+df{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tf{i} GROUP BY term),
+s{i} AS (
+  SELECT tf.doc_id,
+         {float(boost)!r} * sum(q.qtf
+             * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl)))
+           AS sc
+  FROM tf{i} tf JOIN df{i} d USING (term) JOIN q USING (term)
+  JOIN dl{i} dl ON tf.doc_id = dl.doc_id CROSS JOIN st{i} s
+  GROUP BY tf.doc_id)""")
+        unions.append(f"SELECT doc_id FROM s{i}")
+        joins.append(f"LEFT JOIN s{i} USING (doc_id)")
+        vcols.append(f"coalesce(s{i}.sc, 0.0)")
+    g = f"greatest({', '.join(vcols)})" if len(vcols) > 1 else vcols[0]
+    tot = " + ".join(vcols)
+    comb = tot if mt == "most_fields" else f"{g} + {tie!r} * (({tot}) - {g})"
+    return f"""
+WITH q(term, qtf) AS (VALUES {qtf_rows}),
+{",".join(ctes)},
+u AS ({" UNION ".join(unions)})
+SELECT doc_id, round(b, 6) AS score
+FROM (SELECT u.doc_id, {comb} AS b FROM u {" ".join(joins)})
+ORDER BY b DESC, doc_id ASC LIMIT {k}"""
+
+
 def _dis_max_sql(subqueries: list[list[str]], tie: float,
                  k: int = 10) -> str:
     """DuckDB twin of engine.query.search_dis_max: one scored CTE per
@@ -1394,6 +1470,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _packed_index(spark, sf)
         return match_percentiles(idx, "spark join", "ts",
                                  ps=(0.5, 0.9, 0.99))
+
+    def bm25_multi_match(spark, sf):
+        # ES multi_match best_fields over the multi-field index (r5):
+        # text + lang(^2) + source(^1.5) term spaces, tie_breaker 0.3 —
+        # per-field df/idf/avgdl, the dis_max-shaped combine, one scan
+        from engine import query as Q
+        idx = _mf_index(spark, sf)
+        top = Q.search_multi_match(
+            idx, "spark en src8",
+            fields={"text": 1.0, "lang": 2.0, "source": 1.5},
+            k=10, tie_breaker=0.3)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_multi_match_most(spark, sf):
+        # most_fields: the plain cross-field sum (tie_breaker n/a)
+        from engine import query as Q
+        idx = _mf_index(spark, sf)
+        top = Q.search_multi_match(
+            idx, "join src5", fields={"text": 1.0, "source": 1.5},
+            k=10, match_type="most_fields")
+        return top.select("doc_id", F.round("score", 6).alias("score"))
 
     def match_pct_binned(spark, sf):
         # bounded-state percentiles (VERDICT r4 #2): FORCED-binned with
@@ -2250,6 +2347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_pct_ts": match_pct_ts,
         "match_pct_binned": match_pct_binned,
         "match_mad_binned": match_mad_binned,
+        "bm25_multi_match": bm25_multi_match,
+        "bm25_multi_match_most": bm25_multi_match_most,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -2897,6 +2996,12 @@ LIMIT 10""",
                    (SELECT min(v) FROM c, n
                     WHERE cum >= ceil(q.p * n.c))::BIGINT AS value
             FROM (VALUES (0.5), (0.9), (0.99)) q(p) ORDER BY p""",
+        "bm25_multi_match": _multi_match_sql(
+            ["spark", "en", "src8"],
+            [("text", 1.0), ("lang", 2.0), ("source", 1.5)], 0.3),
+        "bm25_multi_match_most": _multi_match_sql(
+            ["join", "src5"], [("text", 1.0), ("source", 1.5)], 0.0,
+            mt="most_fields"),
         # bounded-state binned percentiles twin: the frozen integer
         # binning rule in pure int64 (width = max(1, ceil(span/16)) via
         # (span + 15) // 16; bin = (v - vmin) // width; value = lower

@@ -461,6 +461,24 @@ def main():
                 pvx, "hot0 hot1", k=10).collect())
             queries["search_purged"] = round(dt, 4)
 
+            # r5: multi-field index (extra_fields=role term space) +
+            # multi_match best_fields — one scan, per-field BM25,
+            # dis_max-shaped combine. Excluded from the headline total.
+            from engine.config import IndexConfig as _ICmf
+            t_mf, mfx = tbuild(
+                "mf_index_build",
+                lambda i: lambda: build_index(
+                    spark, corpus, f"{work}/mf{i}",
+                    _ICmf(extra_fields=("role",))))
+            queries["mf_index_build"] = round(t_mf, 4)
+            Q.search_multi_match(mfx, "hot0 user",
+                                 fields={"text": 1.0, "role": 2.0},
+                                 k=10, tie_breaker=0.3).collect()  # warm
+            dt, _ = tbest(lambda: Q.search_multi_match(
+                mfx, "hot0 user", fields={"text": 1.0, "role": 2.0},
+                k=10, tie_breaker=0.3).collect())
+            queries["search_multi_match"] = round(dt, 4)
+
             # federated search (engine/multi.py): ONE ranking with exact
             # global stats across two compatible members (the main index
             # + the purged dv index — different corpora is fine for a
@@ -614,6 +632,16 @@ def main():
         percolate(_qx, _doc).collect()  # warm
         dt, _ = tbest(lambda: percolate(_qx, _doc).collect())
         queries["percolate_doc"] = round(dt, 4)
+        # r5: INCREMENTAL registration (VERDICT r4 #6) — 100 new alerts
+        # ride the streaming append path + one compact instead of a
+        # full rebuild; compare against percolate_register_1k above
+        from engine.percolate import register_queries_append
+        _pq2 = [{"id": f"alert-x{i:04d}",
+                 "query": f"w{(11 * i) % 500:03d} w{(17 * i) % 500:03d}",
+                 "mode": "AND"} for i in range(100)]
+        guard("percolate_register_append")
+        t_app, _ = tdur(register_queries_append, _qx, _pq2)
+        queries["percolate_register_append"] = round(t_app, 4)
         if not os.environ.get("SPARK_GRAFT_SKIP_DOCS"):
             # composite pagination + filters agg + auto histogram on the
             # dv layout (dvx is tombstoned by the delete rows above —
@@ -721,6 +749,8 @@ def main():
                                  "search_span_first",
                                  "search_phrase_prefix",
                                  "percolate_register_1k",
+                                 "percolate_register_append",
+                                 "mf_index_build", "search_multi_match",
                                  "percolate_doc", "match_composite",
                                  "match_filters", "auto_histogram",
                                  "repeat_query_cached",

@@ -38,12 +38,15 @@ def cmd_build(args) -> int:
     else:
         corpus = spark.read.parquet(args.input)
     cfg = DEFAULT
-    if args.positions or args.doc_values or args.fuzzy_edits:
+    if (args.positions or args.doc_values or args.fuzzy_edits
+            or args.extra_fields):
         from dataclasses import replace
         cfg = replace(
             cfg, index_positions=args.positions or cfg.index_positions,
             doc_values=(tuple(args.doc_values.split(","))
                         if args.doc_values else cfg.doc_values),
+            extra_fields=(tuple(args.extra_fields.split(","))
+                          if args.extra_fields else cfg.extra_fields),
             fuzzy_edits=args.fuzzy_edits or cfg.fuzzy_edits)
     t0 = time.perf_counter()
     idx = build_index(spark, corpus, args.index_dir, cfg)
@@ -198,6 +201,24 @@ def cmd_search(args) -> int:
                               mode=args.mode, ascending=args.asc,
                               exclude=args.exclude,
                               dv_filter=args.dv_filter, after=after)
+    elif args.mm_field:
+        if (mode_up != "OR" or after is not None or args.synonyms
+                or args.min_match or term_boosts or args.demote
+                or args.dis_query or not args.query):
+            print("--mm-field needs --query and composes with "
+                  "--exclude/--filter/--dv-filter/--tie-breaker/"
+                  "--match-type only", file=sys.stderr)
+            return 2
+        flds = {}
+        for spec in args.mm_field:
+            f_, _, w = spec.partition("=")
+            flds[f_] = float(w) if w else 1.0
+        top = Q.search_multi_match(idx, args.query, fields=flds,
+                                   k=args.k, match_type=args.match_type,
+                                   tie_breaker=args.tie_breaker,
+                                   exclude=args.exclude,
+                                   doc_filter=args.filter,
+                                   dv_filter=args.dv_filter)
     elif args.dis_query:
         if (mode_up != "OR" or after is not None or args.synonyms
                 or args.min_match or term_boosts or args.query
@@ -740,6 +761,10 @@ def main(argv=None) -> int:
                    help="comma-separated corpus columns to store as "
                         "per-shard docvalues (query-time --dv-filter / "
                         "--boost-field / --sort-by), e.g. role,ts")
+    b.add_argument("--extra-fields", default=None,
+                   help="comma-separated STRING corpus columns to index "
+                        "as their own term spaces (multi_match — "
+                        "search --mm-field), e.g. role,tool")
     b.set_defaults(fn=cmd_build)
     s = sub.add_parser("search", help="BM25 top-k search")
     s.add_argument("--index-dir", required=True)
@@ -766,6 +791,12 @@ def main(argv=None) -> int:
                    help="dis_max subquery (repeat >= 2 times); ranks by "
                         "the best subquery + --tie-breaker * the rest")
     s.add_argument("--tie-breaker", type=float, default=0.0)
+    s.add_argument("--mm-field", action="append", metavar="FIELD[=BOOST]",
+                   help="multi_match over an extra_fields index (repeat "
+                        "per field, e.g. --mm-field text --mm-field "
+                        "role=2); ranks per --match-type")
+    s.add_argument("--match-type", default="best_fields",
+                   choices=["best_fields", "most_fields"])
     s.add_argument("--synonyms",
                    help='query-time synonym groups as JSON, e.g. '
                         '\'{"fast": ["quick"]}\' (OR mode only)')

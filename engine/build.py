@@ -125,6 +125,20 @@ def idf_col(df_col, n_docs: int, variant: str):
     return F.log(F.lit(1.0) + x) if variant == "lucene" else F.log(x)
 
 
+def lexicon_cf_by_field(lexdf: DataFrame) -> dict:
+    """Vocab-scaled cf totals split by term space: unprefixed terms sum
+    under "text", field-prefixed terms ("<field>:<token>" — ':' can
+    never appear in an analyzer token) under their field name. The one
+    aggregation behind every multi-field stats (re)computation (build,
+    streaming append, purge)."""
+    fld = (F.when(F.col("term").contains(":"),
+                  F.split(F.col("term"), ":", 2)[0])
+           .otherwise(F.lit("text")))
+    rows = (lexdf.groupBy(fld.alias("fld"))
+            .agg(F.sum("cf").alias("cf")).collect())
+    return {r["fld"]: int(r["cf"] or 0) for r in rows}
+
+
 def corpus_stats(docmap: DataFrame) -> tuple[int, float]:
     n_docs, sum_dl = docmap.agg(F.count("*"), F.sum("dl")).first()
     return int(n_docs), (float(sum_dl or 0) / n_docs if n_docs else 0.0)
@@ -133,6 +147,9 @@ def corpus_stats(docmap: DataFrame) -> tuple[int, float]:
 def build_flat_index(spark: SparkSession, corpus: DataFrame,
                      cfg: IndexConfig = DEFAULT,
                      n_parts: int | None = None) -> FlatIndex:
+    if cfg.extra_fields:
+        raise ValueError("extra_fields (multi-field search) requires the "
+                         "packed build — use build_index")
     docs = assign_doc_ids(corpus, n_parts=n_parts)
     docs.persist(StorageLevel.MEMORY_AND_DISK)
     tokenized = tokenize_corpus(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
@@ -248,6 +265,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 ("positions", man.positions, cfg.index_positions),
                 ("doc_values", list(man.doc_values or []),
                  list(cfg.doc_values)),
+                ("extra_fields", list(man.extra_fields or []),
+                 list(cfg.extra_fields)),
                 ("fuzzy_edits", int(man.fuzzy_edits or 0),
                  int(cfg.fuzzy_edits))]:
             if old != new:
@@ -265,6 +284,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                        block_size=cfg.block_size,
                        positions=cfg.index_positions,
                        doc_values=list(cfg.doc_values),
+                       extra_fields=list(cfg.extra_fields),
                        fuzzy_edits=int(cfg.fuzzy_edits),
                        bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
                              "idf_variant": cfg.bm25.idf_variant},
@@ -422,10 +442,25 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     if not man.avgdl:
         # exact corpus stats WITHOUT a dedicated tokenize pass: the
         # lexicon's collection frequencies sum to the total token count,
-        # so avgdl == sum(cf) / n_docs exactly (integer identity)
+        # so avgdl == sum(cf) / n_docs exactly (integer identity). With
+        # extra_fields, one vocab-scaled aggregation splits cf by term
+        # space (prefixed terms carry "<field>:", and ':' can never
+        # appear in an analyzer token): avgdl stays the TEXT field's,
+        # and each extra field gets its own frozen
+        # avgdl_f = sum(cf_f) / n_docs (corpus-global denominator,
+        # documented divergence from Lucene's docCount(field)).
         with timer.time("stats"):
-            total_cf = spark.read.parquet(lex_path).agg(
-                F.sum("cf")).first()[0] or 0
+            lexdf = spark.read.parquet(lex_path)
+            if cfg.extra_fields:
+                cfs = lexicon_cf_by_field(lexdf)
+                total_cf = cfs.get("text", 0)
+                man.field_sum_dl = {f_: cfs.get(f_, 0)
+                                    for f_ in cfg.extra_fields}
+                man.field_avgdl = {
+                    f_: (cfs.get(f_, 0) / n_docs if n_docs else 0.0)
+                    for f_ in cfg.extra_fields}
+            else:
+                total_cf = lexdf.agg(F.sum("cf")).first()[0] or 0
             man.avgdl = float(total_cf) / n_docs if n_docs else 0.0
             # seed the exact token total so a later streaming
             # append_batch maintains avgdl from the true base, not 0
@@ -470,6 +505,11 @@ class PackedIndex:
     # depth of the fuzzy deletion-neighborhood table (engine/fuzzy.py);
     # 0 when the index was built without one
     fuzzy_edits: int = 0
+    # additional indexed fields + frozen per-field avgdl (multi-field
+    # search — engine/query.py search_multi_match); () / {} when the
+    # index was built single-field
+    extra_fields: tuple = ()
+    field_avgdl: dict = None
 
     @property
     def postings_path(self) -> str:
@@ -580,8 +620,12 @@ class PackedIndex:
             cache = self._prefix_cache = {}
         key = (prefix, int(max_expansions))
         if key not in cache:
+            # text-space only: field-prefixed terms ("role:user") carry
+            # ':' (never in an analyzer token) and must not leak into a
+            # text wildcard like "rol*"
             rows = (self.lexicon()
-                    .filter(F.col("term").startswith(prefix))
+                    .filter(F.col("term").startswith(prefix)
+                            & ~F.col("term").contains(":"))
                     .orderBy(F.desc("df"), F.asc("term"))
                     .limit(int(max_expansions))
                     .collect())
@@ -637,7 +681,9 @@ class PackedIndex:
             if lit and len(lit) < len(pattern) \
                     and pattern[len(lit)] in "*?{":
                 lit = lit[:-1]
-            scan = self.lexicon()
+            # text-space only (same rule as expand_prefix): a '.*' in
+            # the pattern must not match field-prefixed terms
+            scan = self.lexicon().filter(~F.col("term").contains(":"))
             if lit:
                 scan = scan.filter(F.col("term").startswith(lit))
             rows = (scan
@@ -690,6 +736,8 @@ class PackedIndex:
         self._corpus_mixed = any(
             s.segment_id.startswith("inc_") for s in man.segments)
         self.fuzzy_edits = int(man.fuzzy_edits or 0)
+        self.extra_fields = tuple(man.extra_fields or ())
+        self.field_avgdl = dict(man.field_avgdl or {})
         self._term_cache = {}
         self._prefix_cache = {}  # expansions change when vocab grows
         self._fuzzy_cache = {}  # fuzzy expansions change when vocab grows
@@ -715,6 +763,7 @@ def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
                       n_slices=man.n_slices or DEFAULT.n_slices,
                       index_positions=bool(man.positions),
                       doc_values=tuple(man.doc_values or ()),
+                      extra_fields=tuple(man.extra_fields or ()),
                       fuzzy_edits=int(man.fuzzy_edits or 0),
                       bm25=BM25Config(**bm) if bm else DEFAULT.bm25,
                       analyzer=acfg)
@@ -726,7 +775,9 @@ def load_index(spark: SparkSession, index_dir: str) -> PackedIndex:
                        n_deleted=int(man.n_deleted or 0),
                        del_epoch=int(man.del_epoch or 0),
                        n_ids=int(man.n_ids or 0),
-                       fuzzy_edits=int(man.fuzzy_edits or 0))
+                       fuzzy_edits=int(man.fuzzy_edits or 0),
+                       extra_fields=tuple(man.extra_fields or ()),
+                       field_avgdl=dict(man.field_avgdl or {}))
 
 
 def index_stats(index) -> "DataFrame":

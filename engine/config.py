@@ -132,6 +132,19 @@ class IndexConfig:
     # field served INSIDE the scorer task: zero corpus scan, zero extra
     # shuffle. A few bytes/doc/column of index size; empty = off.
     doc_values: tuple = ()
+    # additional STRING corpus columns indexed as their own term spaces
+    # (the ES/Lucene multi-field pattern): each listed field's tokens are
+    # stored as "<field>:<token>" terms in the SAME posting layout (':'
+    # can never appear in an analyzer token, so the prefix is
+    # unambiguous), with the posting's dls stream carrying THAT FIELD's
+    # token count — so per-field BM25 length normalization works from
+    # the one segment structure. "text" stays the default unprefixed
+    # space (existing queries unchanged). Per-field avgdl is derived
+    # from the lexicon (sum of the field's cf / n_docs — corpus-global
+    # denominator, frozen and documented vs Lucene's docCount(field))
+    # and stored in the manifest. Positions are indexed for the default
+    # text field only (phrase queries are text-field queries).
+    extra_fields: tuple = ()
     # fuzzy edit-distance neighborhood depth: > 0 writes the SymSpell
     # deletion-variant companion table (engine/fuzzy.py) enabling
     # search_fuzzy up to this many edits. Vocab-scaled index cost

@@ -278,8 +278,15 @@ def purge_deletes(index, cfg=None):
         from .fuzzy import write_fuzzy_variants
         write_fuzzy_variants(spark, index_dir, man.n_buckets,
                              int(man.fuzzy_edits))
-    total_cf = int(spark.read.parquet(out_path)
-                   .agg(F.sum("cf")).first()[0] or 0)
+    if man.extra_fields:
+        # multi-field index: split surviving cf by term space so text
+        # avgdl and every field_avgdl restore their exact identities
+        from .build import lexicon_cf_by_field
+        cfs_ = lexicon_cf_by_field(spark.read.parquet(out_path))
+        total_cf = cfs_.get("text", 0)
+    else:
+        total_cf = int(spark.read.parquet(out_path)
+                       .agg(F.sum("cf")).first()[0] or 0)
 
     man.segments.append(Segment(
         out_id, max((s.pass_no for s in man.segments), default=0) + 1,
@@ -292,6 +299,11 @@ def purge_deletes(index, cfg=None):
     man.n_docs = n_live
     man.sum_dl = total_cf
     man.avgdl = float(total_cf) / n_live if n_live else 0.0
+    if man.extra_fields:
+        for f_ in man.extra_fields:
+            man.field_sum_dl[f_] = cfs_.get(f_, 0)
+            man.field_avgdl[f_] = (cfs_.get(f_, 0) / n_live
+                                   if n_live else 0.0)
     man.n_deleted = 0
     man.del_epoch = int(man.del_epoch) + 1  # invalidate tombstone caches
     man.save(index_dir)

@@ -140,7 +140,10 @@ def write_fuzzy_variants(spark: SparkSession, index_dir: str,
     partitioning, no Python. Called wherever the lexicon is rewritten
     (build_index, streaming.compact, deletes.purge_deletes) so the
     neighborhood can never drift from the vocabulary it indexes."""
-    lex = spark.read.parquet(os.path.join(index_dir, "lexicon"))
+    # text-space only: field-prefixed terms ("role:user") are not fuzzy
+    # candidates for text queries (query tokens can never contain ':')
+    lex = (spark.read.parquet(os.path.join(index_dir, "lexicon"))
+           .filter(~F.col("term").contains(":")))
     out = fuzzy_path(index_dir)
     (lex.select("term", "df",
                 F.explode(F.expr(variants_sql("term", max_edits)))

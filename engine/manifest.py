@@ -63,6 +63,14 @@ class Manifest:
     # depth of the fuzzy deletion-neighborhood table (engine/fuzzy.py);
     # 0 = not built. Part of the resolved plan like positions/doc_values
     fuzzy_edits: int = 0
+    # additional indexed fields (IndexConfig.extra_fields — field-
+    # prefixed term spaces) + their frozen per-field avgdl
+    # (sum(cf of "<field>:*") / n_docs); part of the resolved plan
+    extra_fields: list = field(default_factory=list)
+    field_avgdl: dict = field(default_factory=dict)
+    # exact per-field token totals (the per-field sum_dl analog) so
+    # streaming appends / purge maintain field_avgdl exactly
+    field_sum_dl: dict = field(default_factory=dict)
     # ---- deletes (engine/deletes.py) ----
     # tombstoned docs currently pending physical purge (they no longer
     # match queries, but still count in N/avgdl — the frozen two-phase

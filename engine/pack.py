@@ -151,13 +151,16 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
     acfg = cfg.analyzer
     block_size = cfg.block_size
     with_pos = cfg.index_positions
+    extra_fields = tuple(cfg.extra_fields)
     names = [f.name for f in PACKED_SCHEMA.fields]
 
     def fn(batches):
         from .analyzer import doc_term_freqs_arrow, doc_token_positions_arrow
 
-        def emit(doc_ids_b, text_arr):
-            if with_pos:
+        def emit(doc_ids_b, text_arr, prefix=None, use_pos=None):
+            if use_pos is None:
+                use_pos = with_pos
+            if use_pos:
                 # occurrence-level kernel: one entry per token occurrence,
                 # lexsorted with pos innermost -> postings fall out as
                 # (term, doc) runs and positions stay sorted per posting
@@ -211,15 +214,25 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
             max_tf = np.maximum.reduceat(post_tfs, starts).astype(np.int32)
             doc_pl, tf_pl, dl_pl, blocks = codec.pack_lists(
                 bounds, post_docs, post_tfs, post_dls, block_size)
-            if with_pos:
+            if use_pos:
                 occ_bounds = np.append(posting_starts[starts],
                                        no).astype(np.int64)
                 pos_pl = codec.encode_positions_groups(
                     occ_bounds, posting_starts, pos)
             else:
                 pos_pl = [b""] * starts.size
+            term_arr = tdict.dictionary.take(
+                pa.array(codes[starts])).cast(pa.string())
+            if prefix is not None:
+                # field-prefixed term space (IndexConfig.extra_fields):
+                # the prefix lands on the GROUP-level term strings only
+                # (vocab-sized, never per posting)
+                import pyarrow.compute as pc
+                term_arr = pc.binary_join_element_wise(
+                    pa.array([prefix] * len(term_arr), pa.string()),
+                    term_arr, "")
             return pa.RecordBatch.from_arrays([
-                tdict.dictionary.take(pa.array(codes[starts])).cast(pa.string()),
+                term_arr,
                 pa.array(shards[starts].astype(np.int32), pa.int32()),
                 pa.array(df_, pa.int64()),
                 pa.array(cf, pa.int64()),
@@ -236,24 +249,32 @@ def tokenize_pack_partial(docs: DataFrame, width: int,
                 continue
             doc_ids_b = b.column("doc_id").to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            text_arr = b.column("text").cast(pa.string())
+            # (field_column, term_prefix, positions?) — extra fields
+            # index without positions (phrase is a text-field query)
+            streams = [(b.column("text").cast(pa.string()), None, None)]
+            streams += [(b.column(f_).cast(pa.string()), f_ + ":", False)
+                        for f_ in extra_fields]
             # split at doc-id discontinuities (run-disjointness guarantee
             # — see the docstring): realistic scans yield few pieces
             # (doc_ids are +1-contiguous within a file/split)
             cuts = np.flatnonzero(np.diff(doc_ids_b) != 1) + 1
             if cuts.size == 0:
-                rb = emit(doc_ids_b, text_arr)
-                if rb is not None:
-                    yield rb
+                for arr, pfx, upos in streams:
+                    rb = emit(doc_ids_b, arr, prefix=pfx, use_pos=upos)
+                    if rb is not None:
+                        yield rb
             else:
                 bounds = np.concatenate(
                     ([0], cuts, [doc_ids_b.size])).astype(np.int64)
                 for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
-                    rb = emit(doc_ids_b[s:e], text_arr.slice(s, e - s))
-                    if rb is not None:
-                        yield rb
+                    for arr, pfx, upos in streams:
+                        rb = emit(doc_ids_b[s:e], arr.slice(s, e - s),
+                                  prefix=pfx, use_pos=upos)
+                        if rb is not None:
+                            yield rb
 
-    return docs.select("doc_id", "text").mapInArrow(fn, PACKED_SCHEMA)
+    return docs.select("doc_id", "text", *extra_fields).mapInArrow(
+        fn, PACKED_SCHEMA)
 
 
 def pack_postings(postings: DataFrame, n_docs: int,

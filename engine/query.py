@@ -740,6 +740,243 @@ def _search_dis_max_impl(index, queries: list, k: int, tie: float,
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_multi_match(index, query: str, fields=None, k: int = 10,
+                       match_type: str = "best_fields",
+                       tie_breaker: float = 0.0,
+                       exclude: str | None = None,
+                       doc_filter: str | None = None,
+                       dv_filter: str | None = None) -> DataFrame:
+    """Multi-field search — the ES ``multi_match`` query over an index
+    built with ``IndexConfig.extra_fields``: every analyzer token of
+    ``query`` is searched in every listed field, each field scored as
+    its own BM25 term space (field-prefixed terms, per-field df/idf and
+    per-field length normalization), and the per-field scores combine
+    per ``match_type``.
+
+    ``fields``: ``{field: boost}`` (dict order = the frozen fold
+    order), a list (boost 1.0 each), or None = ``text`` plus every
+    extra field, boost 1.0. ``"text"`` is the default unprefixed
+    space; any other name must be in ``index.extra_fields``.
+
+    Frozen contract (mirrored by the DuckDB twin in
+    ``__spark_entry__._multi_match_sql``):
+
+    * per field f: ``s_f = boost_f * (frozen per-term-ascending BM25
+      sum over f's term space)`` — idf from the prefixed term's df
+      with the corpus-global N, length norm from THIS field's dl (the
+      posting's inlined dls stream carries the field's token count)
+      and the frozen ``avgdl_f = sum(cf_f) / n_docs`` (corpus-global
+      denominator — documented divergence from Lucene's
+      docCount(field)); 0.0 when the doc misses every query token in
+      f (BM25 lucene contributions are strictly positive);
+    * ``best_fields`` (ES default): ``score = best + tie_breaker *
+      (total - best)`` with ``total`` the left-fold of ``s_f`` in
+      FIELDS ORDER and ``best`` their max — exactly dis_max's combine
+      with fields as the subqueries; ``most_fields``: ``score =
+      total`` (tie_breaker must be 0);
+    * a doc matches iff >= 1 field matches >= 1 token; ``exclude``
+      applies in the TEXT term space (exclude tokens are text tokens;
+      positive-wins vs the query's text terms as usual);
+      ``doc_filter``/``dv_filter``/tombstones compose unchanged.
+      Routing is exhaustive-only (like dis_max: block-max bounds are
+      per-term sums, not cross-field maxima).
+
+    Plan: ONE job — all fields' prefixed terms ride one pruned
+    postings scan (same segment layout, same bucket pruning); the
+    shard kernel routes each (term, shard) payload to its field's
+    width-bounded accumulator (a term key belongs to exactly one
+    field), combines, and emits <= k rows; global
+    TakeOrderedAndProject. At 100 TB this is the same single-scan
+    cost shape as dis_max — fields multiply the query's term count,
+    never the corpus reads."""
+    _warn_if_stale(index)
+    if fields is None:
+        fields = {"text": 1.0}
+        for f_ in (index.extra_fields or ()):
+            fields[f_] = 1.0
+    elif not isinstance(fields, dict):
+        fields = {str(f_): 1.0 for f_ in fields}
+    else:
+        fields = {str(f_): float(b_) for f_, b_ in fields.items()}
+    if not fields:
+        raise ValueError("multi_match needs at least one field")
+    known_fields = {"text", *(index.extra_fields or ())}
+    bad = [f_ for f_ in fields if f_ not in known_fields]
+    if bad:
+        raise ValueError(
+            f"multi_match fields {bad} not indexed (available: "
+            f"{sorted(known_fields)}; build with "
+            f"IndexConfig.extra_fields)")
+    if any(b_ <= 0 for b_ in fields.values()):
+        raise ValueError("field boosts must be > 0")
+    mt = str(match_type)
+    if mt not in ("best_fields", "most_fields"):
+        raise ValueError("match_type must be best_fields|most_fields")
+    tie = float(tie_breaker)
+    if not (0.0 <= tie <= 1.0):
+        raise ValueError("tie_breaker must lie in [0, 1]")
+    if mt == "most_fields" and tie != 0.0:
+        raise ValueError("tie_breaker only applies to best_fields")
+    key = ("mm", query, tuple(fields.items()), k, mt, tie, exclude,
+           doc_filter, dv_filter)
+    return _plan_cached(index, key, lambda: _search_multi_match_impl(
+        index, query, fields, k, mt, tie, exclude, doc_filter,
+        dv_filter))
+
+
+def _search_multi_match_impl(index, query: str, fields: dict, k: int,
+                             mt: str, tie: float, exclude,
+                             doc_filter, dv_filter) -> DataFrame:
+    spark = index.spark
+    acfg = index.cfg.analyzer
+    qt = query_terms(query, acfg)
+    empty = _empty_topk(spark)
+    if not qt:
+        return empty
+    field_list = list(fields)  # dict order == frozen fold order
+    favg = {"text": float(index.avgdl)}
+    for f_ in field_list:
+        if f_ != "text":
+            favg[f_] = float((index.field_avgdl or {}).get(f_, 0.0))
+
+    def tkey(f_, t):
+        return t if f_ == "text" else f"{f_}:{t}"
+
+    # exclude applies in the text space (positive-wins vs text terms)
+    neg = (sorted(set(tokenize_py(exclude, acfg)) - set(qt))
+           if exclude else [])
+    all_keys = sorted({tkey(f_, t) for f_ in field_list for t in qt
+                       if favg[f_] > 0.0} | set(neg))
+    if not all_keys:
+        return empty
+    lex = index.lookup_terms(all_keys)
+    neg = [t for t in neg if t in lex]
+    # per-field known (prefixed-term -> qtf) maps; empty fields keep
+    # their LIST SLOT (the total fold order is fields order)
+    subs = []
+    for f_ in field_list:
+        m = {tkey(f_, t): float(n) for t, n in qt.items()
+             if favg[f_] > 0.0 and tkey(f_, t) in lex}
+        subs.append((f_, m))
+    if not any(m for _, m in subs):
+        return empty
+    idfs = {t: float(lex[t]["idf"]) for t in lex}
+    scan_terms = sorted({t for _, m in subs for t in m} | set(neg))
+    buckets = sorted({lex[t]["bucket"] for t in scan_terms})
+    post = (index.postings()
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(scan_terms))
+            .select("term", "shard", "df", "doc_ids", "tfs", "dls"))
+    width = index.shard_width
+    k1_, b_ = index.cfg.bm25.k1, index.cfg.bm25.b
+    boosts = [float(fields[f_]) for f_ in field_list]
+    avgdls = [favg[f_] for f_ in field_list]
+    # term key -> (field slot, qtf); a key belongs to exactly one slot
+    term_slot = {}
+    for si, (f_, m) in enumerate(subs):
+        for t, n in m.items():
+            term_slot[t] = (si, n)
+    neg_set = frozenset(neg)
+    del_locs = _del_closure(index)
+    dv_dir, dv_gen = index.index_dir, int(index.n_docs)
+
+    def _kernel(post_pdf, allowed_loc=None):
+        import numpy as np
+        import pandas as pd
+        from . import codec as C
+        out_empty = pd.DataFrame({"doc_id": [], "score": []})
+        if len(post_pdf) == 0:
+            return out_empty
+        shard = int(post_pdf["shard"].iloc[0])
+        start = shard * width
+        n_sub = len(subs)
+        accs = [np.zeros(width, dtype=np.float64) for _ in range(n_sub)]
+        hitany = np.zeros(width, dtype=bool)
+        negmask = np.zeros(width, dtype=bool) if neg_set else None
+        order = np.argsort(post_pdf["term"].to_numpy(object))
+        for i in order:
+            term = post_pdf["term"].iloc[int(i)]
+            if term in neg_set:
+                ids, _ = C.decode_postings(
+                    post_pdf["doc_ids"].iloc[int(i)],
+                    post_pdf["tfs"].iloc[int(i)])
+                negmask[ids - start] = True
+                continue
+            slot = term_slot.get(term)
+            if slot is None:
+                continue
+            si, qtf = slot
+            ids, tfs = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
+                                         post_pdf["tfs"].iloc[int(i)])
+            dls = C.vbyte_decode(post_pdf["dls"].iloc[int(i)]).astype(
+                np.float64)
+            loc = ids - start
+            tfs = tfs.astype(np.float64)
+            # EXACTLY the single-query kernel's float64 grouping —
+            # ((qtf*idf)*A)/B — with THIS FIELD's avgdl in the length
+            # norm (the dls stream already carries the field's dl);
+            # terms arrive in global ascending order, so each field's
+            # accumulator receives ITS terms ascending too
+            num = tfs * (k1_ + 1.0)
+            den = tfs + k1_ * (1.0 - b_ + b_ * dls / avgdls[si])
+            accs[si][loc] += (qtf * idfs[term]) * num / den
+            hitany[loc] = True
+        if negmask is not None:
+            hitany[negmask] = False
+        if del_locs is not None:
+            dl_ = del_locs(shard)
+            if dl_ is not None:
+                hitany[dl_] = False
+        if dv_filter is not None:
+            from .docvalues import eval_filter
+            allow = np.zeros(width, dtype=bool)
+            allow[eval_filter(dv_dir, shard, dv_gen, dv_filter)] = True
+            hitany &= allow
+        if allowed_loc is not None:
+            allow = np.zeros(width, dtype=bool)
+            allow[np.asarray(allowed_loc, dtype=np.int64)] = True
+            hitany &= allow
+        hit = np.flatnonzero(hitany)
+        if hit.size == 0:
+            return out_empty
+        # combine: s_f = boost_f * sum_f; total = left-fold in fields
+        # order; best_fields = best + tie * (total - best); most_fields
+        # = total — the twin's expression verbatim
+        total = boosts[0] * accs[0][hit]
+        best = total.copy()
+        for si in range(1, n_sub):
+            v = boosts[si] * accs[si][hit]
+            total = total + v
+            np.maximum(best, v, out=best)
+        scores = total if mt == "most_fields" \
+            else best + tie * (total - best)
+        hit, scores = C.topk_tiebreak(hit, scores, k)
+        return pd.DataFrame({"doc_id": (hit + start).astype(np.int64),
+                             "score": scores})
+
+    if doc_filter is not None:
+        allowed = _allowed_shards(index, doc_filter, width)
+
+        def fnf(key, post_pdf, allowed_pdf):
+            import numpy as np
+            import pandas as pd
+            if len(post_pdf) == 0 or len(allowed_pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            shard = int(post_pdf["shard"].iloc[0])
+            loc = (allowed_pdf["doc_id"].to_numpy(np.int64)
+                   - shard * width)
+            return _kernel(post_pdf, allowed_loc=loc)
+
+        scored = (post.groupBy("shard")
+                  .cogroup(allowed.groupBy("shard"))
+                  .applyInPandas(fnf, "doc_id long, score double"))
+    else:
+        scored = (post.groupBy("shard")
+                  .applyInPandas(lambda key, pdf: _kernel(pdf),
+                                 "doc_id long, score double"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def search_boosting(index, positive: str, negative: str,
                     negative_boost: float = 0.5, k: int = 10,
                     mode: str = "OR",
@@ -1866,6 +2103,7 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
                        minsh: dict | None = None,
                        demotes: dict | None = None,
                        dismaxes: dict | None = None,
+                       multis: dict | None = None,
                        dv_preds: dict | None = None,
                        dv_ctx: tuple | None = None,
                        boosts: dict | None = None,
@@ -1913,14 +2151,18 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
 
     contrib: dict = {}   # (term, qtf) -> float64[] (same order as exhaustive)
 
-    def _contrib(term: str, qtf: float):
-        key = (term, qtf)
+    def _contrib(term: str, qtf: float, avg: float | None = None):
+        # ``avg`` overrides the index-global avgdl for MULTI_MATCH
+        # entries (per-field length normalization); the cache key
+        # carries it so field/text spaces never share a vector
+        a = avgdl if avg is None else avg
+        key = (term, qtf, a)
         c = contrib.get(key)
         if c is None:
             loc, tfs, dls = decoded[term]
             idf = idfs[term]
             c = contrib[key] = (qtf * idf * (tfs * (k1 + 1.0))
-                                / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
+                                / (tfs + k1 * (1.0 - b + b * dls / a)))
         return c
 
     allow = None
@@ -2025,8 +2267,68 @@ def _score_shard_batch(post_pdf, per_q: dict, modes: dict, idfs: dict,
         q_mm = msm.get(qid, 1) if msm else 1
         q_dem = demotes.get(qid) if demotes else None
         q_dm = dismaxes.get(qid) if dismaxes else None
+        q_mul = multis.get(qid) if multis else None
         q_dvp = dv_preds.get(qid) if dv_preds else None
         q_bst = boosts.get(qid) if boosts else None
+        if q_mul is not None:
+            # MULTI_MATCH entry (same frozen combine as
+            # search_multi_match: per-field boost * frozen sum with the
+            # FIELD's avgdl in the length norm, total folded in fields
+            # order, best_fields = best + tie * (total - best),
+            # most_fields = total); per-(term, qtf, avgdl) contribution
+            # vectors come from the shared cache
+            slots_, tie_, mt_ = q_mul
+            per_sub, all_t = [], []
+            for avg_f, bf_, tmap in slots_:
+                terms_i = [t for t in sorted(tmap) if t in decoded]
+                if not terms_i:
+                    per_sub.append(None)
+                    continue
+                locs_i = []
+                for t in terms_i:
+                    loc = decoded[t][0]
+                    acc[loc] += _contrib(t, float(tmap[t]), avg_f)
+                    locs_i.append(loc)
+                t_i = np.unique(np.concatenate(locs_i))
+                per_sub.append((t_i, bf_ * acc[t_i]))
+                acc[t_i] = 0.0
+                all_t.append(t_i)
+            if not all_t:
+                continue
+            union = np.unique(np.concatenate(all_t))
+            total = np.zeros(union.size, dtype=np.float64)
+            best = np.zeros(union.size, dtype=np.float64)
+            for ps in per_sub:
+                v = np.zeros(union.size, dtype=np.float64)
+                if ps is not None:
+                    t_i, vals = ps
+                    v[np.searchsorted(union, t_i)] = vals
+                total = total + v
+                np.maximum(best, v, out=best)
+            sc = total if mt_ == "most_fields" \
+                else best + tie_ * (total - best)
+            hit = union
+            keep = np.ones(hit.size, dtype=bool)
+            if allow is not None:
+                keep &= allow[hit]
+            if q_dvp is not None:
+                keep &= _dv_mask(q_dvp)[hit]
+            if q_negs:
+                ex = np.unique(np.concatenate(
+                    [decoded[t][0] for t in q_negs]))
+                keep &= ~np.isin(hit, ex, assume_unique=True)
+            hit, sc = hit[keep], sc[keep]
+            if q_bst is not None and hit.size:
+                bv, bcomb = _boost_v(q_bst)
+                sc = sc + bv[hit] if bcomb == "sum" else sc * bv[hit]
+            if hit.size:
+                hit_k, scores = C.topk_tiebreak(hit, sc, q_k)
+                r = pd.DataFrame(
+                    {"doc_id": (hit_k + start).astype(np.int64),
+                     "score": scores})
+                r.insert(0, "qid", qid)
+                outs.append(r)
+            continue
         if q_dm is not None:
             # DIS_MAX entry (same frozen combine as search_dis_max:
             # total folded in subquery LIST order over 0.0-defaulted
@@ -2253,7 +2555,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     # the shared scan/scorer as ordinary OR queries with qtf=1 per
     # matched term — the expansion never touches the postings job
     per_q, modes = {}, {}
-    musts, minsh, bool_floor, dismaxes = {}, {}, {}, {}
+    musts, minsh, bool_floor, dismaxes, multis = {}, {}, {}, {}, {}
     for q in queries:
         m = q["mode"].upper()
         if m == "PREFIX":
@@ -2294,6 +2596,65 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                              if subs_q else set())
             per_q[q["id"]] = {t: 1 for t in union_q}
             dismaxes[q["id"]] = (subs_q, tie_q)
+            m = "OR"
+        elif m == "MULTI_MATCH":
+            # multi-field entry (same frozen semantics as
+            # search_multi_match): keys "query" + optional "fields"
+            # ({field: boost} — dict order = fold order; default text +
+            # every extra field at 1.0), "match_type", "tie_breaker".
+            # The entry's scan terms are the union of the per-field
+            # prefixed keys; routing is exhaustive (the dis_max rule)
+            flds = q.get("fields")
+            if flds is None:
+                flds = {"text": 1.0}
+                for f_ in (index.extra_fields or ()):
+                    flds[f_] = 1.0
+            elif not isinstance(flds, dict):
+                flds = {str(f_): 1.0 for f_ in flds}
+            else:
+                flds = {str(f_): float(b_) for f_, b_ in flds.items()}
+            known_f = {"text", *(index.extra_fields or ())}
+            bad_f = [f_ for f_ in flds if f_ not in known_f]
+            if bad_f:
+                raise ValueError(
+                    f"MULTI_MATCH entry {q['id']!r}: fields {bad_f} "
+                    f"not indexed (available: {sorted(known_f)})")
+            if not flds or any(b_ <= 0 for b_ in flds.values()):
+                raise ValueError(f"MULTI_MATCH entry {q['id']!r}: "
+                                 "field boosts must be > 0")
+            mt_q = str(q.get("match_type", "best_fields"))
+            if mt_q not in ("best_fields", "most_fields"):
+                raise ValueError(f"MULTI_MATCH entry {q['id']!r}: "
+                                 "match_type must be "
+                                 "best_fields|most_fields")
+            tie_q = float(q.get("tie_breaker", 0.0))
+            if not (0.0 <= tie_q <= 1.0):
+                raise ValueError(f"tie_breaker on {q['id']!r} must lie "
+                                 "in [0, 1]")
+            if mt_q == "most_fields" and tie_q != 0.0:
+                raise ValueError(f"tie_breaker on {q['id']!r} only "
+                                 "applies to best_fields")
+            if q.get("boosts") or q.get("min_match") or q.get("demote"):
+                raise ValueError(f"MULTI_MATCH entry {q['id']!r} "
+                                 "composes with exclude/dv_filter/"
+                                 "boost/k only")
+            qt_mm = query_terms(q["query"], acfg)
+            mm_favg = {"text": float(index.avgdl)}
+            for f_ in (index.extra_fields or ()):
+                mm_favg[f_] = float(
+                    (index.field_avgdl or {}).get(f_, 0.0))
+            slots_q, union_keys = [], set()
+            for f_, b_ in flds.items():
+                avg_f = mm_favg[f_]
+                if avg_f <= 0.0 or not qt_mm:
+                    slots_q.append((1.0, float(b_), {}))
+                    continue
+                mkeys = {(t if f_ == "text" else f"{f_}:{t}"): float(nn)
+                         for t, nn in qt_mm.items()}
+                slots_q.append((avg_f, float(b_), mkeys))
+                union_keys |= set(mkeys)
+            per_q[q["id"]] = {t: 1 for t in sorted(union_keys)}
+            multis[q["id"]] = (slots_q, tie_q, mt_q)
             m = "OR"
         elif m == "BOOL":
             # ES bool entry (same frozen semantics as search_bool): keys
@@ -2403,6 +2764,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
     demotes = {qid: v for qid, v in demotes.items()
                if qid in per_q and v[0]}
     dismaxes = {qid: v for qid, v in dismaxes.items() if qid in per_q}
+    multis = {qid: v for qid, v in multis.items() if qid in per_q}
     dv_preds = {qid: v for qid, v in dv_preds.items() if qid in per_q}
     msm = {qid: m_ for qid, m_ in msm.items() if qid in per_q}
     phrases = {qid: seq for qid, seq in phrases.items() if qid in per_q}
@@ -2495,6 +2857,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                    negs=negs, phrases=phrases, msm=msm,
                                    slops=slops, musts=musts, minsh=minsh,
                                    demotes=demotes, dismaxes=dismaxes,
+                                   multis=multis or None,
                                    dv_preds=dv_preds,
                                    dv_ctx=(dv_dir, dv_gen),
                                    boosts=boosts_by_qid or None,
@@ -2520,6 +2883,7 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
                                    msm=msm, slops=slops,
                                    musts=musts, minsh=minsh,
                                    demotes=demotes, dismaxes=dismaxes,
+                                   multis=multis or None,
                                    dv_preds=dv_preds,
                                    dv_ctx=(dv_dir, dv_gen),
                                    boosts=boosts_by_qid or None,

@@ -49,6 +49,9 @@ def create_streaming_index(spark: SparkSession, index_dir: str,
                    block_size=cfg.block_size, shard_width=width,
                    positions=cfg.index_positions,
                    doc_values=list(cfg.doc_values),
+                   extra_fields=list(cfg.extra_fields),
+                   field_avgdl={f: 0.0 for f in cfg.extra_fields},
+                   field_sum_dl={f: 0 for f in cfg.extra_fields},
                    bm25={"k1": cfg.bm25.k1, "b": cfg.bm25.b,
                          "idf_variant": cfg.bm25.idf_variant},
                    analyzer=_acfg_dict(cfg))
@@ -67,11 +70,13 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     written segment's cf sum (the same identity the batch build uses)."""
     man = Manifest.load(index_dir)
     assert man is not None, "create_streaming_index first"
-    if bool(man.positions) != cfg.index_positions:
-        # the index's positions layout is fixed at creation — honor it
-        # even when the caller passes a default cfg
+    if (bool(man.positions) != cfg.index_positions
+            or tuple(man.extra_fields or ()) != tuple(cfg.extra_fields)):
+        # the index's positions/extra-field layout is fixed at creation
+        # — honor it even when the caller passes a default cfg
         from dataclasses import replace
-        cfg = replace(cfg, index_positions=bool(man.positions))
+        cfg = replace(cfg, index_positions=bool(man.positions),
+                      extra_fields=tuple(man.extra_fields or ()))
     # id base: the allocation ceiling, NOT the live count — after a purge
     # n_docs shrinks but purged ids are never reused (engine/deletes.py
     # n_ids), so appended docs can't collide with external references or
@@ -109,7 +114,16 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
         write_doc_values(docs, index_dir, list(man.doc_values),
                          man.shard_width, mode="append")
     docs.unpersist()
-    sum_new = spark.read.parquet(seg_path).agg(F.sum("cf")).first()[0] or 0
+    if man.extra_fields:
+        # split the increment's cf by term space so BOTH the text avgdl
+        # and every field_avgdl stay exact under appends (the same
+        # identity, per field)
+        from .build import lexicon_cf_by_field
+        inc_cfs = lexicon_cf_by_field(spark.read.parquet(seg_path))
+        sum_new = inc_cfs.get("text", 0)
+    else:
+        sum_new = (spark.read.parquet(seg_path)
+                   .agg(F.sum("cf")).first()[0] or 0)
     man.segments.append(Segment(inc_id, -1, seg_path, rows=-1,
                                 wall_s=time.perf_counter() - t0,
                                 status="complete"))
@@ -130,6 +144,11 @@ def append_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
         man.n_ids += int(n_new)
     man.sum_dl += int(sum_new)
     man.avgdl = man.sum_dl / man.n_docs
+    if man.extra_fields:
+        for f_ in man.extra_fields:
+            man.field_sum_dl[f_] = (int(man.field_sum_dl.get(f_, 0))
+                                    + inc_cfs.get(f_, 0))
+            man.field_avgdl[f_] = man.field_sum_dl[f_] / man.n_docs
     man.completed = False  # increments pending compaction
     man.save(index_dir)
     return int(n_new)

@@ -166,3 +166,23 @@ def test_cli_decay_flag_guard(cli_idx):
               "--boost-mode", "sum"])
     assert r.returncode == 2
     assert "--decay" in r.stderr
+
+
+def test_cli_multi_match(tmp_path_factory):
+    """build --extra-fields + search --mm-field end-to-end (r5)."""
+    d = str(tmp_path_factory.mktemp("cli_mm") / "idx")
+    r = _run(["build", "--input", "synthetic", "--convs", "80",
+              "--index-dir", d, "--extra-fields", "role"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = _rows(_run(["search", "--index-dir", d, "--query", "hot0 user",
+                       "--mm-field", "text", "--mm-field", "role=2",
+                       "--tie-breaker", "0.3"]))
+    assert rows and all("score" in o for o in rows)
+    rows2 = _rows(_run(["search", "--index-dir", d, "--query", "hot0 user",
+                        "--mm-field", "text", "--mm-field", "role=2",
+                        "--match-type", "most_fields"]))
+    assert rows2
+    # --mm-field needs --query
+    r = _run(["search", "--index-dir", d, "--mm-field", "text",
+              "--dis-query", "hot0"])
+    assert r.returncode == 2

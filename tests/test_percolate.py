@@ -80,3 +80,30 @@ def test_percolate_requires_percolator_index(spark, corpus_df, tmp_path):
     idx = build_index(spark, corpus_df, str(tmp_path / "plain"))
     with pytest.raises(ValueError, match="percolator index"):
         percolate(idx, "hot0")
+
+
+def test_register_queries_append_matches_batch(spark, tmp_path):
+    """Incremental registration (r5): N one-shot == (N-m) + append(m)
+    for every percolated doc; id clashes and non-percolator indexes are
+    rejected."""
+    from engine.percolate import (percolate, register_queries,
+                                  register_queries_append)
+    qs = [{"id": f"a{i:03d}", "query": f"w{(3 * i) % 40:03d} hot0",
+           "mode": "AND"} for i in range(30)]
+    qs += [{"id": "or1", "query": "rare3 rare4"},
+           {"id": "mm1", "query": "w001 w002 w003", "min_match": 2}]
+    full = register_queries(spark, qs, str(tmp_path / "full"))
+    part = register_queries(spark, qs[:20], str(tmp_path / "part"))
+    part2 = register_queries_append(part, qs[20:])
+    docs = ["hot0 w000 w003 filler", "rare3 rare4 something",
+            "w001 w003 only", "nothing relevant"]
+    for d in docs:
+        want = [r.query_id for r in percolate(full, d).collect()]
+        got = [r.query_id for r in percolate(part2, d).collect()]
+        assert got == want, d
+    import pytest as _pt
+    with _pt.raises(ValueError, match="already registered"):
+        register_queries_append(part2, [{"id": "a005", "query": "hot0"}])
+    with _pt.raises(ValueError, match="duplicate query id"):
+        register_queries_append(part2, [{"id": "x", "query": "hot0"},
+                                        {"id": "x", "query": "hot1"}])
