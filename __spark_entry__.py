@@ -1471,6 +1471,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_percentiles(idx, "spark join", "ts",
                                  ps=(0.5, 0.9, 0.99))
 
+    def bm25_query_string(spark, sf):
+        # the r5 query-string mini-language routed end-to-end:
+        # '+spark join fast^2 -slow' parses into one BOOL batch entry
+        # (must + weighted shoulds + exclude) — scores bit-equal to the
+        # structured bool+term_boosts path (engine/querystring.py)
+        from engine.querystring import search_query_string
+        idx = _packed_index(spark, sf)
+        top = search_query_string(idx, "+spark join fast^2 -slow", k=10)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
     def bm25_multi_match(spark, sf):
         # ES multi_match best_fields over the multi-field index (r5):
         # text + lang(^2) + source(^1.5) term spaces, tie_breaker 0.3 —
@@ -2349,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_mad_binned": match_mad_binned,
         "bm25_multi_match": bm25_multi_match,
         "bm25_multi_match_most": bm25_multi_match_most,
+        "bm25_query_string": bm25_query_string,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -2996,6 +3007,9 @@ LIMIT 10""",
                    (SELECT min(v) FROM c, n
                     WHERE cum >= ceil(q.p * n.c))::BIGINT AS value
             FROM (VALUES (0.5), (0.9), (0.99)) q(p) ORDER BY p""",
+        "bm25_query_string": _bm25_sql(
+            ["spark", "join", "fast"], "OR", must_terms=["spark"],
+            weights={"fast": 2.0}, exclude=["slow"]),
         "bm25_multi_match": _multi_match_sql(
             ["spark", "en", "src8"],
             [("text", 1.0), ("lang", 2.0), ("source", 1.5)], 0.3),

@@ -68,6 +68,32 @@ def cmd_search(args) -> int:
         print("--must/--should/--min-should-match replace --query "
               "(the ES bool-query form)", file=sys.stderr)
         return 2
+    if args.query_string:
+        # the r5 mini-language: one string composes must/should/boost/
+        # NOT/phrase/prefix/fuzzy (engine/querystring.py grammar)
+        if (args.query or bool_q or args.dis_query or args.mm_field
+                or args.collapse or args.sort_by or args.boost_field
+                or args.decay or args.boost_term or args.synonyms
+                or args.demote or args.slop or args.after
+                or args.snippets):
+            print("--query-string replaces --query and the shaping "
+                  "flags; it composes with --k/--filter/--dv-filter/"
+                  "--min-match/--max-expansions only", file=sys.stderr)
+            return 2
+        from .querystring import QueryStringError, search_query_string
+        try:
+            top = search_query_string(idx, args.query_string, k=args.k,
+                                      min_should_match=args.min_match
+                                      or 0,
+                                      max_expansions=args.max_expansions,
+                                      doc_filter=args.filter,
+                                      dv_filter=args.dv_filter)
+        except QueryStringError as e:
+            print(f"--query-string: {e}", file=sys.stderr)
+            return 2
+        for r in top.collect():
+            print(json.dumps(r.asDict(), default=str))
+        return 0
     if not bool_q and args.query is None and not args.dis_query:
         print("--query is required (or use --must/--should/--dis-query)",
               file=sys.stderr)
@@ -791,6 +817,10 @@ def main(argv=None) -> int:
                    help="dis_max subquery (repeat >= 2 times); ranks by "
                         "the best subquery + --tie-breaker * the rest")
     s.add_argument("--tie-breaker", type=float, default=0.0)
+    s.add_argument("--query-string", default=None, metavar="QS",
+                   help="mini-language query, e.g. '+a b -c \"d e\"~2 "
+                        "f^2 g~1 h*' (engine/querystring.py grammar); "
+                        "replaces --query and the shaping flags")
     s.add_argument("--mm-field", action="append", metavar="FIELD[=BOOST]",
                    help="multi_match over an extra_fields index (repeat "
                         "per field, e.g. --mm-field text --mm-field "

@@ -186,3 +186,19 @@ def test_cli_multi_match(tmp_path_factory):
     r = _run(["search", "--index-dir", d, "--mm-field", "text",
               "--dis-query", "hot0"])
     assert r.returncode == 2
+
+
+def test_cli_query_string(cli_idx):
+    """--query-string routes the r5 mini-language end-to-end."""
+    rows = _rows(_run(["search", "--index-dir", cli_idx,
+                       "--query-string", "+hot0 w010^2 -mid1"]))
+    assert rows and all("score" in o for o in rows)
+    rows = _rows(_run(["search", "--index-dir", cli_idx,
+                       "--query-string", '"hot0 hot1"~2']))
+    assert all("n_phrase" in o for o in rows)
+    r = _run(["search", "--index-dir", cli_idx,
+              "--query-string", "hot0", "--query", "hot1"])
+    assert r.returncode == 2
+    r = _run(["search", "--index-dir", cli_idx,
+              "--query-string", '"a" "b"'])
+    assert r.returncode == 2 and "at most one phrase" in r.stderr
