@@ -262,3 +262,31 @@ def test_match_all_plan_scan_free(plan_idx):
     assert len(schemas) == 1, schemas  # the neg-terms postings scan only
     assert re.search(r"PushedFilters: \[.*\(term", plan2), plan2
     assert re.search(r"PartitionFilters: \[.*bucket", plan2), plan2
+
+
+def test_multi_match_and_query_string_plans(spark, corpus_df,
+                                            tmp_path_factory):
+    """r5 surface keeps the frozen plan shape: multi_match's one scan is
+    partition-pruned to the PREFIXED terms' buckets with the term list
+    pushed, and both new dispatchers end in TakeOrderedAndProject."""
+    from engine.build import build_index
+    from engine.config import IndexConfig
+    from engine.querystring import search_query_string
+    d = str(tmp_path_factory.mktemp("plans_mm") / "idx")
+    idx = build_index(spark, corpus_df, d,
+                      IndexConfig(extra_fields=("role",)))
+    df = Q.search_multi_match(idx, "hot0 user",
+                              fields={"text": 1.0, "role": 2.0}, k=5)
+    plan = _formatted(df)
+    assert re.search(r"PartitionFilters: \[.*bucket.*IN", plan), plan
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(term", plan), plan
+    assert "role:user" in plan  # the prefixed term reaches the scan
+    assert "TakeOrderedAndProject" in plan
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "poss" not in m.group(1)  # column pruning holds
+    # plain dispatch rides search() -> TakeOrderedAndProject; the must
+    # dispatch rides the batch BOOL plan (windowed per-qid limit — the
+    # established batch shape), so assert its row contract instead
+    qsd = search_query_string(idx, "hot0 w010^2 -mid1", k=5)
+    assert "TakeOrderedAndProject" in _formatted(qsd)
+    assert len(search_query_string(idx, "+hot0 w010", k=5).collect()) <= 5
