@@ -872,6 +872,33 @@ s{i} AS (
         unions.append(f"SELECT doc_id FROM s{i}")
         joins.append(f"LEFT JOIN s{i} USING (doc_id)")
         vcols.append(f"coalesce(s{i}.sc, 0.0)")
+    if mt == "cross_fields":
+        # term-centric: one (doc, term, field) contribution row per
+        # field (boost on the contribution), per-token
+        # max + tie * (sum - max), summed over tokens — the engine
+        # kernel's exact expression
+        cons = []
+        for i, (name, boost) in enumerate(fields, 1):
+            cons.append(f"""
+  SELECT tf.doc_id, tf.term,
+         {float(boost)!r} * ((q.qtf
+             * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl)))
+           AS v
+  FROM tf{i} tf JOIN df{i} d USING (term) JOIN q USING (term)
+  JOIN dl{i} dl ON tf.doc_id = dl.doc_id CROSS JOIN st{i} s""")
+        return f"""
+WITH q(term, qtf) AS (VALUES {qtf_rows}),
+{",".join(ctes)},
+contribs AS ({" UNION ALL ".join(cons)}),
+pert AS (
+  SELECT doc_id, term,
+         max(v) + {tie!r} * (sum(v) - max(v)) AS v
+  FROM contribs GROUP BY doc_id, term)
+SELECT doc_id, round(b, 6) AS score
+FROM (SELECT doc_id, sum(v) AS b FROM pert GROUP BY doc_id)
+ORDER BY b DESC, doc_id ASC LIMIT {k}"""
     g = f"greatest({', '.join(vcols)})" if len(vcols) > 1 else vcols[0]
     tot = " + ".join(vcols)
     comb = tot if mt == "most_fields" else f"{g} + {tie!r} * (({tot}) - {g})"
@@ -881,6 +908,50 @@ WITH q(term, qtf) AS (VALUES {qtf_rows}),
 u AS ({" UNION ".join(unions)})
 SELECT doc_id, round(b, 6) AS score
 FROM (SELECT u.doc_id, {comb} AS b FROM u {" ".join(joins)})
+ORDER BY b DESC, doc_id ASC LIMIT {k}"""
+
+
+def _fielded_sql(field_maps: list, k: int = 10) -> str:
+    """DuckDB twin of engine.query.search_fielded (the query-string
+    'field:term' dispatch): per field its OWN (token, weight) value
+    table — effective qtf == the clause weight — scored in that field's
+    term space (field df/idf/avgdl, corpus-global N), combined as the
+    plain left-fold sum over fields in list order (most_fields shape,
+    field boost 1.0). Ordered by the unrounded sum."""
+    ctes, unions, joins, vcols = [], [], [], []
+    for i, (name, qmap) in enumerate(field_maps, 1):
+        tok = f"regexp_extract_all(lower({name}), '[a-z0-9]+')"
+        terms_in = ", ".join(f"'{t}'" for t in sorted(qmap))
+        q_rows = ", ".join(f"('{t}', {float(w)!r}::DOUBLE)"
+                           for t, w in sorted(qmap.items()))
+        ctes.append(f"""dl{i} AS (
+  SELECT doc_id, len({tok}) AS dl FROM documents),
+st{i} AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl{i}),
+q{i}(term, qtf) AS (VALUES {q_rows}),
+tf{i} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({tok}) AS term FROM documents)
+  WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+df{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tf{i} GROUP BY term),
+s{i} AS (
+  SELECT tf.doc_id,
+         sum(q{i}.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl)))
+           AS sc
+  FROM tf{i} tf JOIN df{i} d USING (term) JOIN q{i} USING (term)
+  JOIN dl{i} dl ON tf.doc_id = dl.doc_id CROSS JOIN st{i} s
+  GROUP BY tf.doc_id)""")
+        unions.append(f"SELECT doc_id FROM s{i}")
+        joins.append(f"LEFT JOIN s{i} USING (doc_id)")
+        vcols.append(f"coalesce(s{i}.sc, 0.0)")
+    tot = " + ".join(vcols)
+    return f"""
+WITH {",".join(ctes)},
+u AS ({" UNION ".join(unions)})
+SELECT doc_id, round(b, 6) AS score
+FROM (SELECT u.doc_id, {tot} AS b FROM u {" ".join(joins)})
 ORDER BY b DESC, doc_id ASC LIMIT {k}"""
 
 
@@ -1500,6 +1571,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = Q.search_multi_match(
             idx, "join src5", fields={"text": 1.0, "source": 1.5},
             k=10, match_type="most_fields")
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_multi_match_cross(spark, sf):
+        # cross_fields (term-centric): per token, best-field
+        # contribution + tie * rest, summed over tokens ascending
+        from engine import query as Q
+        idx = _mf_index(spark, sf)
+        top = Q.search_multi_match(
+            idx, "spark en src8",
+            fields={"text": 1.0, "lang": 2.0, "source": 1.5},
+            k=10, match_type="cross_fields", tie_breaker=0.2)
+        return top.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_qs_fielded(spark, sf):
+        # Lucene 'field:term' syntax end-to-end: the query string
+        # routes through search_fielded (per-clause field scoping,
+        # most_fields-shaped combine, clause weight == effective qtf)
+        from engine.querystring import search_query_string
+        idx = _mf_index(spark, sf)
+        top = search_query_string(idx, "spark lang:en^2 source:src8",
+                                  k=10)
         return top.select("doc_id", F.round("score", 6).alias("score"))
 
     def match_pct_binned(spark, sf):
@@ -2359,7 +2451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_mad_binned": match_mad_binned,
         "bm25_multi_match": bm25_multi_match,
         "bm25_multi_match_most": bm25_multi_match_most,
+        "bm25_multi_match_cross": bm25_multi_match_cross,
         "bm25_query_string": bm25_query_string,
+        "bm25_qs_fielded": bm25_qs_fielded,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "quality_score": quality_score,
@@ -3016,6 +3110,13 @@ LIMIT 10""",
         "bm25_multi_match_most": _multi_match_sql(
             ["join", "src5"], [("text", 1.0), ("source", 1.5)], 0.0,
             mt="most_fields"),
+        "bm25_multi_match_cross": _multi_match_sql(
+            ["spark", "en", "src8"],
+            [("text", 1.0), ("lang", 2.0), ("source", 1.5)], 0.2,
+            mt="cross_fields"),
+        "bm25_qs_fielded": _fielded_sql(
+            [("lang", {"en": 2.0}), ("source", {"src8": 1.0}),
+             ("text", {"spark": 1.0})]),
         # bounded-state binned percentiles twin: the frozen integer
         # binning rule in pure int64 (width = max(1, ceil(span/16)) via
         # (span + 15) // 16; bin = (v - vmin) // width; value = lower

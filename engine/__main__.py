@@ -826,7 +826,7 @@ def main(argv=None) -> int:
                         "per field, e.g. --mm-field text --mm-field "
                         "role=2); ranks per --match-type")
     s.add_argument("--match-type", default="best_fields",
-                   choices=["best_fields", "most_fields"])
+                   choices=["best_fields", "most_fields", "cross_fields"])
     s.add_argument("--synonyms",
                    help='query-time synonym groups as JSON, e.g. '
                         '\'{"fast": ["quick"]}\' (OR mode only)')

@@ -774,6 +774,14 @@ def search_multi_match(index, query: str, fields=None, k: int = 10,
       FIELDS ORDER and ``best`` their max — exactly dis_max's combine
       with fields as the subqueries; ``most_fields``: ``score =
       total`` (tie_breaker must be 0);
+    * ``cross_fields`` (term-centric): per TOKEN ``v_t = max_f(c_{f,t})
+      + tie_breaker * (sum_f(c_{f,t}) - max_f(c_{f,t}))`` where
+      ``c_{f,t} = boost_f * contrib_{f,t}`` (the field boost lands on
+      the per-term contribution, not the field sum), then ``score =
+      sum over tokens ascending of v_t`` — a frozen simplification of
+      ES's blended-df cross_fields (documented divergence: ES blends
+      df across fields; this engine takes the per-term best field,
+      which needs no cross-field statistics);
     * a doc matches iff >= 1 field matches >= 1 token; ``exclude``
       applies in the TEXT term space (exclude tokens are text tokens;
       positive-wins vs the query's text terms as usual);
@@ -810,13 +818,15 @@ def search_multi_match(index, query: str, fields=None, k: int = 10,
     if any(b_ <= 0 for b_ in fields.values()):
         raise ValueError("field boosts must be > 0")
     mt = str(match_type)
-    if mt not in ("best_fields", "most_fields"):
-        raise ValueError("match_type must be best_fields|most_fields")
+    if mt not in ("best_fields", "most_fields", "cross_fields"):
+        raise ValueError("match_type must be "
+                         "best_fields|most_fields|cross_fields")
     tie = float(tie_breaker)
     if not (0.0 <= tie <= 1.0):
         raise ValueError("tie_breaker must lie in [0, 1]")
     if mt == "most_fields" and tie != 0.0:
-        raise ValueError("tie_breaker only applies to best_fields")
+        raise ValueError("tie_breaker only applies to "
+                         "best_fields/cross_fields")
     key = ("mm", query, tuple(fields.items()), k, mt, tie, exclude,
            doc_filter, dv_filter)
     return _plan_cached(index, key, lambda: _search_multi_match_impl(
@@ -824,15 +834,72 @@ def search_multi_match(index, query: str, fields=None, k: int = 10,
         dv_filter))
 
 
-def _search_multi_match_impl(index, query: str, fields: dict, k: int,
-                             mt: str, tie: float, exclude,
-                             doc_filter, dv_filter) -> DataFrame:
+def search_fielded(index, clauses: list, k: int = 10,
+                   exclude: str | None = None,
+                   doc_filter: str | None = None,
+                   dv_filter: str | None = None) -> DataFrame:
+    """Field-scoped disjunction — the Lucene ``field:term`` clause
+    list: ``clauses = [(field, token, weight), ...]`` over a
+    multi-field index, each clause scored in ITS field's term space
+    (field df/idf/avgdl) at ``weight * qtf`` and the per-field sums
+    left-folded in first-appearance field order (the most_fields
+    combine, per-field boost 1.0 — weights live on the clauses).
+    Duplicate (field, token) clauses merge by SUMMING weights (the
+    Lucene repeated-clause qtf rule). ``exclude`` stays a text-space
+    NOT. Backed by the multi_match kernel: one pruned scan, per-field
+    width-bounded accumulators, TakeOrderedAndProject. The
+    query-string mini-language's ``field:term`` syntax routes here
+    (engine/querystring.py)."""
+    _warn_if_stale(index)
+    norm: dict = {}
+    order: list = []
+    known_fields = {"text", *(index.extra_fields or ())}
+    for f_, t, w in clauses:
+        f_, t, w = str(f_), str(t), float(w)
+        if f_ not in known_fields:
+            raise ValueError(
+                f"field {f_!r} not indexed (available: "
+                f"{sorted(known_fields)}; build with "
+                f"IndexConfig.extra_fields)")
+        if w <= 0:
+            raise ValueError("clause weights must be > 0")
+        toks = tokenize_py(t, index.cfg.analyzer)
+        if len(toks) != 1:
+            raise ValueError(f"clause token {t!r} must analyze to "
+                             f"exactly one term (got {toks})")
+        if f_ not in norm:
+            norm[f_] = {}
+            order.append(f_)
+        norm[f_][toks[0]] = norm[f_].get(toks[0], 0.0) + w
+    if not norm:
+        raise ValueError("search_fielded needs at least one clause")
+    fq = {f_: norm[f_] for f_ in order}
+    key = ("fq", tuple((f_, tuple(sorted(m.items())))
+                       for f_, m in fq.items()), k, exclude, doc_filter,
+           dv_filter)
+    return _plan_cached(index, key, lambda: _search_multi_match_impl(
+        index, None, {f_: 1.0 for f_ in fq}, k, "most_fields", 0.0,
+        exclude, doc_filter, dv_filter, fq=fq))
+
+
+def _search_multi_match_impl(index, query: "str | None", fields: dict,
+                             k: int, mt: str, tie: float, exclude,
+                             doc_filter, dv_filter,
+                             fq: dict | None = None) -> DataFrame:
     spark = index.spark
     acfg = index.cfg.analyzer
-    qt = query_terms(query, acfg)
     empty = _empty_topk(spark)
-    if not qt:
-        return empty
+    if fq is None:
+        qt = query_terms(query, acfg)
+        if not qt:
+            return empty
+    else:
+        # search_fielded: per-field token->qtf maps prebuilt by the
+        # caller; qt (the exclude positive-wins base) is the TEXT
+        # clauses' tokens
+        qt = dict(fq.get("text", {}))
+        if not any(fq.values()):
+            return empty
     field_list = list(fields)  # dict order == frozen fold order
     favg = {"text": float(index.avgdl)}
     for f_ in field_list:
@@ -845,8 +912,13 @@ def _search_multi_match_impl(index, query: str, fields: dict, k: int,
     # exclude applies in the text space (positive-wins vs text terms)
     neg = (sorted(set(tokenize_py(exclude, acfg)) - set(qt))
            if exclude else [])
-    all_keys = sorted({tkey(f_, t) for f_ in field_list for t in qt
-                       if favg[f_] > 0.0} | set(neg))
+    if fq is None:
+        all_keys = sorted({tkey(f_, t) for f_ in field_list for t in qt
+                           if favg[f_] > 0.0} | set(neg))
+    else:
+        all_keys = sorted({tkey(f_, t) for f_ in field_list
+                           for t in fq.get(f_, {})
+                           if favg[f_] > 0.0} | set(neg))
     if not all_keys:
         return empty
     lex = index.lookup_terms(all_keys)
@@ -855,7 +927,8 @@ def _search_multi_match_impl(index, query: str, fields: dict, k: int,
     # their LIST SLOT (the total fold order is fields order)
     subs = []
     for f_ in field_list:
-        m = {tkey(f_, t): float(n) for t, n in qt.items()
+        src = qt if fq is None else fq.get(f_, {})
+        m = {tkey(f_, t): float(n) for t, n in src.items()
              if favg[f_] > 0.0 and tkey(f_, t) in lex}
         subs.append((f_, m))
     if not any(m for _, m in subs):
@@ -876,6 +949,16 @@ def _search_multi_match_impl(index, query: str, fields: dict, k: int,
     for si, (f_, m) in enumerate(subs):
         for t, n in m.items():
             term_slot[t] = (si, n)
+    # cross_fields: token-major grouping — per TOKEN, the field
+    # variants whose per-term contributions combine max+tie*(sum-max)
+    token_groups = []
+    if mt == "cross_fields":
+        for t in sorted(qt):  # ascending tokens == the frozen fold
+            variants = [(si, tkey(f_, t), float(qt[t]))
+                        for si, (f_, m) in enumerate(subs)
+                        if tkey(f_, t) in m]
+            if variants:
+                token_groups.append((t, variants))
     neg_set = frozenset(neg)
     del_locs = _del_closure(index)
     dv_dir, dv_gen = index.index_dir, int(index.n_docs)
@@ -893,34 +976,80 @@ def _search_multi_match_impl(index, query: str, fields: dict, k: int,
         accs = [np.zeros(width, dtype=np.float64) for _ in range(n_sub)]
         hitany = np.zeros(width, dtype=bool)
         negmask = np.zeros(width, dtype=bool) if neg_set else None
-        order = np.argsort(post_pdf["term"].to_numpy(object))
-        for i in order:
-            term = post_pdf["term"].iloc[int(i)]
-            if term in neg_set:
-                ids, _ = C.decode_postings(
+        cross_total = None
+        if mt == "cross_fields":
+            # decode once into a key map, then walk tokens ascending:
+            # v_t = max_f(c) + tie * (sum_f(c) - max_f(c)), c =
+            # boost_f * the frozen per-term contribution with the
+            # FIELD's avgdl; total[doc] += v_t per token — the twin's
+            # exact expression
+            dec = {}
+            for i in range(len(post_pdf)):
+                term = post_pdf["term"].iloc[i]
+                ids, tfs = C.decode_postings(
+                    post_pdf["doc_ids"].iloc[i],
+                    post_pdf["tfs"].iloc[i])
+                if term in neg_set:
+                    negmask[ids - start] = True
+                    continue
+                dls = C.vbyte_decode(
+                    post_pdf["dls"].iloc[i]).astype(np.float64)
+                dec[term] = (ids - start, tfs.astype(np.float64), dls)
+            cross_total = np.zeros(width, dtype=np.float64)
+            tmax = np.zeros(width, dtype=np.float64)
+            tsum = np.zeros(width, dtype=np.float64)
+            for _tok, variants in token_groups:
+                locs_t = []
+                for si, key, qtf in variants:
+                    d = dec.get(key)
+                    if d is None:
+                        continue
+                    loc, tfs, dls = d
+                    num = tfs * (k1_ + 1.0)
+                    den = tfs + k1_ * (1.0 - b_ + b_ * dls / avgdls[si])
+                    c = boosts[si] * ((qtf * idfs[key]) * num / den)
+                    tmax[loc] = np.maximum(tmax[loc], c)
+                    tsum[loc] += c
+                    hitany[loc] = True
+                    locs_t.append(loc)
+                if not locs_t:
+                    continue
+                tk = np.unique(np.concatenate(locs_t))
+                cross_total[tk] += (tmax[tk]
+                                    + tie * (tsum[tk] - tmax[tk]))
+                tmax[tk] = 0.0
+                tsum[tk] = 0.0
+        else:
+            order = np.argsort(post_pdf["term"].to_numpy(object))
+            for i in order:
+                term = post_pdf["term"].iloc[int(i)]
+                if term in neg_set:
+                    ids, _ = C.decode_postings(
+                        post_pdf["doc_ids"].iloc[int(i)],
+                        post_pdf["tfs"].iloc[int(i)])
+                    negmask[ids - start] = True
+                    continue
+                slot = term_slot.get(term)
+                if slot is None:
+                    continue
+                si, qtf = slot
+                ids, tfs = C.decode_postings(
                     post_pdf["doc_ids"].iloc[int(i)],
                     post_pdf["tfs"].iloc[int(i)])
-                negmask[ids - start] = True
-                continue
-            slot = term_slot.get(term)
-            if slot is None:
-                continue
-            si, qtf = slot
-            ids, tfs = C.decode_postings(post_pdf["doc_ids"].iloc[int(i)],
-                                         post_pdf["tfs"].iloc[int(i)])
-            dls = C.vbyte_decode(post_pdf["dls"].iloc[int(i)]).astype(
-                np.float64)
-            loc = ids - start
-            tfs = tfs.astype(np.float64)
-            # EXACTLY the single-query kernel's float64 grouping —
-            # ((qtf*idf)*A)/B — with THIS FIELD's avgdl in the length
-            # norm (the dls stream already carries the field's dl);
-            # terms arrive in global ascending order, so each field's
-            # accumulator receives ITS terms ascending too
-            num = tfs * (k1_ + 1.0)
-            den = tfs + k1_ * (1.0 - b_ + b_ * dls / avgdls[si])
-            accs[si][loc] += (qtf * idfs[term]) * num / den
-            hitany[loc] = True
+                dls = C.vbyte_decode(
+                    post_pdf["dls"].iloc[int(i)]).astype(np.float64)
+                loc = ids - start
+                tfs = tfs.astype(np.float64)
+                # EXACTLY the single-query kernel's float64 grouping —
+                # ((qtf*idf)*A)/B — with THIS FIELD's avgdl in the
+                # length norm (the dls stream already carries the
+                # field's dl); terms arrive in global ascending order,
+                # so each field's accumulator receives ITS terms
+                # ascending too
+                num = tfs * (k1_ + 1.0)
+                den = tfs + k1_ * (1.0 - b_ + b_ * dls / avgdls[si])
+                accs[si][loc] += (qtf * idfs[term]) * num / den
+                hitany[loc] = True
         if negmask is not None:
             hitany[negmask] = False
         if del_locs is not None:
@@ -939,17 +1068,20 @@ def _search_multi_match_impl(index, query: str, fields: dict, k: int,
         hit = np.flatnonzero(hitany)
         if hit.size == 0:
             return out_empty
-        # combine: s_f = boost_f * sum_f; total = left-fold in fields
-        # order; best_fields = best + tie * (total - best); most_fields
-        # = total — the twin's expression verbatim
-        total = boosts[0] * accs[0][hit]
-        best = total.copy()
-        for si in range(1, n_sub):
-            v = boosts[si] * accs[si][hit]
-            total = total + v
-            np.maximum(best, v, out=best)
-        scores = total if mt == "most_fields" \
-            else best + tie * (total - best)
+        if mt == "cross_fields":
+            scores = cross_total[hit]
+        else:
+            # combine: s_f = boost_f * sum_f; total = left-fold in
+            # fields order; best_fields = best + tie * (total - best);
+            # most_fields = total — the twin's expression verbatim
+            total = boosts[0] * accs[0][hit]
+            best = total.copy()
+            for si in range(1, n_sub):
+                v = boosts[si] * accs[si][hit]
+                total = total + v
+                np.maximum(best, v, out=best)
+            scores = total if mt == "most_fields" \
+                else best + tie * (total - best)
         hit, scores = C.topk_tiebreak(hit, scores, k)
         return pd.DataFrame({"doc_id": (hit + start).astype(np.int64),
                              "score": scores})
@@ -2626,7 +2758,8 @@ def _search_batch_impl(index, queries: list[dict], k: int = 10,
             if mt_q not in ("best_fields", "most_fields"):
                 raise ValueError(f"MULTI_MATCH entry {q['id']!r}: "
                                  "match_type must be "
-                                 "best_fields|most_fields")
+                                 "best_fields|most_fields "
+                                 "(cross_fields is single-query only)")
             tie_q = float(q.get("tie_breaker", 0.0))
             if not (0.0 <= tie_q <= 1.0):
                 raise ValueError(f"tie_breaker on {q['id']!r} must lie "

@@ -17,6 +17,10 @@ noted):
 * ``term~``    -> fuzzy expansion at 1 edit; ``term~2`` -> 2 edits
   (Lucene defaults ``~`` to 2; this engine's neighborhood tables are
   depth-keyed, so the conservative default is frozen at 1);
+* ``field:term`` -> the token scored in THAT field's term space (a
+  multi-field index — IndexConfig.extra_fields; ``^W`` composes;
+  routed through query.search_fielded, most_fields-shaped combine
+  with the plain clauses as text clauses);
 * a bare clause -> should term(s) at weight 1.
 
 Composition rules (what one engine job can express — frozen, with
@@ -63,7 +67,7 @@ def parse_query_string(qs: str, acfg) -> dict:
     malformed input; analyzer tokens only (a clause may analyze to
     several tokens — weights/polarity apply to all of them)."""
     spec = {"must": [], "should": {}, "exclude": [], "prefix": [],
-            "fuzzy": [], "phrase": None}
+            "fuzzy": [], "phrase": None, "fielded": []}
     rest = []
     pos = 0
     qs = qs or ""
@@ -97,6 +101,23 @@ def parse_query_string(qs: str, acfg) -> dict:
         if sum(x is not None and x is not False
                for x in (weight, fuzzy)) + prefix > 1:
             raise QueryStringError(f"{raw!r}: ^/~/* cannot stack")
+        m = re.fullmatch(r"([a-z_][a-z0-9_]*):(.+)", clause)
+        if m:
+            # Lucene field scope: 'role:user' scores the token in THAT
+            # field's term space (search_fielded); ^weight composes,
+            # nothing else does
+            if polarity or fuzzy is not None or prefix:
+                raise QueryStringError(
+                    f"{raw!r}: field-scoped clauses carry ^weight only")
+            ftoks = tokenize_py(m.group(2), acfg)
+            if len(ftoks) != 1:
+                raise QueryStringError(
+                    f"{raw!r}: field clause must analyze to one token")
+            w = 1.0 if weight is None else weight
+            if w <= 0:
+                raise QueryStringError(f"{raw!r}: weight must be > 0")
+            spec["fielded"].append((m.group(1), ftoks[0], w))
+            continue
         toks = tokenize_py(clause, acfg)
         if not toks:
             raise QueryStringError(f"{raw!r} has no analyzer tokens")
@@ -129,14 +150,19 @@ def parse_query_string(qs: str, acfg) -> dict:
                 spec["should"][t] = w
     if spec["phrase"] is not None and (
             spec["must"] or spec["should"] or spec["prefix"]
-            or spec["fuzzy"]):
+            or spec["fuzzy"] or spec["fielded"]):
         raise QueryStringError(
             "a phrase clause composes with - excludes only")
     if (spec["prefix"] or spec["fuzzy"]) and spec["must"]:
         raise QueryStringError(
             "expansions (*/~) do not compose with + must clauses")
+    if spec["fielded"] and (spec["must"] or spec["prefix"]
+                            or spec["fuzzy"]):
+        raise QueryStringError(
+            "field-scoped clauses compose with plain/^ shoulds and "
+            "- excludes only")
     if not (spec["must"] or spec["should"] or spec["prefix"]
-            or spec["fuzzy"] or spec["phrase"]):
+            or spec["fuzzy"] or spec["phrase"] or spec["fielded"]):
         raise QueryStringError("empty query string")
     return spec
 
@@ -176,6 +202,19 @@ def search_query_string(index, qs: str, k: int = 10,
     should = dict(spec["should"])
     for t in exp_terms:
         should[t] = 1.0
+    if spec["fielded"]:
+        # field-scoped dispatch (search_fielded): fielded clauses plus
+        # the plain/^ shoulds as text clauses, one most_fields-shaped
+        # job; min_should_match has no fielded contract
+        if min_should_match:
+            raise QueryStringError(
+                "min_should_match does not compose with field-scoped "
+                "clauses")
+        clauses = list(spec["fielded"]) + [
+            ("text", t, w) for t, w in should.items()]
+        return Q.search_fielded(index, clauses, k=k, exclude=excl,
+                                doc_filter=doc_filter,
+                                dv_filter=dv_filter)
     if spec["must"]:
         entry = {"id": "qs", "mode": "BOOL",
                  "must": " ".join(spec["must"]),

@@ -122,7 +122,7 @@ def test_multi_match_validation(mf_index):
     with pytest.raises(ValueError, match="not indexed"):
         Q.search_multi_match(mf_index, "hot0", fields={"tool": 1.0})
     with pytest.raises(ValueError, match="best_fields|most_fields"):
-        Q.search_multi_match(mf_index, "hot0", match_type="cross_fields")
+        Q.search_multi_match(mf_index, "hot0", match_type="phrase_fields")
     with pytest.raises(ValueError, match="tie_breaker"):
         Q.search_multi_match(mf_index, "hot0", tie_breaker=1.5)
     with pytest.raises(ValueError, match="only applies"):
@@ -228,3 +228,135 @@ def test_multi_match_batch_matches_single(mf_index):
         Q.search_batch(mf_index, [{"id": "x", "mode": "MULTI_MATCH",
                                    "query": "hot0", "demote": "w010"}],
                        k=5)
+
+
+def test_multi_match_cross_fields(mf_index, corpus_pdf):
+    """cross_fields vs a raw-fixture recomputation of the frozen rule:
+    per token, v = max_f(boost_f * contrib) + tie * (sum - max), score
+    = sum over tokens."""
+    q = "hot0 user mid1"
+    qtoks = tokenize_py(q)
+    from collections import Counter
+    qtf = Counter(qtoks)
+    n = len(corpus_pdf)
+    cols = {"text": [tokenize_py(t) for t in corpus_pdf.text],
+            "role": [tokenize_py(r) for r in corpus_pdf.role]}
+    fields = {"text": 1.0, "role": 2.0}
+    avg = {f: sum(len(d) for d in cols[f]) / n for f in fields}
+    for tie in (0.2, 0.0):
+        total = np.zeros(n)
+        matched = np.zeros(n, dtype=bool)
+        for t in sorted(set(qtf)):
+            per_f = []
+            for f, bf in fields.items():
+                toks = cols[f]
+                df = sum(1 for d in toks if t in d)
+                if df == 0:
+                    continue
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                c = np.zeros(n)
+                hit = np.zeros(n, dtype=bool)
+                for i, d in enumerate(toks):
+                    tf = d.count(t)
+                    if tf:
+                        c[i] = bf * ((qtf[t] * idf) * (tf * 2.2) / (
+                            tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * len(d) / avg[f])))
+                        hit[i] = True
+                per_f.append((c, hit))
+            if not per_f:
+                continue
+            anyhit = np.zeros(n, dtype=bool)
+            mx = np.zeros(n)
+            sm = np.zeros(n)
+            for c, hit in per_f:
+                mx = np.maximum(mx, c)
+                sm += c
+                anyhit |= hit
+            total[anyhit] += (mx + tie * (sm - mx))[anyhit]
+            matched |= anyhit
+        want = sorted(((i, round(total[i], 9)) for i in range(n)
+                       if matched[i]), key=lambda x: (-x[1], x[0]))[:10]
+        got = [(r.doc_id, round(r.score, 9)) for r in
+               Q.search_multi_match(mf_index, q, fields=fields, k=10,
+                                    match_type="cross_fields",
+                                    tie_breaker=tie).collect()]
+        assert got == want, tie
+    # single field: cross_fields == best_fields == plain OR
+    a = [(r.doc_id, r.score) for r in
+         Q.search_multi_match(mf_index, q, fields={"text": 1.0}, k=10,
+                              match_type="cross_fields").collect()]
+    b = [(r.doc_id, r.score) for r in
+         Q.search(mf_index, q, k=10, mode="OR").collect()]
+    assert a == b
+
+
+def test_search_fielded_and_qs_field_scope(mf_index, corpus_pdf):
+    """search_fielded: per-clause field scoping (most_fields combine,
+    clause-weight * qtf); the query-string 'field:term' syntax routes
+    there and equals the direct call; single-text-clause == plain OR;
+    repeated clauses merge by summing weights."""
+    from engine.querystring import search_query_string
+    # reference: text clause 'hot0' w1 + role clause 'user' w2
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           Q.search_fielded(mf_index, [("text", "hot0", 1.0),
+                                       ("role", "user", 2.0)],
+                            k=10).collect()]
+    want = _ref_multi(corpus_pdf, ["hot0", "user"],
+                      {"text": 1.0, "role": 2.0}, 0.0, "most_fields")
+    # _ref_multi scores BOTH tokens in BOTH fields; fielded scopes each
+    # token to one field — recompute directly instead
+    from collections import Counter
+    n = len(corpus_pdf)
+    text_toks = [tokenize_py(t) for t in corpus_pdf.text]
+    role_toks = [tokenize_py(r) for r in corpus_pdf.role]
+
+    def fscore(toks, t, w):
+        avg = sum(len(d) for d in toks) / n
+        df = sum(1 for d in toks if t in d)
+        s = np.zeros(n)
+        if df == 0:
+            return s
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, d in enumerate(toks):
+            tf = d.count(t)
+            if tf:
+                s[i] = (w * idf) * (tf * 2.2) / (
+                    tf + 1.2 * (1.0 - 0.75 + 0.75 * len(d) / avg))
+        return s
+
+    s_text = fscore(text_toks, "hot0", 1.0)
+    s_role = fscore(role_toks, "user", 2.0)
+    tot = s_text + s_role
+    hit = (s_text > 0) | (s_role > 0)
+    want = sorted(((i, round(tot[i], 9)) for i in range(n) if hit[i]),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    assert got == want
+    # query-string field scope == direct search_fielded
+    qs_got = [(r.doc_id, round(r.score, 9)) for r in
+              search_query_string(mf_index,
+                                  "hot0 role:user^2").collect()]
+    assert qs_got == got
+    # single text clause == plain OR (bit-exact)
+    a = [(r.doc_id, r.score) for r in
+         Q.search_fielded(mf_index, [("text", "hot0", 1.0)],
+                          k=10).collect()]
+    b = [(r.doc_id, r.score) for r in
+         Q.search(mf_index, "hot0", k=10).collect()]
+    assert a == b
+    # repeated clause == summed weight == doubled qtf
+    c = [(r.doc_id, r.score) for r in
+         Q.search_fielded(mf_index, [("text", "hot0", 1.0),
+                                     ("text", "hot0", 1.0)],
+                          k=10).collect()]
+    d = [(r.doc_id, r.score) for r in
+         Q.search(mf_index, "hot0 hot0", k=10).collect()]
+    assert c == d
+    # validation
+    with pytest.raises(ValueError, match="not indexed"):
+        Q.search_fielded(mf_index, [("tool", "x", 1.0)])
+    with pytest.raises(ValueError, match="one term"):
+        Q.search_fielded(mf_index, [("text", "two words", 1.0)])
+    from engine.querystring import QueryStringError
+    with pytest.raises(QueryStringError, match="field-scoped"):
+        search_query_string(mf_index, "+hot0 role:user")
