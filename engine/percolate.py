@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .analyzer import tokenize_py
 from .config import DEFAULT, IndexConfig
-from .query import _del_closure, _plan_cached, _warn_if_stale
+from .query import _del_closure, _plan_cached
 
 _TS0 = 1767225600  # 2026-01-01T00:00:00Z — fixed synthetic ts
 
@@ -103,21 +103,32 @@ def _query_rows_df(spark, queries: list, acfg) -> DataFrame:
             .withColumn("qid", F.col("conv_id")))
 
 
-def register_queries_append(qindex, queries: list):
+def register_queries_append(qindex, queries: list,
+                            compact_now: bool = False):
     """Incrementally ADD saved queries to an existing percolator index
     (VERDICT r4 #6: registration used to be a full index rebuild —
     4.8 s for 1k queries in BENCH_r04 — because adding one alert
     re-tokenized the whole standing set). The new queries ride the
     streaming micro-batch path (engine/streaming.py append_batch: one
-    tiny tokenize+pack job + docvalue append) followed by one compact
-    (segment merge + vocab-scaled lexicon rebuild) so percolation sees
-    them immediately. Work scales with |standing set| only through the
-    compact's merge — never through re-analysis of existing queries.
+    tiny tokenize+pack job + docvalue append) — work scales with the
+    BATCH, never with the standing set.
+
+    ``compact_now=False`` (default): no compaction — percolation is
+    the one query family that safely reads pending increments live,
+    because it is pure SET arithmetic: no BM25 stats (so stale
+    N/avgdl/idf cannot mis-score), buckets computable driver-side
+    from the term hash (engine/xxh.py — no lexicon dependency), and
+    the qid/required docvalue store is appended per batch. ``percolate``
+    unions the final segment with the completed increments. Call
+    ``streaming.compact`` (or pass ``compact_now=True``) occasionally
+    to fold increments into one segment — an amortized maintenance
+    choice, not a correctness requirement.
 
     New ids colliding with REGISTERED ids are rejected (one pushed
     In-filter probe of the stored corpus — metadata-sized). Returns a
-    fresh PackedIndex handle (the caller's old handle is stale; the
-    usual compact() contract)."""
+    fresh PackedIndex handle (the caller's old handle is stale, as
+    after any append)."""
+    from .build import load_index
     from .streaming import append_batch, compact
     spark = qindex.spark
     if "qid" not in (qindex.doc_values or ()) \
@@ -136,18 +147,54 @@ def register_queries_append(qindex, queries: list):
     # pass the INDEX's resolved cfg (analyzer hooks, block size) so the
     # increment can never be analyzed differently from the standing set
     append_batch(spark, qdf, qindex.index_dir, cfg=qindex.cfg)
-    return compact(spark, qindex.index_dir, cfg=qindex.cfg)
+    if compact_now:
+        return compact(spark, qindex.index_dir, cfg=qindex.cfg)
+    return load_index(spark, qindex.index_dir)
 
 
 def percolate(qindex, doc_text: str) -> DataFrame:
     """Which registered queries match this document? One pruned-scan
     job over the query index (see module docstring for the frozen
     contract and the scale argument). Returns ``(query_id:string)``
-    ordered ascending; empty when nothing matches."""
-    _warn_if_stale(qindex)
+    ordered ascending; empty when nothing matches.
+
+    Uncompacted percolators (pending ``register_queries_append``
+    increments) are read LIVE: percolation is pure set arithmetic, so
+    the staleness that makes ``search`` warn (N/avgdl/idf lag until
+    compact) cannot affect it — the scan unions the final segment with
+    the completed increments, and bucket pruning comes from the
+    driver-side term hash (engine/xxh.py), never the (possibly stale)
+    lexicon."""
     key = ("perc", doc_text)
     return _plan_cached(qindex, key,
                         lambda: _percolate_impl(qindex, doc_text))
+
+
+def _live_postings(qindex) -> "DataFrame | None":
+    """The percolator's scan base: the final segment plus any
+    completed increment segments (each read infers its own bucket
+    partitioning; pruning pushes into every branch). None when no
+    segment exists yet."""
+    from .manifest import Manifest, _success_marker
+    man = Manifest.load(qindex.index_dir)
+    paths = []
+    if man and man.final_segment:
+        seg = man.segment(man.final_segment)
+        if seg is not None and _success_marker(seg.path):
+            paths.append(seg.path)
+    if man:
+        paths += [s.path for s in man.segments
+                  if s.segment_id.startswith("inc_")
+                  and s.status == "complete" and _success_marker(s.path)]
+    if not paths:
+        return None
+    if len(paths) == 1:
+        return qindex.postings()
+    out = None
+    for p in paths:
+        d = qindex.spark.read.parquet(p)
+        out = d if out is None else out.unionByName(d)
+    return out
 
 
 def _percolate_impl(qindex, doc_text: str) -> DataFrame:
@@ -163,14 +210,17 @@ def _percolate_impl(qindex, doc_text: str) -> DataFrame:
         F.col("id").cast("string").alias("query_id"))
     if not toks:
         return empty
-    lex = qindex.lookup_terms(toks)
-    known = [t for t in toks if t in lex]
-    if not known:
+    # bucket pruning WITHOUT the lexicon (engine/xxh.py): increments
+    # are not in the lexicon until compact, so membership pruning
+    # would silently drop queries whose terms are new to the vocab
+    from .xxh import term_bucket
+    buckets = sorted({term_bucket(t, qindex.n_buckets) for t in toks})
+    base = _live_postings(qindex)
+    if base is None:
         return empty
-    buckets = sorted({lex[t]["bucket"] for t in known})
-    post = (qindex.postings()
+    post = (base
             .filter(F.col("bucket").isin(buckets)
-                    & F.col("term").isin(known))
+                    & F.col("term").isin(toks))
             .select("term", "shard", "doc_ids", "tfs"))
     width = qindex.shard_width
     dv_dir, dv_gen = qindex.index_dir, int(qindex.n_docs)

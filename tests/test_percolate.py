@@ -107,3 +107,33 @@ def test_register_queries_append_matches_batch(spark, tmp_path):
     with _pt.raises(ValueError, match="duplicate query id"):
         register_queries_append(part2, [{"id": "x", "query": "hot0"},
                                         {"id": "x", "query": "hot1"}])
+
+
+def test_register_append_uncompacted_reads_increments(spark, tmp_path):
+    """compact_now=False (the O(batch) path): percolation must see the
+    appended queries live — union scan over final + increment segments,
+    xxh-based bucket pruning (new-to-vocab terms included); a later
+    explicit compact changes nothing."""
+    from engine.percolate import (percolate, register_queries,
+                                  register_queries_append)
+    from engine.streaming import compact
+    base = [{"id": f"b{i:02d}", "query": f"w{i:03d} hot0", "mode": "AND"}
+            for i in range(10)]
+    # 'zzzuniq' is new to the vocabulary — lexicon-based pruning would
+    # silently drop it until compact
+    extra = [{"id": "new-or", "query": "rare3 zzzuniq"},
+             {"id": "new-and", "query": "hot0 w003", "mode": "AND"}]
+    qx = register_queries(spark, base, str(tmp_path / "perc"))
+    qx2 = register_queries_append(qx, extra)  # no compact
+    docs = ["hot0 w003 filler", "zzzuniq alone", "rare3 something",
+            "w000 hot0"]
+    full = register_queries(spark, base + extra, str(tmp_path / "full"))
+    for d in docs:
+        want = [r.query_id for r in percolate(full, d).collect()]
+        got = [r.query_id for r in percolate(qx2, d).collect()]
+        assert got == want, d
+    qx3 = compact(spark, str(tmp_path / "perc"))
+    for d in docs:
+        want = [r.query_id for r in percolate(full, d).collect()]
+        got = [r.query_id for r in percolate(qx3, d).collect()]
+        assert got == want, ("post-compact", d)
