@@ -318,7 +318,11 @@ def main():
         dt, _ = tbest(lambda: Q.materialize_snippets(
             idx, Q.search(idx, "hot0 hot1", k=10),
             "hot0 hot1", window=3).collect())
-        queries["search_snippets"] = round(dt, 4)
+        # r5: renamed from "search_snippets" (VERDICT r4 nit: the row
+        # re-executes the underlying search when the top-k collects,
+        # so it can never drop below a search row and the old name
+        # misled round-over-round comparison)
+        queries["search_plus_snippets"] = round(dt, 4)
         # r4 feature: faceted search — FULL match-set facet counts for
         # two dimensions in ONE GROUPING SETS pass (warm, excluded from
         # the headline total like the other feature rows)
@@ -341,7 +345,7 @@ def main():
             idx, "w1[0-9]{2}", k=10).collect())
         queries["search_regexp"] = round(dt, 4)
         _top = Q.search(idx, "hot0 hot1", k=10)
-        # E8 in isolation (r4): search_snippets above re-executes the
+        # E8 in isolation (r4): search_plus_snippets above re-executes the
         # underlying SEARCH job when the top-k is collected driver-side,
         # so it can never drop below a search row. Pin the top-k as a
         # literal-form relation (Q.pin_topk — jobless collect, no
@@ -717,7 +721,7 @@ def main():
                                  "positions_index_build",
                                  "phrase_2term", "phrase_3term",
                                  "phrase_sloppy",
-                                 "search_filtered", "search_snippets",
+                                 "search_filtered", "search_plus_snippets",
                                  "search_facets",
                                  "search_prefix", "search_prefix_cold",
                                  "search_regexp",
