@@ -51,10 +51,14 @@ def main():
         ok &= r.returncode == 0
         print(f"chunk {i}: rc={r.returncode} "
               f"({round(time.time() - t1)}s) {tail!r}", file=sys.stderr)
-    summary = {"n_chunks": n_chunks, "all_green": ok,
-               "wall_s": round(time.time() - t0, 1), "chunks": results}
-    with open(out_path, "w") as f:
-        json.dump(summary, f, indent=1)
+        # checkpoint after every chunk so a truncated run still leaves
+        # a readable partial artifact
+        summary = {"n_chunks": n_chunks, "all_green": ok,
+                   "complete": i == n_chunks - 1,
+                   "wall_s": round(time.time() - t0, 1),
+                   "chunks": results}
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1)
     print(json.dumps({k: summary[k] for k in
                       ("n_chunks", "all_green", "wall_s")}))
     sys.exit(0 if ok else 1)
